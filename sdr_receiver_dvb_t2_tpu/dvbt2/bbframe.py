@@ -1,0 +1,323 @@
+"""BB-frame layer (ETSI EN 302 755 clause 5.1): mode adaptation, BB header
+CRC-8, BB scrambling, and TS packet-stream reassembly.
+
+Both directions are implemented so the TX side (`ts_to_bbframes`) can feed any
+standard receiver and the RX side (`TSAssembler`) reproduces the reference
+receiver's TS reconstruction semantics (`bb_de_header.cpp:84-448`):
+  - mode detection via the CRC-8 residual of the 80-bit header
+    (clause 5.1.7 MODE bit XORed onto the CRC byte; NM vs HEM)
+  - NM: each user packet's sync byte is replaced by the CRC-8 of the
+    *previous* packet's 187 payload bytes; mismatch sets the TS
+    transport-error-indicator bit on the affected packet
+    (bb_de_header.cpp:219,237-239)
+  - HEM: sync bytes re-inserted at every 188-byte boundary, no per-packet CRC
+  - resynchronization via SYNCD with 0xF0 fill of a truncated packet
+    (bb_de_header.cpp:356-385)
+
+Bit-level work is vectorized NumPy on packed arrays; the per-frame pointer
+walk is host Python (kilobytes per frame, not a bottleneck -- SURVEY.md §7).
+The descrambler PRBS is precomputed once and applied as a single XOR, which
+on-device is one fused VPU op over the whole codeword batch.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+
+TS_PACKET = 188
+TS_SYNC = 0x47
+BB_HEADER_BITS = 80
+MAX_KBCH = 53840  # largest k_bch (normal C5_6)
+
+
+# --- CRC-8 (poly x^8+x^7+x^6+x^4+x^2+1 = 0xD5 MSB-first), per clause 5.1.4 ---
+
+@functools.lru_cache(maxsize=None)
+def _crc8_table() -> np.ndarray:
+    tab = np.zeros(256, dtype=np.uint8)
+    for i in range(256):
+        crc = 0
+        for j in range(7, -1, -1):
+            bit = (i >> j) & 1
+            if bit ^ (crc >> 7):
+                crc = ((crc << 1) ^ 0xD5) & 0xFF
+            else:
+                crc = (crc << 1) & 0xFF
+        tab[i] = crc
+    return tab
+
+
+def crc8(data: np.ndarray) -> int:
+    """CRC-8 over bytes (uint8 array), MSB-first, init 0."""
+    tab = _crc8_table()
+    crc = 0
+    for b in np.asarray(data, dtype=np.uint8):
+        crc = int(tab[crc ^ int(b)])
+    return crc
+
+
+# --- BB scrambler (clause 5.2.4): PRBS x^15+x^14+1, init 100101010000000 ---
+
+@functools.lru_cache(maxsize=None)
+def bb_scrambler_sequence(length: int = MAX_KBCH) -> np.ndarray:
+    """Scrambler bit sequence; XOR with BB-frame bits (both directions)."""
+    out = np.empty(length, dtype=np.uint8)
+    sr = 0x4A80
+    for i in range(length):
+        b = (sr ^ (sr >> 1)) & 1
+        out[i] = b
+        sr >>= 1
+        if b:
+            sr |= 0x4000
+    return out
+
+
+def scramble(frame_bits: np.ndarray) -> np.ndarray:
+    """(De)scramble BB-frame bits ((..., kbch) uint8); involution."""
+    seq = bb_scrambler_sequence(frame_bits.shape[-1])
+    return np.bitwise_xor(frame_bits, seq)
+
+
+# --- BB header ---
+
+@dataclass
+class BBHeader:
+    """Parsed 80-bit BB header (clause 5.1.6/5.1.7)."""
+    ts_gs: int = 0b11        # 11 = transport stream
+    sis_mis: int = 1         # 1 = single input stream
+    ccm_acm: int = 1         # 1 = CCM
+    issyi: int = 0
+    npd: int = 0
+    ext: int = 0
+    isi: int = 0             # input stream id (MIS only)
+    upl: int = TS_PACKET * 8
+    dfl: int = 0
+    sync: int = TS_SYNC
+    syncd: int = 0
+    hem: bool = False
+
+    def to_bits(self) -> np.ndarray:
+        """Serialize to 80 bits incl. the mode-bearing CRC-8 byte."""
+        bits = np.zeros(BB_HEADER_BITS, dtype=np.uint8)
+
+        def put(value, start, width):
+            for i in range(width):
+                bits[start + i] = (value >> (width - 1 - i)) & 1
+
+        put(self.ts_gs, 0, 2)
+        put(self.sis_mis, 2, 1)
+        put(self.ccm_acm, 3, 1)
+        put(self.issyi, 4, 1)
+        put(self.npd, 5, 1)
+        put(self.ext, 6, 2)
+        put(self.isi if self.sis_mis == 0 else 0, 8, 8)
+        put(self.upl, 16, 16)
+        put(self.dfl, 32, 16)
+        put(self.sync, 48, 8)
+        put(self.syncd, 56, 16)
+        c = crc8(np.packbits(bits[:72]))
+        if self.hem:
+            c ^= 1  # MODE bit (clause 5.1.7) marks high-efficiency mode
+        put(c, 72, 8)
+        return bits
+
+    @classmethod
+    def from_bits(cls, bits: np.ndarray) -> "BBHeader | None":
+        """Parse 80 header bits; None when the CRC residual matches neither
+        mode (reference: bb_de_header.cpp:101-113)."""
+        bits = np.asarray(bits[:BB_HEADER_BITS], dtype=np.uint8)
+
+        def get(start, width):
+            v = 0
+            for i in range(width):
+                v = (v << 1) | int(bits[start + i])
+            return v
+
+        received = get(72, 8)
+        expect = crc8(np.packbits(bits[:72]))
+        if received == expect:
+            hem = False
+        elif received == expect ^ 1:
+            hem = True
+        else:
+            return None
+        sis_mis = get(2, 1)
+        return cls(ts_gs=get(0, 2), sis_mis=sis_mis, ccm_acm=get(3, 1),
+                   issyi=get(4, 1), npd=get(5, 1), ext=get(6, 2),
+                   isi=get(8, 8) if sis_mis == 0 else 0,
+                   upl=get(16, 16), dfl=get(32, 16), sync=get(48, 8),
+                   syncd=get(56, 16), hem=hem)
+
+
+# --- TX: TS -> BB frames (mode + stream adaptation) ---
+
+@dataclass
+class ModeAdapter:
+    """Stateful TS -> BB-frame segmenter for one PLP.
+
+    The user-packet (UP) stream: NM keeps 188 bytes per packet with the sync
+    byte replaced by the CRC-8 of the previous packet's 187 payload bytes
+    (clause 5.1.4); HEM drops the sync byte (187 bytes per UP).
+    """
+    kbch: int
+    hem: bool = False
+    isi: int = 0
+    sis_mis: int = 1
+    _stream: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))
+    _crc_prev: int = 0
+    _stream_pos: int = 0  # total UP-stream bytes already emitted in BB frames
+
+    @property
+    def up_size(self) -> int:
+        return TS_PACKET - (1 if self.hem else 0)
+
+    @property
+    def dfl(self) -> int:
+        return self.kbch - BB_HEADER_BITS
+
+    def packets_needed(self, n_frames: int) -> int:
+        """TS packets required before n_frames full BB frames can be emitted."""
+        need = n_frames * (self.dfl // 8) - len(self._stream)
+        return max(0, -(-need // self.up_size))
+
+    def push_packets(self, ts: np.ndarray) -> None:
+        """Append TS packets ((n,188) or flat bytes) to the pending stream."""
+        ts = np.asarray(ts, dtype=np.uint8).reshape(-1, TS_PACKET)
+        if not (ts[:, 0] == TS_SYNC).all():
+            raise ValueError("TS packets must start with 0x47")
+        chunks = [self._stream]
+        for pkt in ts:
+            if self.hem:
+                chunks.append(pkt[1:])
+            else:
+                chunks.append(np.concatenate(
+                    [np.array([self._crc_prev], np.uint8), pkt[1:]]))
+                self._crc_prev = crc8(pkt[1:])
+        self._stream = np.concatenate(chunks)
+
+    def next_frame(self) -> np.ndarray:
+        """Emit one kbch-bit (unscrambled) BB frame; raises if starved."""
+        dfl_bytes = self.dfl // 8
+        if len(self._stream) < dfl_bytes:
+            raise ValueError(
+                f"need {dfl_bytes} stream bytes, have {len(self._stream)}; "
+                "call push_packets first")
+        data = self._stream[:dfl_bytes]
+        self._stream = self._stream[dfl_bytes:]
+        into_up = self._stream_pos % self.up_size
+        syncd_bytes = (self.up_size - into_up) % self.up_size
+        syncd = syncd_bytes * 8 if syncd_bytes < dfl_bytes else 0xFFFF
+        self._stream_pos += dfl_bytes
+        hdr = BBHeader(hem=self.hem, dfl=self.dfl, syncd=syncd,
+                       isi=self.isi, sis_mis=self.sis_mis,
+                       upl=TS_PACKET * 8 if not self.hem else 0,
+                       sync=TS_SYNC if not self.hem else 0)
+        frame = np.concatenate([hdr.to_bits(), np.unpackbits(data)])
+        assert frame.shape[0] == self.kbch
+        return frame
+
+
+def ts_to_bbframes(ts: np.ndarray, kbch: int, n_frames: int,
+                   hem: bool = False) -> np.ndarray:
+    """Convenience: segment TS bytes into (n_frames, kbch) unscrambled
+    BB frames. Raises when `ts` has too few packets."""
+    adapter = ModeAdapter(kbch=kbch, hem=hem)
+    adapter.push_packets(ts)
+    return np.stack([adapter.next_frame() for _ in range(n_frames)])
+
+
+# --- RX: BB frames -> TS ---
+
+@dataclass
+class TSAssembler:
+    """Stateful BB-frame -> TS reassembler mirroring bb_de_header.cpp.
+
+    Feed descrambled BB frames via `push`; 188-byte TS packets accumulate in
+    `packets` with sync bytes restored.  NM per-packet CRC mismatches set the
+    transport-error-indicator bit (0x80 of byte 1) on the affected packet.
+    After a bad header or a SYNCD mismatch the assembler flushes the partial
+    packet 0xF0-padded with TEI set and re-locks at the frame's SYNCD.
+    """
+    packets: list = field(default_factory=list)
+    errors: int = 0        # NM CRC mismatches / truncated packets
+    bad_headers: int = 0
+    resyncs: int = 0
+    hem: bool | None = None        # detected from the first good header
+    _buf: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))
+    _prev_crc: int | None = None   # expected replaced-sync byte; None=unknown
+    _lost: bool = True             # not yet locked to a UP boundary
+
+    def push(self, frame_bits: np.ndarray) -> None:
+        hdr = BBHeader.from_bits(frame_bits)
+        if hdr is None:
+            self.bad_headers += 1
+            self._flush_partial()
+            self._lost = True
+            return
+        self.hem = hdr.hem
+        up = TS_PACKET - (1 if hdr.hem else 0)
+        dfl_bytes = hdr.dfl // 8
+        data = np.packbits(
+            frame_bits[BB_HEADER_BITS:BB_HEADER_BITS + hdr.dfl])
+
+        if hdr.syncd == 0xFFFF:
+            expect_next = up - len(self._buf)
+            if self._lost or expect_next <= dfl_bytes:
+                # inconsistent: a UP boundary should have occurred
+                self._flush_partial()
+                self._lost = True
+                return
+            self._buf = np.concatenate([self._buf, data])
+            return
+
+        syncd_bytes = hdr.syncd // 8
+        if self._lost or syncd_bytes != (up - len(self._buf)) % up:
+            if not self._lost:
+                self.resyncs += 1
+            self._flush_partial()
+            data = data[syncd_bytes:]
+            self._prev_crc = None
+            self._lost = False
+        self._buf = np.concatenate([self._buf, data])
+
+        # drain whole UPs
+        n_whole = len(self._buf) // up
+        for i in range(n_whole):
+            self._emit(self._buf[i * up:(i + 1) * up], hdr.hem)
+        self._buf = self._buf[n_whole * up:]
+
+    def _emit(self, up_bytes: np.ndarray, hem: bool) -> None:
+        if hem:
+            pkt = np.concatenate([np.array([TS_SYNC], np.uint8), up_bytes])
+        else:
+            crc_byte = int(up_bytes[0])
+            payload = up_bytes[1:]
+            if self._prev_crc is not None and crc_byte != self._prev_crc \
+                    and self.packets:
+                self.errors += 1
+                self.packets[-1][1] |= 0x80  # TEI on the packet it covers
+            self._prev_crc = crc8(payload)
+            pkt = np.concatenate([np.array([TS_SYNC], np.uint8), payload])
+        self.packets.append(pkt)
+
+    def _flush_partial(self) -> None:
+        """Emit an interrupted packet 0xF0-padded with TEI set (the reference
+        fills with 0xF0 and flags: bb_de_header.cpp:237-239,370-385)."""
+        if len(self._buf) == 0:
+            return
+        payload = self._buf if self.hem else self._buf[1:]  # NM byte 0 = crc
+        if len(payload) > 0:
+            pkt = np.concatenate([np.array([TS_SYNC], np.uint8), payload])
+            pad = np.full(TS_PACKET - len(pkt), 0xF0, np.uint8)
+            pkt = np.concatenate([pkt, pad])
+            pkt[1] |= 0x80
+            self.errors += 1
+            self.packets.append(pkt)
+        self._buf = np.zeros(0, np.uint8)
+        self._prev_crc = None
+
+    def ts_bytes(self) -> np.ndarray:
+        return (np.concatenate(self.packets)
+                if self.packets else np.zeros(0, np.uint8))

@@ -1,0 +1,89 @@
+"""L1 signalling tests: pack/unpack roundtrips, FEC-chain geometry, and
+hard-decision decode (the reference receiver's parse path)."""
+import numpy as np
+import pytest
+
+from sdr_receiver_dvb_t2_tpu.dvbt2 import l1 as L1
+from sdr_receiver_dvb_t2_tpu.dvbt2.params import (Constellation, PLPParams,
+                                                  T2Params)
+
+
+def test_crc32_known_vector():
+    # CRC-32/MPEG-2 of ASCII "123456789" = 0x0376E6E7
+    bits = np.unpackbits(np.frombuffer(b"123456789", np.uint8))
+    assert L1.crc32_bits(bits) == 0x0376E6E7
+
+
+def test_l1pre_pack_is_200_bits_and_roundtrips():
+    pre = L1.L1Pre(l1_post_size=1500, l1_post_info_size=318, cell_id=0x1234)
+    bits = pre.pack()
+    assert bits.shape == (200,)
+    assert L1.L1Pre.unpack(bits) == pre
+    bits[3] ^= 1
+    assert L1.L1Pre.unpack(bits) is None
+
+
+def test_l1pre_encode_bpsk_1840_cells():
+    pre = L1.L1Pre(l1_post_size=100, l1_post_info_size=318)
+    cells = L1.l1pre_encode(pre)
+    assert cells.shape == (L1.L1_PRE_CELLS,)
+    assert np.all(np.abs(np.abs(np.real(cells)) - 1.0) < 1e-6)
+    dec = L1.l1pre_decode_hard(cells)
+    assert dec == pre
+    # one flipped cell inside the systematic part breaks the CRC gate
+    bad = cells.copy()
+    bad[7] = -bad[7]
+    assert L1.l1pre_decode_hard(bad) is None
+
+
+@pytest.mark.parametrize("mod", [0, 1, 2, 3])
+def test_l1post_roundtrip_all_modulations(mod):
+    p = T2Params()
+    pre, post = L1.build_l1(p, [PLPParams()], l1_post_mod=mod)
+    post.dyn.plp[0].num_blocks = 7
+    post.dyn.frame_idx = 1
+    cells = L1.l1post_encode(post, mod)
+    assert len(cells) == pre.l1_post_size
+    dec = L1.l1post_decode_hard(cells, pre)
+    assert dec is not None
+    assert dec.num_plp == 1
+    assert dec.plp[0].plp_mod == int(Constellation.QAM256)
+    assert dec.dyn.plp[0].num_blocks == 7
+    assert dec.dyn.frame_idx == 1
+
+
+def test_l1post_scrambled():
+    p = T2Params()
+    pre, post = L1.build_l1(p, [PLPParams()], l1_post_mod=3)
+    pre.t2_version, pre.l1_post_scrambled = 2, 1
+    cells = L1.l1post_encode(post, 3, scrambled=True)
+    dec = L1.l1post_decode_hard(cells, pre)
+    assert dec is not None
+    # without descrambling the CRC must fail
+    pre_plain = L1.L1Pre(**{**pre.__dict__, "l1_post_scrambled": 0})
+    assert L1.l1post_decode_hard(cells, pre_plain) is None
+
+
+def test_l1post_multi_plp():
+    p = T2Params()
+    plps = [PLPParams(plp_id=0), PLPParams(plp_id=3)]
+    pre, post = L1.build_l1(p, plps, l1_post_mod=1)
+    cells = L1.l1post_encode(post, 1)
+    dec = L1.l1post_decode_hard(cells, pre)
+    assert dec is not None and dec.num_plp == 2
+    assert [pl.id for pl in dec.plp] == [0, 3]
+    assert [dp.id for dp in dec.dyn.plp] == [0, 3]
+
+
+def test_l1_sizes_consistent_with_p2_capacity():
+    p = T2Params()
+    pre, post = L1.build_l1(p, [PLPParams()], l1_post_mod=1)
+    assert L1.L1_PRE_CELLS + pre.l1_post_size < p.c_p2
+
+
+def test_l1pre_fixed_total_bits():
+    # 200 info + 168 BCH parity + kept LDPC parity = 1840 transmitted bits
+    assert L1PRE_TOTAL == 1840
+
+
+L1PRE_TOTAL = (L1.L1PRE_KSIG + 168 + (12960 - L1.L1PRE_N_PUNC))
