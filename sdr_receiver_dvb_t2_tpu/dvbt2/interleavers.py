@@ -110,6 +110,22 @@ def fi_rx(p: T2Params, kind: str) -> tuple[np.ndarray, np.ndarray]:
     return inv_even, inv_odd
 
 
+@functools.lru_cache(maxsize=None)
+def fi_gathers(p: T2Params, kind: str) -> tuple[np.ndarray, np.ndarray,
+                                                np.ndarray, np.ndarray]:
+    """Frequency-interleaver gather maps by OFDM-symbol parity, matching the
+    reference receiver's convention (even symbol index -> H_odd sequence,
+    odd -> H_even: data_symbol.cpp:148-149, p2_symbol.cpp:121-122).
+
+    Returns (tx_even, tx_odd, rx_even, rx_odd), all gathers:
+        TX: interleaved = plain[tx_parity]
+        RX: plain = interleaved[rx_parity]
+    """
+    h_even, h_odd = fi_tx(p, kind)
+    inv_even, inv_odd = fi_rx(p, kind)
+    return inv_odd, inv_even, h_odd, h_even
+
+
 # ---------------------------------------------------------------------------
 # Cell interleaver (clause 6.4): pseudo-random permutation within a FEC block,
 # with a per-FEC-block bit-reversed shift.

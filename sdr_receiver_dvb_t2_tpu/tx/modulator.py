@@ -1,0 +1,122 @@
+"""End-to-end DVB-T2 modulator: TS bytes -> baseband IQ sample stream.
+
+This is the framework's signal source (SURVEY.md §7 step 3): the reference
+project never needed one because it had an antenna; we need it for golden
+e2e tests, capture synthesis at controlled SNR/CFO/SCO, and as a transmit
+capability in its own right.
+
+Usage:
+    mod = T2Modulator(T2Params(), [PLPParams()])
+    iq = mod.modulate(ts_bytes, n_frames=2)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..dvbt2 import bbframe, l1 as l1mod
+from ..dvbt2.params import PLPParams, T2Params
+from . import fec as txfec
+from . import frame as txframe
+from . import ofdm as txofdm
+
+
+@dataclass
+class ModulatorOutput:
+    samples: np.ndarray          # complex64 IQ at 9.142857 Msps
+    l1pre: l1mod.L1Pre
+    l1post_frames: list          # per-frame L1Post (dynamic differs)
+    n_frames: int
+
+
+class T2Modulator:
+    def __init__(self, p: T2Params, plps: list[PLPParams],
+                 l1_post_mod: int = 1, hem: bool = False):
+        self.p = p
+        self.plps = plps
+        self.l1_post_mod = l1_post_mod
+        self.hem = hem
+        self.adapters = [bbframe.ModeAdapter(kbch=c.fec.k_bch, hem=hem,
+                                             isi=c.plp_id)
+                         for c in plps]
+
+    def blocks_per_frame(self, plp: PLPParams) -> int:
+        """FEC blocks each PLP contributes per frame (fills num_blocks_max)."""
+        return plp.num_blocks_max
+
+    def frame_budget_check(self) -> None:
+        need = sum(self.blocks_per_frame(c) * c.cells_per_fec_block
+                   for c in self.plps)
+        l1_cells = l1mod.L1_PRE_CELLS
+        avail = self.p.cells_per_frame - l1_cells - 2000  # L1-post margin
+        if need > avail:
+            raise ValueError(f"PLP cells {need} exceed frame capacity {avail}")
+
+    def packets_needed(self, n_frames: int) -> int:
+        return sum(a.packets_needed(n_frames * self.blocks_per_frame(c))
+                   for a, c in zip(self.adapters, self.plps))
+
+    def modulate(self, ts: np.ndarray, n_frames: int) -> ModulatorOutput:
+        """ts: flat uint8 TS bytes (same stream feeds all PLPs' adapters in
+        plp order -- single-PLP is the common case)."""
+        self.frame_budget_check()
+        p = self.p
+        ts = np.asarray(ts, dtype=np.uint8)
+        # distribute TS packets: round-robin by need per adapter
+        pos = 0
+        frames_samples = []
+        l1pre, l1post_template = l1mod.build_l1(
+            p, self.plps, num_frames=n_frames, l1_post_mod=self.l1_post_mod)
+        l1posts = []
+        for fidx in range(n_frames):
+            plp_slices = []
+            start_cell = 0
+            dyn_plps = []
+            for a, cfg in zip(self.adapters, self.plps):
+                nb = self.blocks_per_frame(cfg)
+                npkt = a.packets_needed(nb)
+                if npkt:
+                    take = npkt * bbframe.TS_PACKET
+                    if pos + take > len(ts):
+                        raise ValueError("not enough TS input")
+                    a.push_packets(ts[pos:pos + take])
+                    pos += take
+                bb = np.stack([a.next_frame() for _ in range(nb)])
+                cells = txfec.plp_encode(cfg, bb)
+                plp_slices.append(txframe.interleave_plp_frame(cfg, cells))
+                dyn_plps.append(l1mod.L1PostDynPLP(
+                    id=cfg.plp_id, start=start_cell, num_blocks=nb))
+                start_cell += nb * cfg.cells_per_fec_block
+            l1post = l1mod.L1Post(
+                num_plp=len(self.plps), plp=l1post_template.plp,
+                dyn=l1mod.L1PostDynamic(frame_idx=fidx, plp=dyn_plps))
+            l1posts.append(l1post)
+            l1_cells = np.concatenate([
+                l1mod.l1pre_encode(l1pre),
+                l1mod.l1post_encode(l1post, self.l1_post_mod,
+                                    scrambled=bool(l1pre.l1_post_scrambled))])
+            frame_cells = txframe.build_frame_cells(p, l1_cells, plp_slices)
+            symbols = txframe.cells_to_symbols(p, frame_cells)
+            carriers = txframe.symbols_to_carriers(p, symbols)
+            frames_samples.append(txofdm.frame_to_samples(p, carriers))
+        return ModulatorOutput(samples=np.concatenate(frames_samples),
+                               l1pre=l1pre, l1post_frames=l1posts,
+                               n_frames=n_frames)
+
+
+def awgn(samples: np.ndarray, snr_db: float, seed: int = 0) -> np.ndarray:
+    """Add complex AWGN at the given SNR (signal power measured)."""
+    rng = np.random.default_rng(seed)
+    power = np.mean(np.abs(samples) ** 2)
+    nvar = power / (10.0 ** (snr_db / 10.0))
+    noise = (rng.normal(0, np.sqrt(nvar / 2), len(samples))
+             + 1j * rng.normal(0, np.sqrt(nvar / 2), len(samples)))
+    return (samples + noise).astype(np.complex64)
+
+
+def apply_cfo(samples: np.ndarray, cfo_hz: float,
+              fs: float = 64.0 / 7.0 * 1e6) -> np.ndarray:
+    """Apply a carrier-frequency offset."""
+    n = np.arange(len(samples))
+    return (samples * np.exp(2j * np.pi * cfo_hz * n / fs)).astype(np.complex64)
