@@ -1,0 +1,184 @@
+"""P1 preamble detection and decoding (acquisition phase, host NumPy).
+
+TPU-first redesign of the reference's streaming correlator
+(`p1_symbol.cpp:92-172`): instead of a sample-serial delay-line state machine,
+the whole search window is correlated at once with vectorized delay products
+and cumulative-sum boxcar averages — same math, O(N) NumPy, no state.
+
+Correlator (reference block diagram, p1_symbol.cpp:57-74):
+  branch C: x[n] * conj(x[n+Tc] * shift)  averaged over Tb... (see below)
+  branch B: x[n] * conj(x[n+...])        averaged and delayed
+  correlation peak marks the P1; the angle of the peak gives the fractional
+  CFO (P1_HERTZ_PER_RADIAN); integer CFO is found by sliding the first
+  active carrier 76..96 in the 1K FFT of the A part (p1_symbol.cpp:117-126).
+
+Decode: DBPSK over 384 CDS carriers, descramble, match S1/S2 signature
+patterns, redundancy check data[i]==data[i+40] (p1_symbol.cpp:180-232).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..dvbt2.params import FFTMode, Preamble, SAMPLE_RATE
+from ..tx.ofdm import (P1_A, P1_ACTIVE, P1_ACTIVE_CARRIERS, P1_B, P1_C,
+                       P1_FIRST_CARRIER, P1_LEN, S1_PATTERNS, S2_PATTERNS,
+                       p1_randomize)
+
+_S1_TO_PREAMBLE = {0: Preamble.T2_SISO, 1: Preamble.T2_MISO,
+                   2: Preamble.NON_T2, 3: Preamble.T2_LITE_SISO,
+                   4: Preamble.T2_LITE_MISO}
+_S2F1_TO_FFT = {0: FFTMode.FFT_2K, 1: FFTMode.FFT_8K, 2: FFTMode.FFT_4K,
+                3: FFTMode.FFT_1K, 4: FFTMode.FFT_16K, 5: FFTMode.FFT_32K,
+                6: FFTMode.FFT_8K_T2GI, 7: FFTMode.FFT_32K_T2GI}
+
+
+@dataclass
+class P1Result:
+    start: int                  # sample index of the P1 (start of C part)
+    fractional_cfo_hz: float
+    integer_cfo_carriers: int
+    preamble: Preamble
+    fft_mode: FFTMode
+    s1: int
+    s2: int
+    s2_field2: int
+    correlation: float
+
+
+def _boxcar(x: np.ndarray, n: int) -> np.ndarray:
+    """Running sum of the previous n samples (output[i] = sum x[i-n+1..i])."""
+    c = np.cumsum(x, dtype=np.complex128)
+    out = c.copy()
+    out[n:] = c[n:] - c[:-n]
+    return out
+
+
+def p1_correlate(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized C-A-B correlation metric.
+
+    Returns (metric magnitude, complex metric) arrays aligned so that a peak
+    at index i marks a P1 whose C part starts near i - P1_LEN.
+
+    The C part repeats in A after Tc=542 samples (with a +fSH shift); the
+    A segment [542:1024] repeats in B after Tb=482 samples.  Products of
+    x with the conjugated, delay-shifted stream collapse both repetitions
+    into flat plateaus whose product peaks only where both align.
+    """
+    n = len(x)
+    if n < 2 * P1_LEN:
+        return np.zeros(0), np.zeros(0, np.complex128)
+    shift = np.exp(-2j * np.pi * np.arange(n) / P1_A)
+    xs = x * shift
+    # C-branch: conj(x[i]) * xs[i+Tc]: matches when x[i] is in C and
+    # x[i+542] is the corresponding A sample (A = C * e^{+j2pi fsh t} undone)
+    pc = np.zeros(n, dtype=np.complex128)
+    pc[:n - P1_C] = np.conj(x[:n - P1_C]) * (x * shift.conj())[P1_C:]
+    # B-branch: conj(x[i]) * x_shifted[i+Tb]: matches when x[i] in A-tail,
+    # x[i+482] the corresponding B sample
+    pb = np.zeros(n, dtype=np.complex128)
+    pb[:n - P1_B] = np.conj(x[:n - P1_B]) * xs[P1_B:]
+    # average over the repetition support
+    mc = _boxcar(pc, P1_C)      # plateau ends at end of C..A overlap
+    mb = _boxcar(pb, P1_B)
+    # align: C overlap covers samples [start .. start+542), its boxcar peak
+    # sits at start+541; B overlap covers [start+1024 .. start+1566), peak at
+    # start+1565.  Delay mc by (1566-542)=1024 to align peaks, then multiply.
+    mc_d = np.zeros_like(mc)
+    mc_d[P1_A:] = mc[:-P1_A]
+    metric = mc_d * mb
+    return np.abs(metric), metric
+
+
+def detect_p1(x: np.ndarray, threshold_ratio: float = 0.6
+              ) -> tuple[int, complex] | None:
+    """Find the EARLIEST strong P1 in `x` (a capture holds one P1 per frame;
+    taking the global argmax would lock to an arbitrary frame).
+
+    Returns (start_of_C, peak_metric)."""
+    mag, metric = p1_correlate(x)
+    if len(mag) == 0:
+        return None
+    gmax = float(mag.max())
+    if gmax <= 0:
+        return None
+    above = np.nonzero(mag >= threshold_ratio * gmax)[0]
+    # local argmax inside the first plateau
+    first = above[0]
+    window = mag[first:first + P1_LEN]
+    peak = first + int(np.argmax(window))
+    # peak index corresponds to sample start+1565 of the P1
+    start = peak - 1565
+    if start < 0 or start + P1_LEN > len(x):
+        # fall back to a later peak fully inside the buffer
+        later = above[above - 1565 >= 0]
+        if len(later) == 0:
+            return None
+        peak = int(later[0] + np.argmax(mag[later[0]:later[0] + P1_LEN]))
+        start = peak - 1565
+        if start < 0 or start + P1_LEN > len(x):
+            return None
+    return start, metric[peak]
+
+
+def decode_p1(x: np.ndarray, start: int, peak_metric: complex
+              ) -> P1Result | None:
+    """Decode the P1 at `start` (start of C part)."""
+    # fractional CFO from the correlation angle: the C branch contributes a
+    # phase 2*pi*df*Tc*T, the B branch 2*pi*df*Tb*T -> total over
+    # (Tc+Tb)=1024 sample delays, plus a deterministic structural offset of
+    # 2*pi*542/1024 from the guard frequency shift (derivation in
+    # p1_correlate's docstring conventions).
+    struct = np.exp(-2j * np.pi * P1_C / P1_A)
+    frac_cfo = float(np.angle(peak_metric * struct)) / (2 * np.pi) \
+        * SAMPLE_RATE / P1_A
+    # derotate the A part and FFT
+    a = np.array(x[start + P1_C:start + P1_C + P1_A], dtype=np.complex128)
+    n = np.arange(P1_A)
+    a = a * np.exp(-2j * np.pi * frac_cfo * n / SAMPLE_RATE)
+    spec = np.fft.fftshift(np.fft.fft(a) / np.sqrt(P1_A))
+    # integer CFO: slide first-carrier index 76..96 (p1_symbol.cpp:117-126)
+    best, best_pow = P1_FIRST_CARRIER, -1.0
+    for first in range(76, 97):
+        idx = first + P1_ACTIVE_CARRIERS
+        pw = float(np.sum(np.abs(spec[idx]) ** 2))
+        if pw > best_pow:
+            best_pow, best = pw, first
+    carriers = spec[best + P1_ACTIVE_CARRIERS]
+    # DBPSK demod + descramble (p1_symbol.cpp:180-205)
+    diff = carriers[1:] * np.conj(carriers[:-1])
+    transitions = np.real(diff) < 0
+    d = np.empty(P1_ACTIVE)
+    d[0] = -1.0
+    d[1:] = np.where(transitions, -1.0, 1.0)
+    d = np.cumprod(d)
+    d *= p1_randomize()
+    bits = np.empty(P1_ACTIVE, dtype=np.uint8)
+    bits[0] = 0 if d[0] > 0 else 1
+    bits[1:] = (d[1:] * d[:-1]) < 0
+    data = np.packbits(bits)
+    if not np.array_equal(data[:8], data[40:48]):
+        return None
+    s1 = next((i for i, pat in enumerate(S1_PATTERNS)
+               if data[0] == pat[0]), None)
+    s2 = next((i for i, pat in enumerate(S2_PATTERNS)
+               if data[8] == pat[0] and data[9] == pat[1]), None)
+    if s1 is None or s2 is None or s1 not in _S1_TO_PREAMBLE:
+        return None
+    s2_field1 = s2 >> 1
+    if s2_field1 not in _S2F1_TO_FFT:
+        return None
+    return P1Result(
+        start=start, fractional_cfo_hz=frac_cfo,
+        integer_cfo_carriers=best - P1_FIRST_CARRIER,
+        preamble=_S1_TO_PREAMBLE[s1], fft_mode=_S2F1_TO_FFT[s2_field1],
+        s1=s1, s2=s2, s2_field2=s2 & 1, correlation=float(np.abs(peak_metric)))
+
+
+def acquire_p1(x: np.ndarray) -> P1Result | None:
+    """Search + decode in one call."""
+    hit = detect_p1(x)
+    if hit is None:
+        return None
+    return decode_p1(x, hit[0], hit[1])

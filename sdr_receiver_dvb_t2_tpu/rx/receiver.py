@@ -1,0 +1,199 @@
+"""T2Receiver: IQ sample stream -> MPEG transport stream.
+
+Two-phase receive (SURVEY.md §7):
+  1. acquire: P1 search/decode on a prefix (host) -> FFT mode + coarse CFO;
+     demod first frame's P2 -> L1-pre/L1-post -> full T2Params/PLPParams.
+  2. decode: per frame, batched carrier extraction + equalization +
+     deinterleave + FEC -> TS (optionally via a JAX device path).
+
+Equivalent of the reference's 7-thread pipeline collapsed into pure batched
+functions (dvbt2_demodulator.cpp + the decode chain)."""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..dvbt2 import bbframe, l1 as l1mod
+from ..dvbt2.params import T2Params, PLPParams, SAMPLE_RATE
+from . import decode as rxdecode
+from . import demod as rxdemod
+from . import p1_detect as rxp1
+
+
+@dataclass
+class ReceiverStats:
+    frames_decoded: int = 0
+    snr_db: list = field(default_factory=list)
+    cfo_hz: float = 0.0
+    l1_failures: int = 0
+    plp_stats: dict = field(default_factory=dict)
+    ts_errors: int = 0
+    ts_packets: int = 0
+
+
+@dataclass
+class ReceiveResult:
+    ts: np.ndarray
+    stats: ReceiverStats
+    params: T2Params | None = None
+    l1pre: l1mod.L1Pre | None = None
+    l1post: l1mod.L1Post | None = None
+
+
+class T2Receiver:
+    """Config = {input samples, optional PLP filter}; everything else is
+    discovered from the signal (the reference's auto-derivation property,
+    SURVEY.md §5 config)."""
+
+    def __init__(self, plp_filter: int | None = None,
+                 ldpc_decode_fn_factory=None):
+        self.plp_filter = plp_filter
+        # factory: (plp: PLPParams) -> batched decoder fn, or None
+        self.ldpc_decode_fn_factory = ldpc_decode_fn_factory
+
+    def receive(self, x: np.ndarray) -> ReceiveResult:
+        stats = ReceiverStats()
+        x = np.asarray(x)
+        p1 = rxp1.acquire_p1(x)
+        if p1 is None:
+            return ReceiveResult(ts=np.zeros(0, np.uint8), stats=stats)
+        cfo = p1.fractional_cfo_hz \
+            + p1.integer_cfo_carriers * SAMPLE_RATE / rxp1.P1_A
+        stats.cfo_hz = cfo
+        if abs(cfo) > 1e-3:
+            n = np.arange(len(x))
+            x = x * np.exp(-2j * np.pi * cfo * n / SAMPLE_RATE)
+
+        # bootstrap params: enough to demod a P2 symbol we can parse L1 from.
+        # GI is unknown before L1-pre; like the reference we try GI candidates
+        # (set_guard_interval_by_brute_force) but can validate instantly on
+        # the recorded block via the L1-pre CRC.
+        params = None
+        l1pre = None
+        from ..dvbt2.params import GuardInterval
+        for gi in (GuardInterval.GI_1_128, GuardInterval.GI_1_32,
+                   GuardInterval.GI_1_16, GuardInterval.GI_19_256,
+                   GuardInterval.GI_1_8, GuardInterval.GI_19_128,
+                   GuardInterval.GI_1_4):
+            for ext in (True, False):
+                for pp in range(8):
+                    cand = self._try_l1pre(x, p1, gi, ext, pp)
+                    if cand is not None:
+                        params, l1pre = cand
+                        break
+                if params is not None:
+                    break
+            if params is not None:
+                break
+        if params is None:
+            stats.l1_failures += 1
+            return ReceiveResult(ts=np.zeros(0, np.uint8), stats=stats)
+
+        # full first-frame demod with correct params, parse L1-post
+        body = p1.start + rxp1.P1_LEN
+        carriers = rxdemod.extract_carriers(params, x, body)
+        dres = rxdemod.equalize_frame(params, carriers)
+        l1post = l1mod.l1post_decode_hard(
+            dres.frame_cells[l1mod.L1_PRE_CELLS:
+                             l1mod.L1_PRE_CELLS + l1pre.l1_post_size], l1pre)
+        if l1post is None:
+            stats.l1_failures += 1
+            return ReceiveResult(ts=np.zeros(0, np.uint8), stats=stats,
+                                 params=params, l1pre=l1pre)
+        params, plps = rxdecode.params_from_l1(p1.fft_mode, l1pre, l1post)
+
+        assembler = bbframe.TSAssembler()
+        frame_start = p1.start
+        frame_idx = 0
+        while frame_start + params.frame_samples <= len(x):
+            ok = self._decode_frame(x, frame_start, params, plps, l1pre,
+                                    l1post if frame_idx == 0 else None,
+                                    assembler, stats)
+            if not ok:
+                break
+            frame_idx += 1
+            frame_start += params.frame_samples
+        stats.ts_errors = assembler.errors
+        stats.ts_packets = len(assembler.packets)
+        return ReceiveResult(ts=assembler.ts_bytes(), stats=stats,
+                             params=params, l1pre=l1pre, l1post=l1post)
+
+    def _try_l1pre(self, x, p1, gi, ext, pp):
+        """Candidate-GI demod of the first P2 symbol -> L1-pre CRC gate."""
+        from ..dvbt2.params import PilotPattern
+        try:
+            cand = T2Params(fft_mode=p1.fft_mode, guard=gi,
+                            pilot_pattern=PilotPattern(pp),
+                            extended_carrier=ext, miso=p1.s1 == 1)
+            _ = cand.c_data  # raises on illegal combos
+        except (ValueError, KeyError):
+            return None
+        body = p1.start + rxp1.P1_LEN
+        if body + cand.symbol_size > len(x):
+            return None
+        g, n = cand.guard_size, cand.fft_size
+        sym = x[body + g:body + g + n]
+        spec = np.fft.fftshift(np.fft.fft(sym))
+        row = spec[cand.left_nulls:cand.left_nulls + cand.k_total]
+        tabs = rxdemod.pilot_tables(cand)[0]
+        k = np.arange(cand.k_total)
+        est_p = row[tabs["pilot_pos"]] / tabs["pilot_ref"]
+        est = (np.interp(k, tabs["pilot_pos"], est_p.real)
+               + 1j * np.interp(k, tabs["pilot_pos"], est_p.imag))
+        eq = row / est
+        cells = eq[tabs["data_pos"]][tabs["rx_gather"]]
+        pre = l1mod.l1pre_decode_hard(cells[:l1mod.L1_PRE_CELLS])
+        if pre is None:
+            return None
+        # adopt the mode L1-pre declares (GI/PP/ext may differ from the
+        # candidate only in ways that didn't corrupt the P2 demod)
+        from ..dvbt2.params import GuardInterval, PAPR
+        try:
+            params = T2Params(
+                fft_mode=p1.fft_mode,
+                guard=GuardInterval(pre.guard_interval),
+                pilot_pattern=PilotPattern(pre.pilot_pattern),
+                extended_carrier=bool(pre.bwt_ext),
+                papr=PAPR(pre.papr) if pre.papr in (0, 1, 2, 3) else PAPR.OFF,
+                miso=p1.s1 == 1,
+                n_data=pre.num_data_symbols)
+            _ = params.c_data
+        except (ValueError, KeyError):
+            return None
+        return params, pre
+
+    def _decode_frame(self, x, frame_start, params, plps, l1pre,
+                      l1post_cached, assembler, stats) -> bool:
+        body = frame_start + rxp1.P1_LEN
+        carriers = rxdemod.extract_carriers(params, x, body)
+        dres = rxdemod.equalize_frame(params, carriers)
+        stats.snr_db.append(dres.snr_db)
+        if l1post_cached is not None:
+            l1post = l1post_cached
+        else:
+            l1post = l1mod.l1post_decode_hard(
+                dres.frame_cells[l1mod.L1_PRE_CELLS:
+                                 l1mod.L1_PRE_CELLS + l1pre.l1_post_size],
+                l1pre)
+            if l1post is None:
+                stats.l1_failures += 1
+                return False
+        data_cells = dres.frame_cells[l1mod.L1_PRE_CELLS
+                                      + l1pre.l1_post_size:]
+        for plp, dyn in zip(plps, l1post.dyn.plp):
+            if self.plp_filter is not None and dyn.id != self.plp_filter:
+                continue
+            if dyn.num_blocks == 0:
+                continue
+            pstat = stats.plp_stats.setdefault(
+                dyn.id, rxdecode.PLPDecodeStats())
+            n_cells = dyn.num_blocks * plp.cells_per_fec_block
+            sl = data_cells[dyn.start:dyn.start + n_cells]
+            fn = (self.ldpc_decode_fn_factory(plp)
+                  if self.ldpc_decode_fn_factory else None)
+            rxdecode.plp_slice_to_ts(plp, sl, dyn.num_blocks,
+                                     assembler, stats=pstat,
+                                     ldpc_decode_fn=fn)
+        stats.frames_decoded += 1
+        return True

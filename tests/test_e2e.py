@@ -1,0 +1,161 @@
+"""End-to-end golden tests: TS -> modulator -> channel -> receiver -> TS.
+
+This is the north-star gate from SURVEY.md §7 step 4: bit-exact TS recovery
+through the complete chain, under impairments inside the operating envelope.
+Small FFT/short-FEC configs keep CI fast; the 32K headline mode is exercised
+by bench.py on hardware.
+"""
+import numpy as np
+import pytest
+
+from sdr_receiver_dvb_t2_tpu.dvbt2.params import (
+    CodeRate, Constellation, FECFrame, FFTMode, GuardInterval, PilotPattern,
+    PLPParams, T2Params)
+from sdr_receiver_dvb_t2_tpu.rx.receiver import T2Receiver
+from sdr_receiver_dvb_t2_tpu.tx.modulator import (T2Modulator, apply_cfo,
+                                                  awgn)
+
+
+def make_ts(n, seed=0):
+    rng = np.random.default_rng(seed)
+    ts = rng.integers(0, 256, (n, 188)).astype(np.uint8)
+    ts[:, 0] = 0x47
+    ts[:, 1] &= 0x7F
+    return ts
+
+
+def small_config(constellation=Constellation.QAM16, rate=CodeRate.C1_2,
+                 rotated=True, hem=False, n_data=9):
+    p = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                 pilot_pattern=PilotPattern.PP1, extended_carrier=False,
+                 n_data=n_data)
+    plp = PLPParams(constellation=constellation, rate=rate,
+                    fec_frame=FECFrame.SHORT, rotated=rotated,
+                    num_blocks_max=3, time_il_length=1)
+    return p, plp
+
+
+def run_loopback(p, plp, n_frames=2, channel=None, hem=False, seed=0):
+    mod = T2Modulator(p, [plp], hem=hem)
+    ts = make_ts(mod.packets_needed(n_frames) + 4, seed=seed)
+    out = mod.modulate(ts.reshape(-1), n_frames)
+    y = out.samples if channel is None else channel(out.samples)
+    res = T2Receiver().receive(y)
+    return ts.reshape(-1), res
+
+
+def test_e2e_noiseless_bit_exact():
+    p, plp = small_config()
+    flat, res = run_loopback(p, plp)
+    assert res.stats.frames_decoded == 2
+    got = res.ts
+    assert len(got) >= 20 * 188
+    np.testing.assert_array_equal(got, flat[:len(got)])
+    assert res.stats.ts_errors == 0
+
+
+def test_e2e_awgn_20db_bit_exact():
+    p, plp = small_config()
+    flat, res = run_loopback(p, plp, channel=lambda s: awgn(s, 20, seed=1))
+    assert res.stats.frames_decoded == 2
+    got = res.ts
+    assert len(got) > 0
+    np.testing.assert_array_equal(got, flat[:len(got)])
+    # SNR estimate should be in the right ballpark
+    assert 15 < np.mean(res.stats.snr_db) < 26
+
+
+def test_e2e_cfo_corrected():
+    p, plp = small_config()
+    flat, res = run_loopback(
+        p, plp, channel=lambda s: awgn(apply_cfo(s, 2000.0), 22, seed=2))
+    assert res.stats.frames_decoded >= 1
+    assert abs(res.stats.cfo_hz - 2000.0) < 50
+    got = res.ts
+    np.testing.assert_array_equal(got, flat[:len(got)])
+
+
+def test_e2e_hem_mode():
+    p, plp = small_config()
+    flat, res = run_loopback(p, plp, hem=True)
+    got = res.ts
+    assert len(got) > 0
+    np.testing.assert_array_equal(got, flat[:len(got)])
+
+
+def test_e2e_qpsk_nonrotated():
+    p, plp = small_config(constellation=Constellation.QPSK, rotated=False)
+    flat, res = run_loopback(p, plp)
+    got = res.ts
+    np.testing.assert_array_equal(got, flat[:len(got)])
+
+
+def test_e2e_qam64():
+    p, plp = small_config(constellation=Constellation.QAM64,
+                          rate=CodeRate.C2_3)
+    flat, res = run_loopback(p, plp, n_frames=1)
+    got = res.ts
+    assert len(got) > 0
+    np.testing.assert_array_equal(got, flat[:len(got)])
+
+
+def test_e2e_qam256_normal_fec():
+    p = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                 pilot_pattern=PilotPattern.PP1, extended_carrier=False,
+                 n_data=11)
+    plp = PLPParams(constellation=Constellation.QAM256, rate=CodeRate.C2_3,
+                    fec_frame=FECFrame.NORMAL, num_blocks_max=1,
+                    time_il_length=1)
+    flat, res = run_loopback(p, plp, n_frames=1)
+    got = res.ts
+    assert len(got) > 0
+    np.testing.assert_array_equal(got, flat[:len(got)])
+
+
+def test_e2e_1k_fft():
+    p = T2Params(fft_mode=FFTMode.FFT_1K, guard=GuardInterval.GI_1_16,
+                 pilot_pattern=PilotPattern.PP1, extended_carrier=False,
+                 n_data=60)
+    plp = PLPParams(constellation=Constellation.QAM16, rate=CodeRate.C1_2,
+                    fec_frame=FECFrame.SHORT, num_blocks_max=2,
+                    time_il_length=1)
+    flat, res = run_loopback(p, plp, n_frames=1)
+    got = res.ts
+    assert len(got) > 0
+    np.testing.assert_array_equal(got, flat[:len(got)])
+
+
+def test_e2e_multi_ti_blocks():
+    p, plp0 = small_config()
+    plp = PLPParams(constellation=Constellation.QAM16, rate=CodeRate.C1_2,
+                    fec_frame=FECFrame.SHORT, num_blocks_max=3,
+                    time_il_length=2)  # 3 FEC blocks over 2 TI blocks: 1+2
+    flat, res = run_loopback(p, plp)
+    got = res.ts
+    assert len(got) > 0
+    np.testing.assert_array_equal(got, flat[:len(got)])
+
+
+def test_e2e_two_plps():
+    p = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                 pilot_pattern=PilotPattern.PP1, extended_carrier=False,
+                 n_data=9)
+    plps = [PLPParams(plp_id=0, constellation=Constellation.QAM16,
+                      rate=CodeRate.C1_2, fec_frame=FECFrame.SHORT,
+                      num_blocks_max=2, time_il_length=1),
+            PLPParams(plp_id=1, constellation=Constellation.QPSK,
+                      rate=CodeRate.C1_2, fec_frame=FECFrame.SHORT,
+                      rotated=False, num_blocks_max=1, time_il_length=1)]
+    mod = T2Modulator(p, plps)
+    ts = make_ts(mod.packets_needed(1) + 6, seed=3)
+    out = mod.modulate(ts.reshape(-1), 1)
+    # PLP filter: decode only PLP 1
+    res = T2Receiver(plp_filter=1).receive(out.samples)
+    assert res.stats.frames_decoded == 1
+    got = res.ts
+    assert len(got) > 0
+    # PLP1's packets are a contiguous later chunk of the source TS
+    flat = ts.reshape(-1, 188)
+    src = {p_.tobytes() for p_ in flat}
+    for pkt in res.ts.reshape(-1, 188):
+        assert pkt.tobytes() in src
