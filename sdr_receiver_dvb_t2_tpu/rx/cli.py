@@ -1,0 +1,117 @@
+"""Receiver CLI — the framework's replacement for the reference's Qt GUI
+(SURVEY.md §7 step 8): capture file in, TS out over UDP or to a file, with
+the L1/SNR/sync observability the GUI panels provided as structured text.
+
+    python -m sdr_receiver_dvb_t2_tpu.rx.cli capture.cf32 \
+        --out udp://127.0.0.1:7654 --plp 0 --rate 9.2e6 --device sdrplay
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+from ..dvbt2.params import SAMPLE_RATE
+from ..io import iq as iqio
+from ..io import ts_io
+from . import frontend
+from .receiver import T2Receiver
+
+
+def _dump_l1(res) -> str:
+    out = []
+    if res.l1pre:
+        out.append("--- L1-pre ---")
+        for k, v in dataclasses.asdict(res.l1pre).items():
+            out.append(f"  {k.upper():22s} {v}")
+    if res.l1post:
+        out.append("--- L1-post ---")
+        p = res.l1post
+        out.append(f"  NUM_PLP               {p.num_plp}")
+        for i, plp in enumerate(p.plp):
+            for k, v in dataclasses.asdict(plp).items():
+                out.append(f"  [{i}] {k.upper():20s} {v}")
+        out.append("--- L1 dynamic ---")
+        for i, dp in enumerate(p.dyn.plp):
+            out.append(f"  [{i}] START {dp.start}  NUM_BLOCKS {dp.num_blocks}")
+    return "\n".join(out)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="TPU-native DVB-T2 receiver: IQ capture -> MPEG TS")
+    ap.add_argument("input", help="IQ capture file (.cf32 | .ci16)")
+    ap.add_argument("--format", choices=iqio.FORMATS, default=None,
+                    help="input sample format (default: from extension)")
+    ap.add_argument("--rate", type=float, default=SAMPLE_RATE,
+                    help="capture sample rate in Hz (device rate; "
+                         "resampled to 9.142857 Msps)")
+    ap.add_argument("--device", choices=list(frontend.DEVICE_RATES) + ["raw"],
+                    default="raw", help="device preset for the sample rate")
+    ap.add_argument("--out", default="udp://127.0.0.1:7654",
+                    help="TS sink: udp://host:port or a file path")
+    ap.add_argument("--plp", type=int, default=None,
+                    help="decode only this PLP id")
+    ap.add_argument("--l1-dump", action="store_true",
+                    help="print parsed L1 signalling")
+    ap.add_argument("--stats-json", action="store_true",
+                    help="print receiver stats as JSON")
+    ap.add_argument("--jax-ldpc", action="store_true",
+                    help="use the batched JAX/TPU LDPC decoder")
+    args = ap.parse_args(argv)
+
+    x = iqio.read_iq(args.input, args.format)
+    rate = frontend.DEVICE_RATES.get(args.device, args.rate)
+    print(f"read {len(x)} samples @ {rate/1e6:.4f} Msps", file=sys.stderr)
+    t0 = time.time()
+    if abs(rate - SAMPLE_RATE) > 1.0:
+        x = frontend.device_to_elementary(x, rate)
+        print(f"front end -> {len(x)} samples @ 9.1429 Msps", file=sys.stderr)
+
+    factory = None
+    if args.jax_ldpc:
+        from ..dvbt2 import ldpc as ldpcmod
+        from ..ops import ldpc as jldpc
+
+        def factory(plp_cfg):
+            code = ldpcmod.get_code(plp_cfg.fec_frame, plp_cfg.rate)
+            dec = jldpc.make_decoder(code, iters=25)
+            return lambda llrs: np.asarray(
+                dec(np.asarray(llrs, np.float32)))
+
+    rx = T2Receiver(plp_filter=args.plp, ldpc_decode_fn_factory=factory)
+    res = rx.receive(x)
+    dt = time.time() - t0
+
+    if args.l1_dump:
+        print(_dump_l1(res))
+    s = res.stats
+    snr = float(np.mean(s.snr_db)) if s.snr_db else float("nan")
+    print(f"frames={s.frames_decoded} packets={s.ts_packets} "
+          f"ts_errors={s.ts_errors} snr={snr:.1f} dB "
+          f"cfo={s.cfo_hz:.1f} Hz l1_failures={s.l1_failures} "
+          f"({len(x)/dt/1e6:.1f} Msps throughput)", file=sys.stderr)
+    if args.stats_json:
+        print(json.dumps({
+            "frames": s.frames_decoded, "packets": s.ts_packets,
+            "ts_errors": s.ts_errors, "snr_db": snr, "cfo_hz": s.cfo_hz,
+            "l1_failures": s.l1_failures,
+            "throughput_msps": len(x) / dt / 1e6,
+            "plp": {str(k): dataclasses.asdict(v)
+                    for k, v in s.plp_stats.items()},
+        }))
+
+    if len(res.ts):
+        sink = ts_io.open_sink(args.out)
+        sink.write(res.ts)
+        sink.close()
+        print(f"wrote {len(res.ts)} TS bytes -> {args.out}", file=sys.stderr)
+    return 0 if s.frames_decoded > 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

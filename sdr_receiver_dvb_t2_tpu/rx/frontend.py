@@ -1,0 +1,131 @@
+"""Sample-domain front end: device-rate int16 IQ -> corrected elementary-rate
+complex baseband.
+
+Capability parity with the reference's `dvbt2_demodulator.cpp:145-254` chain
+(DC removal, 1-bit-quantization IQ-imbalance correction, NCO derotation,
+Farrow resampling, FIR decimation), redesigned feed-forward for batch
+processing (SURVEY.md §7 "two-phase receive"): estimates are computed over a
+whole block and applied vectorized, instead of per-sample closed loops.
+
+  - DC offset: block mean (the reference's exponential averager steady state,
+    loop_filters.hh:56-73)
+  - IQ imbalance: sign-based amplitude/orthogonality estimate, the same
+    1-bit statistic the reference uses (dvbt2_demodulator.cpp:256-265)
+  - CFO: supplied by P1 acquisition (rx.p1_detect), applied as one derotation
+  - resampling: polyphase-evaluated cubic Farrow interpolator
+    (interpolator_farrow.hh:41-68 redesigned as a vectorized kernel) for
+    arbitrary device-rate -> 9.142857 Msps conversion, e.g. 9.2 Msps SdrPlay
+    / PlutoSDR and 10 Msps AirSpy captures
+  - FIR decimation: windowed-sinc low-pass + ":2" decimation for rates at
+    ~2x the elementary rate (filter_decimator.h redesigned as one conv)
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..dvbt2.params import SAMPLE_RATE
+
+DEVICE_RATES = {
+    "sdrplay": 9.2e6,
+    "plutosdr": 9.2e6,
+    "airspy": 10.0e6,
+}
+
+
+def int16_to_complex(i: np.ndarray, q: np.ndarray,
+                     scale: float = 1.0 / 32768.0) -> np.ndarray:
+    """Device int16 I/Q -> complex64 (rx_sdrplay/airspy deliver int16)."""
+    return (i.astype(np.float32) + 1j * q.astype(np.float32)) * scale
+
+
+def remove_dc(x: np.ndarray) -> tuple[np.ndarray, complex]:
+    dc = complex(np.mean(x))
+    return x - dc, dc
+
+
+def estimate_iq_imbalance(x: np.ndarray) -> tuple[float, float]:
+    """(amplitude ratio g, quadrature skew c) via the sign-based statistic
+    the reference uses: E[|I|]/E[|Q|] and E[sign(I) * Q]."""
+    i, q = np.real(x), np.imag(x)
+    ei = float(np.mean(np.abs(i)))
+    eq = float(np.mean(np.abs(q)))
+    g = ei / max(eq, 1e-12)
+    c = float(np.mean(np.sign(i) * q)) / max(ei, 1e-12)
+    return g, c
+
+
+def correct_iq_imbalance(x: np.ndarray, g: float, c: float) -> np.ndarray:
+    """Restore Q' = g*Q ... and remove the I-correlated quadrature leak."""
+    i, q = np.real(x), np.imag(x)
+    q2 = (q * g - c * i) / np.sqrt(max(1.0 - c * c, 1e-6))
+    return (i + 1j * q2).astype(np.complex64)
+
+
+def derotate(x: np.ndarray, cfo_hz: float, fs: float = SAMPLE_RATE,
+             phase0: float = 0.0) -> np.ndarray:
+    n = np.arange(len(x))
+    return (x * np.exp(-1j * (2 * np.pi * cfo_hz * n / fs + phase0))
+            ).astype(np.complex64)
+
+
+# --- Farrow cubic resampler (vectorized) ---
+
+def farrow_resample(x: np.ndarray, ratio: float,
+                    frac0: float = 0.0) -> np.ndarray:
+    """Cubic Lagrange (Farrow) resampling: output rate = input rate / ratio.
+
+    ratio = in_rate / out_rate (e.g. 9.2/9.142857 > 1 when decimating).
+    Vectorized: output sample k interpolates x at position k*ratio + frac0
+    with a 4-tap cubic kernel (same polynomial as interpolator_farrow.hh).
+    """
+    n_out = int((len(x) - 3) / ratio)
+    t = np.arange(n_out) * ratio + frac0
+    base = np.floor(t).astype(np.int64)
+    mu = (t - base).astype(np.float32)
+    # 4-tap cubic Lagrange on points x[base-1 .. base+2]
+    xm1 = x[np.clip(base - 1, 0, len(x) - 1)]
+    x0 = x[base]
+    x1 = x[np.clip(base + 1, 0, len(x) - 1)]
+    x2 = x[np.clip(base + 2, 0, len(x) - 1)]
+    mu2 = mu * mu
+    mu3 = mu2 * mu
+    c0 = x0
+    c1 = (x1 - xm1) * 0.5
+    c2 = xm1 - 2.5 * x0 + 2.0 * x1 - 0.5 * x2
+    c3 = 0.5 * (x2 - xm1) + 1.5 * (x0 - x1)
+    return (c0 + c1 * mu + c2 * mu2 + c3 * mu3).astype(np.complex64)
+
+
+# --- FIR decimator ---
+
+def lowpass_taps(n_taps: int = 64, cutoff: float = 0.25) -> np.ndarray:
+    """Windowed-sinc low-pass (cutoff as fraction of input rate), matching
+    the reference's 64-tap symmetric FIR role (filter_decimator.h)."""
+    n = np.arange(n_taps) - (n_taps - 1) / 2.0
+    h = np.sinc(2 * cutoff * n) * np.hamming(n_taps)
+    return (h / h.sum()).astype(np.float32)
+
+
+def fir_decimate(x: np.ndarray, factor: int = 2,
+                 taps: np.ndarray | None = None) -> np.ndarray:
+    taps = lowpass_taps() if taps is None else taps
+    y = np.convolve(x, taps, mode="valid")
+    return y[::factor].astype(np.complex64)
+
+
+def device_to_elementary(x: np.ndarray, device_rate: float,
+                         cfo_hz: float = 0.0) -> np.ndarray:
+    """Full front-end: device-rate complex in, elementary-rate out."""
+    x, _ = remove_dc(x)
+    g, c = estimate_iq_imbalance(x)
+    # only correct when the imbalance is material (estimator noise floor)
+    if abs(g - 1.0) > 0.01 or abs(c) > 0.01:
+        x = correct_iq_imbalance(x, g, c)
+    if cfo_hz:
+        x = derotate(x, cfo_hz, fs=device_rate)
+    if device_rate >= 1.5 * SAMPLE_RATE:
+        x = fir_decimate(x, 2)
+        device_rate = device_rate / 2.0
+    if abs(device_rate - SAMPLE_RATE) > 1.0:
+        x = farrow_resample(x, device_rate / SAMPLE_RATE)
+    return x

@@ -91,6 +91,10 @@ class T2Receiver:
             return ReceiveResult(ts=np.zeros(0, np.uint8), stats=stats)
 
         # full first-frame demod with correct params, parse L1-post
+        if p1.start + params.frame_samples > len(x):
+            stats.l1_failures += 1
+            return ReceiveResult(ts=np.zeros(0, np.uint8), stats=stats,
+                                 params=params, l1pre=l1pre)
         body = p1.start + rxp1.P1_LEN
         carriers = rxdemod.extract_carriers(params, x, body)
         dres = rxdemod.equalize_frame(params, carriers)
