@@ -81,13 +81,15 @@ def main():
     n_cells = num_blocks * plp.cells_per_fec_block
 
     @jax.jit
-    def pipeline(body, inv_nvar):
-        cells = fd._fn(body)
-        sl = jax.lax.dynamic_slice(cells, (l1_cells,), (n_cells,))
+    def pipeline(body2, inv_nvar):
+        # float re/im pairs: the axon runtime cannot transfer complex arrays
+        cells2 = fd._fn(body2)
+        sl = jax.lax.dynamic_slice(cells2, (l1_cells, 0), (n_cells, 2))
         llrs = path._fn(sl, inv_nvar)
         return decode(llrs)
 
-    d_body = jnp.asarray(body.astype(np.complex64))
+    d_body = jnp.asarray(np.stack([np.real(body), np.imag(body)],
+                                  axis=-1).astype(np.float32))
     inv_nvar = jnp.float32(10.0 ** (30 / 10.0))  # clean capture
     bits = np.asarray(pipeline(d_body, inv_nvar))
     exact = bool(np.array_equal(bits, cw_tx))

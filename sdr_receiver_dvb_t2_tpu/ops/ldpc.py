@@ -56,10 +56,10 @@ def _build_decoder(code: LDPCCode, iters: int, offset: float, dtype):
     frame = FECFrame.NORMAL if code.n == 64800 else FECFrame.SHORT
     rate = CodeRate[code.name.split("_", 1)[1]]
     n = code.n
-    idx = jnp.asarray(code.cn_idx.astype(np.int32))          # (R, dmax)
-    valid = jnp.asarray(code.cn_idx < code.n)                # (R, dmax)
+    idx = code.cn_idx.astype(np.int32)                       # (R, dmax)
+    valid = code.cn_idx < code.n                             # (R, dmax)
     r, dmax = code.cn_idx.shape
-    vn = jnp.asarray(_vn_adjacency((frame, rate)))           # (N+1, vdeg)
+    vn = _vn_adjacency((frame, rate))                        # (N+1, vdeg)
 
     def decode(llrs: jnp.ndarray) -> jnp.ndarray:
         """(B, N) float LLRs (positive = bit 0) -> (B, N) uint8 hard bits."""

@@ -65,15 +65,17 @@ def sharded_receive_step(p: T2Params, plp: PLPParams, num_blocks: int,
     l1_cells = l1mod.L1_PRE_CELLS + pre.l1_post_size
     n_cells = num_blocks * plp.cells_per_fec_block
 
-    in_shard = NamedSharding(mesh, P("time", None))
+    in_shard = NamedSharding(mesh, P("time", None, None))
     cw_shard = NamedSharding(mesh, P(("time", "cw"), None))
     rep = NamedSharding(mesh, P())
 
     def step(bodies, inv_nvar):
-        # demod + LLR: data-parallel over frames ("time" axis)
-        def per_frame(body):
-            cells = fd._fn(body)
-            sl = jax.lax.dynamic_slice(cells, (l1_cells,), (n_cells,))
+        # demod + LLR: data-parallel over frames ("time" axis).
+        # bodies: (F, len_frame*symbol_size, 2) float32 (re/im pairs -- the
+        # axon runtime cannot transfer complex arrays)
+        def per_frame(body2):
+            cells2 = fd._fn(body2)
+            sl = jax.lax.dynamic_slice(cells2, (l1_cells, 0), (n_cells, 2))
             return path._fn(sl, inv_nvar)
         llrs = jax.vmap(per_frame)(bodies)          # (F, nb, N)
         # FEC: reshard the flattened codeword batch over the WHOLE mesh —
@@ -100,9 +102,8 @@ def dryrun(p: T2Params, plp: PLPParams, num_blocks: int,
     step = sharded_receive_step(p, plp, num_blocks, mesh, ldpc_iters=2)
     f = total  # one frame per device
     rng = np.random.default_rng(0)
-    bodies = (rng.normal(size=(f, p.len_frame * p.symbol_size))
-              + 1j * rng.normal(size=(f, p.len_frame * p.symbol_size))
-              ).astype(np.complex64)
+    bodies = rng.normal(size=(f, p.len_frame * p.symbol_size, 2)
+                        ).astype(np.float32)
     bits, stats = step(jnp.asarray(bodies), jnp.float32(1.0))
     jax.block_until_ready((bits, stats))
     assert bits.shape == (f * num_blocks, plp.fec.n_ldpc)

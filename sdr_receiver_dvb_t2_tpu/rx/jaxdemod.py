@@ -88,13 +88,18 @@ class FrameDemod:
 
     def _build(self):
         p = self.p
-        g_const = [(jnp.asarray(g.rows), jnp.asarray(g.pilot_pos),
-                    jnp.asarray(g.pilot_ref), jnp.asarray(g.data_pos),
-                    jnp.asarray(g.rx_gather),
-                    tuple(jnp.asarray(x) for x in g.il))
+        # NB constants stay host NumPy: jit embeds them in the program.  The
+        # axon TPU runtime cannot transfer complex arrays (UNIMPLEMENTED),
+        # so the kernel boundary is float-pairs and pilot references are
+        # kept as their real values (DVB-T2 pilots are BPSK: imag == 0).
+        g_const = [(g.rows, g.pilot_pos,
+                    np.real(g.pilot_ref).astype(np.float32), g.data_pos,
+                    g.rx_gather, g.il)
                    for g in self.groups]
 
-        def run(body: jnp.ndarray) -> jnp.ndarray:
+        def run(body2: jnp.ndarray) -> jnp.ndarray:
+            """body2: (len_frame*symbol_size, 2) float32 -> cells (n, 2)."""
+            body = jax.lax.complex(body2[:, 0], body2[:, 1])
             sym = body.reshape(p.len_frame, p.symbol_size)[:, p.guard_size:]
             spec = jnp.fft.fftshift(jnp.fft.fft(sym, axis=1), axes=1)
             carriers = spec[:, p.left_nulls:p.left_nulls + p.k_total]
@@ -108,14 +113,18 @@ class FrameDemod:
                 data = jnp.take_along_axis(eq, dpos, axis=1)
                 deint = jnp.take_along_axis(data, rgat, axis=1)
                 cells.append(deint.reshape(-1))
-            return jnp.concatenate(cells)
+            out = jnp.concatenate(cells)
+            return jnp.stack([jnp.real(out), jnp.imag(out)], axis=-1)
 
         return run
 
-    def __call__(self, frame_body: jnp.ndarray) -> jnp.ndarray:
-        """frame_body: (len_frame*symbol_size,) complex64 (P1 stripped).
-        Returns (cells_per_frame,) equalized deinterleaved cells."""
-        return self._fn(frame_body)
+    def __call__(self, frame_body: np.ndarray) -> jnp.ndarray:
+        """frame_body: (len_frame*symbol_size,) complex64 (P1 stripped) on
+        host.  Returns (cells_per_frame,) complex64 on host."""
+        pair = np.stack([np.real(frame_body), np.imag(frame_body)],
+                        axis=-1).astype(np.float32)
+        out = np.asarray(self._fn(pair))
+        return (out[:, 0] + 1j * out[:, 1]).astype(np.complex64)
 
 
 class PLPDecodePath:
@@ -157,9 +166,10 @@ class PLPDecodePath:
         half = m // 2
         cpf = plp.cells_per_fec_block
         nb = self.num_blocks
-        ti_perm = jnp.asarray(self.ti_perm)
-        bit_inv = jnp.asarray(self.bit_inv)
-        rot = jnp.asarray(np.complex64(self.rot))
+        ti_perm = self.ti_perm
+        bit_inv = self.bit_inv
+        rot_re = np.float32(np.real(self.rot))
+        rot_im = np.float32(np.imag(self.rot))
         # separable demap: square gray QAM -> per-axis PAM levels; I carries
         # the even cell-word bits (y0,y2,..), Q the odd ones.  16x less work
         # than the full 2D distance matrix, exactly equal in max-log.
@@ -167,10 +177,10 @@ class PLPDecodePath:
         levels = (_gray_levels(m) * NORM_FACTOR[plp.constellation]
                   ).astype(np.float32)                       # (2^half,)
         words = np.arange(len(levels))
-        axis_masks = jnp.asarray(np.stack(
+        axis_masks = np.stack(
             [(words >> (half - 1 - b)) & 1 for b in range(half)]
-        ).astype(bool))                                      # (half, 2^half)
-        lv = jnp.asarray(levels)
+        ).astype(bool)                                       # (half, 2^half)
+        lv = levels
 
         def axis_llrs(x, inv_nvar):
             """x: (n,) PAM observations -> (n, half) LLRs."""
@@ -184,25 +194,31 @@ class PLPDecodePath:
                 out.append((d1 - d0) * inv_nvar)
             return jnp.stack(out, axis=1)
 
-        def run(slice_cells: jnp.ndarray, inv_nvar: jnp.ndarray):
-            cells = slice_cells[ti_perm].reshape(nb, cpf)
+        def run(slice2: jnp.ndarray, inv_nvar: jnp.ndarray):
+            """slice2: (n_cells, 2) float32."""
+            re = slice2[ti_perm, 0].reshape(nb, cpf)
+            im = slice2[ti_perm, 1].reshape(nb, cpf)
             if plp.rotated:
-                q = jnp.roll(cells.imag, -1, axis=-1)
-                cells = cells.real + 1j * q
-                cells = cells * rot
-            flat = cells.reshape(-1)
-            li = axis_llrs(jnp.real(flat), inv_nvar)         # (n, half)
-            lq = axis_llrs(jnp.imag(flat), inv_nvar)
+                im = jnp.roll(im, -1, axis=-1)
+                re, im = (re * rot_re - im * rot_im,
+                          re * rot_im + im * rot_re)
+            flat_re = re.reshape(-1)
+            flat_im = im.reshape(-1)
+            li = axis_llrs(flat_re, inv_nvar)                # (n, half)
+            lq = axis_llrs(flat_im, inv_nvar)
             # interleave: y0 from I, y1 from Q, y2 from I, ...
-            v = jnp.stack([li, lq], axis=2).reshape(len(flat), m)
+            v = jnp.stack([li, lq], axis=2).reshape(flat_re.shape[0], m)
             v = v.reshape(nb, cpf * m)
             return v[:, bit_inv]
 
         return run
 
     def __call__(self, slice_cells, inv_nvar):
-        """slice_cells: (num_blocks*cells_per_fec,) -> (nb, n_ldpc) LLRs."""
-        return self._fn(slice_cells, inv_nvar)
+        """slice_cells: (num_blocks*cells_per_fec,) complex on host ->
+        (nb, n_ldpc) LLR array."""
+        pair = np.stack([np.real(slice_cells), np.imag(slice_cells)],
+                        axis=-1).astype(np.float32)
+        return self._fn(pair, inv_nvar)
 
 
 @functools.lru_cache(maxsize=None)

@@ -44,9 +44,8 @@ def test_sharded_step_matches_single_device():
     step8 = sharding.sharded_receive_step(p, plp, 2, mesh8, ldpc_iters=2)
     step1 = sharding.sharded_receive_step(p, plp, 2, mesh1, ldpc_iters=2)
     rng = np.random.default_rng(1)
-    bodies = (rng.normal(size=(8, p.len_frame * p.symbol_size))
-              + 1j * rng.normal(size=(8, p.len_frame * p.symbol_size))
-              ).astype(np.complex64)
+    bodies = rng.normal(size=(8, p.len_frame * p.symbol_size, 2)
+                        ).astype(np.float32)
     b8, s8 = step8(jnp.asarray(bodies), jnp.float32(1.0))
     b1, s1 = step1(jnp.asarray(bodies), jnp.float32(1.0))
     np.testing.assert_array_equal(np.asarray(b8), np.asarray(b1))
