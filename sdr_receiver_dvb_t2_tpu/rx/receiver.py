@@ -51,6 +51,7 @@ class T2Receiver:
         self.plp_filter = plp_filter
         # factory: (plp: PLPParams) -> batched decoder fn, or None
         self.ldpc_decode_fn_factory = ldpc_decode_fn_factory
+        self._last_l1post = None
 
     def receive(self, x: np.ndarray) -> ReceiveResult:
         stats = ReceiverStats()
@@ -110,6 +111,7 @@ class T2Receiver:
         assembler = bbframe.TSAssembler()
         frame_start = p1.start
         frame_idx = 0
+        self._last_l1post = l1post
         while frame_start + params.frame_samples <= len(x):
             ok = self._decode_frame(x, frame_start, params, plps, l1pre,
                                     l1post if frame_idx == 0 else None,
@@ -181,8 +183,17 @@ class T2Receiver:
                                  l1mod.L1_PRE_CELLS + l1pre.l1_post_size],
                 l1pre)
             if l1post is None:
+                # CRC failed this frame: fall back to the last good L1-post
+                # (CCM streams keep the configurable part and, typically,
+                # the dynamic scheduling constant) instead of the
+                # reference's full reset (dvbt2_demodulator.cpp:418-425) --
+                # on a recorded block we can keep decoding.
                 stats.l1_failures += 1
-                return False
+                l1post = self._last_l1post
+                if l1post is None:
+                    return False
+            else:
+                self._last_l1post = l1post
         data_cells = dres.frame_cells[l1mod.L1_PRE_CELLS
                                       + l1pre.l1_post_size:]
         for plp, dyn in zip(plps, l1post.dyn.plp):
