@@ -113,6 +113,185 @@ def _roll(x, s):
     return jnp.concatenate([x[-s:], x[:-s]], axis=0)
 
 
+def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
+                        batch: int, offset: float = 0.5,
+                        interpret: bool = False):
+    """Pallas TPU layered decoder.
+
+    Returns fn(total_info (G+1,360,B), total_par (q,360,B)) -> updated totals
+    (same layout as `llrs_to_qc`).  State residency:
+      - bit-group totals + parity totals: VMEM for the whole decode
+      - c2v edge messages: HBM, streamed per layer with double-buffered DMA
+    Per layer the compute is deg static-shift rolls + a two-minimum scan over
+    (360, B) tiles -- no gathers, no scatters, VPU only.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tab = qc_tables(frame, rate)
+    q, degmax, G = tab.q, tab.degmax, tab.n_groups
+    E = degmax + 2
+    B = batch
+    off = np.float32(offset)
+    deg_host = tab.layer_deg.astype(np.int32)
+    g_host = tab.entry_g.reshape(-1).astype(np.int32)
+    s_host = tab.entry_s.reshape(-1).astype(np.int32)
+    n_steps = iters * q
+
+    def kernel(deg_ref, g_ref, s_ref, tinfo_in, tpar_in, c2v_in,
+               tinfo_out, tpar_out, c2v_out,
+               msgs, newc, in_buf, out_buf, in_sem, out_sem):
+        tinfo_out[:] = tinfo_in[:]
+        tpar_out[:] = tpar_in[:]
+        u_iota = jax.lax.broadcasted_iota(jnp.int32, (360, B), 0)
+
+        def in_dma(slot, layer):
+            return pltpu.make_async_copy(
+                c2v_in.at[layer], in_buf.at[slot], in_sem.at[slot])
+
+        def out_dma(slot, layer):
+            return pltpu.make_async_copy(
+                out_buf.at[slot], c2v_out.at[layer], out_sem.at[slot])
+
+        in_dma(0, 0).start()
+
+        def step(idx, _):
+            t = jax.lax.rem(idx, q)
+            slot = jax.lax.rem(idx, 2)
+            nxt = jax.lax.rem(idx + 1, 2)
+            t_next = jax.lax.rem(idx + 1, q)
+
+            @pl.when(idx + 1 < n_steps)
+            def _():
+                in_dma(nxt, t_next).start()
+            in_dma(slot, t).wait()
+
+            deg = deg_ref[t]
+            # ---- build aligned v2c messages ----
+            for j in range(degmax):
+                @pl.when(j < deg)
+                def _():
+                    g = g_ref[t * degmax + j]
+                    s = s_ref[t * degmax + j]
+                    aligned = pltpu.roll(tinfo_out[g], s, axis=0)
+                    msgs[j] = aligned - in_buf[slot, j]
+
+                @pl.when(j >= deg)
+                def _():
+                    msgs[j] = jnp.full((360, B), _BIG, jnp.float32)
+            msgs[degmax] = tpar_out[t] - in_buf[slot, degmax]
+            tm1 = jax.lax.rem(t + q - 1, q)
+            shift_prev = jnp.where(t == 0, 1, 0)
+            prev_al = pltpu.roll(tpar_out[tm1], shift_prev, axis=0)
+            mask0 = jnp.where(
+                jnp.logical_and(t == 0, u_iota == 0), _BIG, 0.0)
+            msgs[E - 1] = prev_al - in_buf[slot, E - 1] + mask0
+
+            # ---- two-minimum + leave-one-out sign ----
+            m0 = msgs[0]
+            min1 = jnp.abs(m0)
+            min2 = jnp.full((360, B), _BIG, jnp.float32)
+            amin = jnp.zeros((360, B), jnp.int32)
+            nneg = (m0 < 0).astype(jnp.int32)
+            for j in range(1, E):
+                mj = msgs[j]
+                aj = jnp.abs(mj)
+                is_new = aj < min1
+                min2 = jnp.where(is_new, min1, jnp.minimum(min2, aj))
+                min1 = jnp.where(is_new, aj, min1)
+                amin = jnp.where(is_new, j, amin)
+                nneg = nneg + (mj < 0).astype(jnp.int32)
+            sign_all = 1.0 - 2.0 * jax.lax.rem(nneg, 2).astype(jnp.float32)
+
+            @pl.when(idx >= 2)
+            def _():
+                out_dma(slot, jax.lax.rem(idx - 2, q)).wait()
+
+            for j in range(E):
+                mj = msgs[j]
+                loo = jnp.where(amin == j, min2, min1)
+                sgn = sign_all * jnp.where(mj < 0, -1.0, 1.0)
+                newc[j] = sgn * jnp.maximum(loo - off, 0.0)
+
+            # ---- additive write-backs ----
+            for j in range(degmax):
+                @pl.when(j < deg)
+                def _():
+                    g = g_ref[t * degmax + j]
+                    s = s_ref[t * degmax + j]
+                    delta = newc[j] - in_buf[slot, j]
+                    back = jax.lax.rem(360 - s, 360)
+                    tinfo_out[g] = tinfo_out[g] + pltpu.roll(
+                        delta, back, axis=0)
+                    out_buf[slot, j] = newc[j]
+
+                @pl.when(j >= deg)
+                def _():
+                    out_buf[slot, j] = jnp.zeros((360, B), jnp.float32)
+            tpar_out[t] = msgs[degmax] + newc[degmax]
+            out_buf[slot, degmax] = newc[degmax]
+            prev_new = msgs[E - 1] + newc[E - 1] - mask0
+            # t==0: aligned slot u maps to par[q-1][u-1]; u=0 is the masked
+            # non-edge and par[q-1][359] has no prev-edge consumer
+            shift_back = jnp.where(t == 0, 359, 0)
+            rolled = pltpu.roll(prev_new, shift_back, axis=0)
+            keep = jnp.logical_and(t == 0, u_iota == 359)
+            tpar_out[tm1] = jnp.where(keep, tpar_out[tm1], rolled)
+            out_buf[slot, E - 1] = newc[E - 1]
+            out_dma(slot, t).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, step, 0)
+        out_dma(jax.lax.rem(n_steps - 2, 2),
+                jax.lax.rem(n_steps - 2, q)).wait()
+        out_dma(jax.lax.rem(n_steps - 1, 2),
+                jax.lax.rem(n_steps - 1, q)).wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # tinfo_in
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # tpar_in
+            pl.BlockSpec(memory_space=pltpu.ANY),    # c2v_in (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((E, 360, B), jnp.float32),    # msgs
+            pltpu.VMEM((E, 360, B), jnp.float32),    # newc
+            pltpu.VMEM((2, E, 360, B), jnp.float32),  # in_buf
+            pltpu.VMEM((2, E, 360, B), jnp.float32),  # out_buf
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((G + 1, 360, B), jnp.float32),
+            jax.ShapeDtypeStruct((q, 360, B), jnp.float32),
+            jax.ShapeDtypeStruct((q, E, 360, B), jnp.float32),
+        ),
+        input_output_aliases={3: 0, 4: 1, 5: 2},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+    def decode(total_info, total_par):
+        c2v0 = jnp.zeros((q, E, 360, B), jnp.float32)
+        ti, tp, _ = call(jnp.asarray(deg_host), jnp.asarray(g_host),
+                         jnp.asarray(s_host), total_info, total_par, c2v0)
+        return ti, tp
+
+    return jax.jit(decode)
+
+
 def build_layered_decoder(frame: FECFrame, rate: CodeRate, iters: int,
                           offset: float = 0.5, interpret: bool = False):
     """Returns jitted fn(total_info, total_par) -> (total_info', total_par').

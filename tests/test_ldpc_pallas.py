@@ -1,0 +1,78 @@
+"""QC layered LDPC decoder tests: layout transforms, XLA reference version,
+and the Pallas kernel in interpreter mode (hardware path measured by bench)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sdr_receiver_dvb_t2_tpu.dvbt2 import ldpc as ldpcmod
+from sdr_receiver_dvb_t2_tpu.dvbt2.params import CodeRate, FECFrame
+from sdr_receiver_dvb_t2_tpu.ops import ldpc as jldpc
+from sdr_receiver_dvb_t2_tpu.ops import ldpc_pallas as qc
+
+RNG = np.random.default_rng(3)
+
+
+def _noisy(frame, rate, b, snr_scale=3.0):
+    code = ldpcmod.get_code(frame, rate)
+    info = RNG.integers(0, 2, (b, code.k)).astype(np.uint8)
+    cw = ldpcmod.encode(code, info)
+    llr = (snr_scale * (1 - 2.0 * cw)
+           + RNG.normal(0, 1.0, (b, code.n))).astype(np.float32)
+    return code, cw, llr
+
+
+@pytest.mark.parametrize("frame,rate", [(FECFrame.SHORT, CodeRate.C1_2),
+                                        (FECFrame.NORMAL, CodeRate.C2_3),
+                                        (FECFrame.SHORT, CodeRate.C3_5)])
+def test_qc_layout_roundtrip(frame, rate):
+    code, cw, llr = _noisy(frame, rate, 4)
+    tab = qc.qc_tables(frame, rate)
+    ti, tp = qc.llrs_to_qc(tab, llr)
+    bits = qc.qc_to_bits(tab, ti, tp)
+    np.testing.assert_array_equal(bits, (llr < 0).astype(np.uint8))
+
+
+def test_qc_tables_cover_all_edges():
+    tab = qc.qc_tables(FECFrame.SHORT, CodeRate.C1_2)
+    code = ldpcmod.get_code(FECFrame.SHORT, CodeRate.C1_2)
+    # total info edges must match the code construction
+    assert int(tab.layer_deg.sum()) * 360 == len(code.acc_bit)
+
+
+def test_xla_layered_decodes():
+    frame, rate = FECFrame.SHORT, CodeRate.C1_2
+    code, cw, llr = _noisy(frame, rate, 4)
+    tab = qc.qc_tables(frame, rate)
+    ti, tp = qc.llrs_to_qc(tab, llr)
+    dec = qc.build_layered_decoder(frame, rate, iters=8)
+    ti2, tp2 = dec(jnp.asarray(ti), jnp.asarray(tp))
+    hard = qc.qc_to_bits(tab, np.asarray(ti2), np.asarray(tp2))
+    assert jldpc.syndrome_ok(code, hard).all()
+    np.testing.assert_array_equal(hard, cw)
+
+
+def test_pallas_kernel_interpret_matches():
+    frame, rate = FECFrame.SHORT, CodeRate.C1_2
+    code, cw, llr = _noisy(frame, rate, 8)
+    tab = qc.qc_tables(frame, rate)
+    ti, tp = qc.llrs_to_qc(tab, llr)
+    dec = qc.make_pallas_layered(frame, rate, iters=8, batch=8,
+                                 interpret=True)
+    ti2, tp2 = dec(jnp.asarray(ti), jnp.asarray(tp))
+    hard = qc.qc_to_bits(tab, np.asarray(ti2), np.asarray(tp2))
+    assert jldpc.syndrome_ok(code, hard).all()
+    np.testing.assert_array_equal(hard, cw)
+
+
+def test_pallas_kernel_flags_garbage():
+    frame, rate = FECFrame.SHORT, CodeRate.C1_2
+    code = ldpcmod.get_code(frame, rate)
+    tab = qc.qc_tables(frame, rate)
+    llr = RNG.normal(0, 1.0, (8, code.n)).astype(np.float32)
+    ti, tp = qc.llrs_to_qc(tab, llr)
+    dec = qc.make_pallas_layered(frame, rate, iters=4, batch=8,
+                                 interpret=True)
+    ti2, tp2 = dec(jnp.asarray(ti), jnp.asarray(tp))
+    hard = qc.qc_to_bits(tab, np.asarray(ti2), np.asarray(tp2))
+    assert not jldpc.syndrome_ok(code, hard).any()
