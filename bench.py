@@ -35,7 +35,7 @@ def main():
     from sdr_receiver_dvb_t2_tpu.tx.modulator import T2Modulator
 
     # headline mode: 32K FFT, GI 1/128, PP7, extended carriers, 256QAM C2/3
-    num_blocks = 64
+    num_blocks = 128  # codeword lane batch of the Pallas layered decoder
     p = T2Params(fft_mode=FFTMode.FFT_32K, guard=GuardInterval.GI_1_128,
                  pilot_pattern=PilotPattern.PP7, extended_carrier=True,
                  n_data=59)
@@ -71,11 +71,13 @@ def main():
     cw_tx[:, pperm] = u
 
     print("compiling device pipeline...", file=sys.stderr)
+    from sdr_receiver_dvb_t2_tpu.ops import ldpc_pallas as qldpc
     fd = jaxdemod.get_frame_demod(p)
     path = jaxdemod.get_plp_path(plp, num_blocks)
     code = ldpcmod.get_code(plp.fec_frame, plp.rate)
-    iters = 12
-    decode = jldpc.make_decoder(code, iters=iters, dtype="bfloat16")
+    iters = 10
+    decode = qldpc.make_decoder_natural(plp.fec_frame, plp.rate,
+                                        iters=iters, batch=num_blocks)
     pre, _ = l1mod.build_l1(p, [plp])
     l1_cells = l1mod.L1_PRE_CELLS + pre.l1_post_size
     n_cells = num_blocks * plp.cells_per_fec_block

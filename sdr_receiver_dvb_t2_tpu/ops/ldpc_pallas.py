@@ -105,6 +105,42 @@ def qc_to_bits(tab: QCTables, total_info: np.ndarray,
     return (out < 0).astype(np.uint8)
 
 
+def llrs_to_qc_jnp(tab: QCTables, llrs):
+    """Device-side layout transform: (B, N) -> (total_info, total_par)."""
+    b = llrs.shape[0]
+    info = llrs[:, :tab.k].reshape(b, tab.n_groups, 360)
+    total_info = jnp.concatenate(
+        [jnp.moveaxis(info, 0, -1),
+         jnp.full((1, 360, b), _BIG, llrs.dtype)], axis=0)
+    par = llrs[:, tab.k:].reshape(b, 360, tab.q)
+    total_par = jnp.moveaxis(par, 0, -1).transpose(1, 0, 2)
+    return total_info, total_par
+
+
+def qc_to_bits_jnp(tab: QCTables, total_info, total_par):
+    """Device-side: final totals -> (B, N) hard bits (uint8)."""
+    b = total_info.shape[-1]
+    info = jnp.moveaxis(total_info[:tab.n_groups], -1, 0).reshape(b, tab.k)
+    par = jnp.moveaxis(total_par.transpose(1, 0, 2), -1, 0).reshape(
+        b, tab.n - tab.k)
+    return (jnp.concatenate([info, par], axis=1) < 0).astype(jnp.uint8)
+
+
+def make_decoder_natural(frame: FECFrame, rate: CodeRate, iters: int,
+                         batch: int, interpret: bool = False):
+    """Pallas layered decoder with natural (B, N) in/out layout."""
+    tab = qc_tables(frame, rate)
+    core = make_pallas_layered(frame, rate, iters, batch,
+                               interpret=interpret)
+
+    def decode(llrs):
+        ti, tp = llrs_to_qc_jnp(tab, llrs.astype(jnp.float32))
+        ti2, tp2 = core(ti, tp)
+        return qc_to_bits_jnp(tab, ti2, tp2)
+
+    return jax.jit(decode)
+
+
 def _roll(x, s):
     """roll(x, s)[u] = x[u - s] along axis 0 (static s)."""
     s = int(s) % x.shape[0]
@@ -279,7 +315,9 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
             jax.ShapeDtypeStruct((q, E, 360, B), jnp.float32),
         ),
         input_output_aliases={3: 0, 4: 1, 5: 2},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 
