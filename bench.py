@@ -1,17 +1,22 @@
 #!/usr/bin/env python
 """Headline benchmark: 32K-FFT DVB-T2 receive throughput on one chip.
 
-Measures the full device receive pipeline (GI strip + 32K FFT + pilot
-equalization + frequency/time/cell deinterleave + 256QAM LLR demap + batched
-LDPC min-sum) on a real modulated T2 frame, verifies the decoded codewords
-are bit-exact, and prints ONE JSON line:
+Runs the fused device receive pipeline (GI strip + 32K FFT + carrier-major
+pilot equalization with MXU interpolation + composed-gather deinterleaves +
+256QAM separable LLR demap + Pallas quasi-cyclic layered LDPC) on a real
+modulated T2 frame, verifies the decoded codewords are bit-exact, and prints
+ONE JSON line:
 
   {"metric": "demod_32k_Msamples_per_s", "value": ..., "unit": ...,
    "vs_baseline": ...}
 
 vs_baseline = x-real-time versus the reference receiver's operating point
 (sustained 1.0x real time at 9.142857 Msps on a 6-core desktop CPU,
-BASELINE.md) -- i.e. value / 9.142857.
+BASELINE.md).
+
+Timing uses a data-dependent chained loop (frame i+1's input depends on
+frame i's decoded bits) with the result fetched to host, so asynchronous
+dispatch or result caching in the runtime cannot fake the number.
 """
 import json
 import sys
@@ -24,13 +29,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from sdr_receiver_dvb_t2_tpu.dvbt2 import l1 as l1mod
     from sdr_receiver_dvb_t2_tpu.dvbt2 import ldpc as ldpcmod
     from sdr_receiver_dvb_t2_tpu.dvbt2.params import (
         CodeRate, Constellation, FECFrame, FFTMode, GuardInterval,
         PilotPattern, PLPParams, T2Params)
-    from sdr_receiver_dvb_t2_tpu.ops import ldpc as jldpc
-    from sdr_receiver_dvb_t2_tpu.rx import jaxdemod
+    from sdr_receiver_dvb_t2_tpu.ops import ldpc_pallas as qldpc
+    from sdr_receiver_dvb_t2_tpu.rx import fusedpath
     from sdr_receiver_dvb_t2_tpu.tx import fec as txfec
     from sdr_receiver_dvb_t2_tpu.tx.modulator import T2Modulator
 
@@ -53,7 +57,6 @@ def main():
     body = out.samples[2048:2048 + p.len_frame * p.symbol_size]
 
     # expected codewords for the correctness gate
-    adapters = mod.adapters  # consumed; rebuild BB frames for checking
     from sdr_receiver_dvb_t2_tpu.dvbt2 import bbframe, interleavers
     probe = bbframe.ModeAdapter(kbch=plp.fec.k_bch)
     probe.push_packets(ts.reshape(-1)[:probe.packets_needed(num_blocks)
@@ -70,44 +73,46 @@ def main():
     cw_tx = np.empty_like(u)
     cw_tx[:, pperm] = u
 
-    print("compiling device pipeline...", file=sys.stderr)
-    from sdr_receiver_dvb_t2_tpu.ops import ldpc_pallas as qldpc
-    fd = jaxdemod.get_frame_demod(p)
-    path = jaxdemod.get_plp_path(plp, num_blocks)
+    print("compiling fused device pipeline...", file=sys.stderr)
+    fd = fusedpath.get_fused_demod(p)
+    path = fusedpath.get_fused_plp_path(p, plp, num_blocks)
     code = ldpcmod.get_code(plp.fec_frame, plp.rate)
     iters = 10
-    decode = qldpc.make_decoder_natural(plp.fec_frame, plp.rate,
-                                        iters=iters, batch=num_blocks)
-    pre, _ = l1mod.build_l1(p, [plp])
-    l1_cells = l1mod.L1_PRE_CELLS + pre.l1_post_size
-    n_cells = num_blocks * plp.cells_per_fec_block
+    decode = qldpc.make_decoder_nb(plp.fec_frame, plp.rate,
+                                   iters=iters, batch=num_blocks)
 
-    @jax.jit
-    def pipeline(body2, inv_nvar):
-        # float re/im pairs: the axon runtime cannot transfer complex arrays
-        cells2 = fd._fn(body2)
-        sl = jax.lax.dynamic_slice(cells2, (l1_cells, 0), (n_cells, 2))
-        llrs = path._fn(sl, inv_nvar)
-        return decode(llrs)
+    def one_frame(body2, inv_nvar):
+        flat2 = fd._fn(body2)
+        llrs_t = path._fn(flat2, inv_nvar)
+        return decode(llrs_t)
 
     d_body = jnp.asarray(np.stack([np.real(body), np.imag(body)],
                                   axis=-1).astype(np.float32))
-    inv_nvar = jnp.float32(10.0 ** (30 / 10.0))  # clean capture
-    bits = np.asarray(pipeline(d_body, inv_nvar))
-    exact = bool(np.array_equal(bits, cw_tx))
+    inv_nvar = jnp.float32(10.0 ** (30 / 10.0))
+    bits_t = np.asarray(jax.jit(one_frame)(d_body, inv_nvar))
+    exact = bool(np.array_equal(bits_t.T, cw_tx))
     print(f"correctness: decoded codewords bit-exact = {exact}",
           file=sys.stderr)
 
-    # timed runs
-    reps = 10
-    r = pipeline(d_body, inv_nvar)
-    r.block_until_ready()
+    @jax.jit
+    def chained(b2, inv, n):
+        def step(i, carry):
+            b2, acc = carry
+            bits = one_frame(b2, inv)
+            s = jnp.sum(bits.astype(jnp.float32))
+            return b2 + s * 1e-12, acc + s
+        _, acc = jax.lax.fori_loop(0, n, step, (b2, jnp.float32(0.0)))
+        return acc
+
+    float(chained(d_body, inv_nvar, 1))  # warm
     t0 = time.time()
-    for _ in range(reps):
-        r = pipeline(d_body, inv_nvar)
-    r.block_until_ready()
-    dt = (time.time() - t0) / reps
-    n_samples = len(out.samples)  # incl. P1
+    float(chained(d_body, inv_nvar, 2))
+    t2 = time.time() - t0
+    t0 = time.time()
+    float(chained(d_body, inv_nvar, 12))
+    t12 = time.time() - t0
+    dt = (t12 - t2) / 10.0
+    n_samples = p.frame_samples
     msps = n_samples / dt / 1e6
     ldpc_mbps = num_blocks * code.n / dt / 1e6
     x_rt = msps / 9.142857

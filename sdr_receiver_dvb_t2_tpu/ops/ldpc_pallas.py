@@ -126,6 +126,40 @@ def qc_to_bits_jnp(tab: QCTables, total_info, total_par):
     return (jnp.concatenate([info, par], axis=1) < 0).astype(jnp.uint8)
 
 
+def llrs_nb_to_qc_jnp(tab: QCTables, llrs_t):
+    """(N, B) transposed LLRs -> QC totals with NO batch transpose at all
+    (the fused receive path emits this layout)."""
+    b = llrs_t.shape[-1]
+    info = llrs_t[:tab.k].reshape(tab.n_groups, 360, b)
+    total_info = jnp.concatenate(
+        [info, jnp.full((1, 360, b), _BIG, llrs_t.dtype)], axis=0)
+    total_par = llrs_t[tab.k:].reshape(360, tab.q, b).transpose(1, 0, 2)
+    return total_info, total_par
+
+
+def qc_to_bits_nb_jnp(tab: QCTables, total_info, total_par):
+    """Final totals -> (N, B) hard bits."""
+    b = total_info.shape[-1]
+    info = total_info[:tab.n_groups].reshape(tab.k, b)
+    par = total_par.transpose(1, 0, 2).reshape(tab.n - tab.k, b)
+    return (jnp.concatenate([info, par], axis=0) < 0).astype(jnp.uint8)
+
+
+def make_decoder_nb(frame: FECFrame, rate: CodeRate, iters: int,
+                    batch: int, interpret: bool = False):
+    """Pallas layered decoder over (N, B) transposed LLR layout."""
+    tab = qc_tables(frame, rate)
+    core = make_pallas_layered(frame, rate, iters, batch,
+                               interpret=interpret)
+
+    def decode(llrs_t):
+        ti, tp = llrs_nb_to_qc_jnp(tab, llrs_t.astype(jnp.float32))
+        ti2, tp2 = core(ti, tp)
+        return qc_to_bits_nb_jnp(tab, ti2, tp2)
+
+    return jax.jit(decode)
+
+
 def make_decoder_natural(frame: FECFrame, rate: CodeRate, iters: int,
                          batch: int, interpret: bool = False):
     """Pallas layered decoder with natural (B, N) in/out layout."""

@@ -1,0 +1,238 @@
+"""Fused TPU receive path: frame samples -> codeword LLRs in (N, B) layout.
+
+Second-generation device pipeline built from profiling the v1 path on real
+hardware (rx/jaxdemod.py): the batched FFT costs ~3 ms/frame but the
+element-granular gathers of channel estimation cost ~110 ms -- TPU gathers
+are row-granular, so every gather here is restructured to fetch whole rows
+of a carrier-major (k_total, n_sym) layout, and the irregular linear
+interpolation becomes an MXU matmul with a precomputed (k_total, n_pilots)
+two-diagonal weight matrix:
+
+  - symbols grouped into CLASSES with identical tables (P2 by parity, data
+    symbols by l mod dy -- dy is even so the frequency-interleaver parity is
+    a function of the class -- FC);
+  - pilot extraction   = row gather of pilot_pos rows (x class columns)
+  - interpolation      = W_class @ est_p        (two real matmuls)
+  - data + frequency deinterleave = ONE composed row gather per class
+  - PLP time/cell deinterleave    = one composed gather (TI o layout)
+  - LLRs computed separably per axis, emitted TRANSPOSED (n_ldpc, B) so the
+    bit deinterleaver is a row gather and the QC-layered LDPC layout needs
+    no batch transpose at all.
+
+Boundary rule (axon runtime): float32 re/im pairs only, never complex.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dvbt2 import interleavers, l1 as l1mod, tables
+from ..dvbt2.params import PLPParams, T2Params
+from . import demod as npdemod
+from .jaxdemod import _interp_stencil
+
+
+class _Class:
+    def __init__(self, sym_cols, pilot_rows, inv_ref, interp_w, comp_rows):
+        self.sym_cols = sym_cols        # (nc,) symbol indices
+        self.pilot_rows = pilot_rows    # (np_c,)
+        self.inv_ref = inv_ref          # (np_c, nc) float32, 1/ref
+        self.interp_w = interp_w        # (k_total, np_c) float32
+        self.comp_rows = comp_rows      # (n_data_c,) data+FI composed rows
+
+
+def _dense_interp_matrix(pilot_pos: np.ndarray, k_total: int) -> np.ndarray:
+    il, ir, w = _interp_stencil(pilot_pos, k_total)
+    m = np.zeros((k_total, len(pilot_pos)), dtype=np.float32)
+    rows = np.arange(k_total)
+    np.add.at(m, (rows, il), 1.0 - w)
+    np.add.at(m, (rows, ir), w)
+    return m
+
+
+class FusedFrameDemod:
+    """Carrier-major demod: (len_frame*symbol_size, 2) -> per-class data-cell
+    blocks plus the host-side `layout` map (frame cell index -> flat
+    class-output position)."""
+
+    def __init__(self, p: T2Params):
+        self.p = p
+        tabs = npdemod.pilot_tables(p)
+        n_plain = p.n_data - (1 if p.has_fc else 0)
+        dy = tables.SP_PATTERN[p.pilot_pattern][1]
+        # build classes: P2 split by parity, data by l%dy, FC alone
+        class_rows: list[list[int]] = []
+        p2_even = [j for j in range(p.n_p2) if j % 2 == 0]
+        p2_odd = [j for j in range(p.n_p2) if j % 2 == 1]
+        for rows in (p2_even, p2_odd):
+            if rows:
+                class_rows.append(rows)
+        for c in range(dy):
+            rows = [p.n_p2 + i for i in range(n_plain)
+                    if (p.n_p2 + i) % dy == c]
+            if rows:
+                class_rows.append(rows)
+        if p.has_fc:
+            class_rows.append([p.len_frame - 1])
+        self.classes = []
+        # layout[f] = flat position of frame cell f in the concatenated
+        # class outputs (row-major (n_data_c, nc) per class)
+        cells_per_sym = [len(tabs[r]["data_pos"]) for r in range(p.len_frame)]
+        sym_cell_off = np.concatenate([[0], np.cumsum(cells_per_sym)])
+        total = int(sym_cell_off[-1])
+        layout = np.empty(total, dtype=np.int64)
+        flat_off = 0
+        for rows in class_rows:
+            t0 = tabs[rows[0]]
+            pilot_rows = t0["pilot_pos"]
+            n_data_c = len(t0["data_pos"])
+            nc = len(rows)
+            inv_ref = np.stack(
+                [1.0 / np.real(tabs[r]["pilot_ref"]).astype(np.float32)
+                 for r in rows], axis=1)
+            interp_w = _dense_interp_matrix(pilot_rows, p.k_total)
+            # composed data-extraction + frequency-deinterleave rows:
+            # plain cell i of any symbol in the class comes from carrier
+            # data_pos[rx_gather[i]]
+            comp = t0["data_pos"][t0["rx_gather"]]
+            for ci, r in enumerate(rows):
+                # frame cell (sym r, plain index i) sits at class flat
+                # position flat_off + i*nc + ci
+                f0 = sym_cell_off[r]
+                layout[f0:f0 + n_data_c] = (flat_off
+                                            + np.arange(n_data_c) * nc + ci)
+            self.classes.append(_Class(
+                np.array(rows, np.int32), pilot_rows.astype(np.int32),
+                inv_ref, interp_w, comp.astype(np.int32)))
+            flat_off += n_data_c * nc
+        self.layout = layout
+        self.total_cells = total
+        self._fn = jax.jit(self._build())
+
+    def _build(self):
+        p = self.p
+        classes = self.classes
+
+        def run(body2):
+            body = jax.lax.complex(body2[:, 0], body2[:, 1])
+            sym = body.reshape(p.len_frame, p.symbol_size)[:, p.guard_size:]
+            spec = jnp.fft.fftshift(jnp.fft.fft(sym, axis=1), axes=1)
+            car = spec[:, p.left_nulls:p.left_nulls + p.k_total]
+            x = car.T                                    # (k_total, n_sym)
+            outs = []
+            for c in classes:
+                xc = x[:, c.sym_cols]                    # (k, nc)
+                pr = xc[c.pilot_rows, :]                 # row gather
+                est_re = jnp.real(pr) * c.inv_ref
+                est_im = jnp.imag(pr) * c.inv_ref
+                # interpolation as MXU matmuls
+                ch_re = jnp.dot(c.interp_w, est_re,
+                                preferred_element_type=jnp.float32)
+                ch_im = jnp.dot(c.interp_w, est_im,
+                                preferred_element_type=jnp.float32)
+                ch = jax.lax.complex(ch_re, ch_im)
+                eq = xc / ch
+                outs.append(eq[c.comp_rows, :].reshape(-1))
+            flat = jnp.concatenate(outs)
+            return jnp.stack([jnp.real(flat), jnp.imag(flat)], axis=-1)
+
+        return run
+
+
+class FusedPLPPath:
+    """Class-layout cells -> (n_ldpc, B) codeword LLRs for one PLP."""
+
+    def __init__(self, p: T2Params, plp: PLPParams, num_blocks: int,
+                 demod: FusedFrameDemod, plp_start_cell: int = 0,
+                 l1_cells: int | None = None):
+        self.plp = plp
+        self.num_blocks = num_blocks
+        cpf = plp.cells_per_fec_block
+        from .decode import _ti_inverse_perm
+        from ..tx.frame import ti_blocks_split
+        n_ti = max(1, plp.time_il_length if plp.time_il_type == 0 else 1)
+        perms = []
+        off = 0
+        for nb in ti_blocks_split(num_blocks, n_ti):
+            if nb == 0:
+                continue
+            perms.append(_ti_inverse_perm(cpf, nb) + off)
+            off += nb * cpf
+        ti = np.concatenate(perms).astype(np.int64)
+        if l1_cells is None:
+            pre, _ = l1mod.build_l1(p, [plp])
+            l1_cells = l1mod.L1_PRE_CELLS + pre.l1_post_size
+        # compose: plain cell i <- class-flat position
+        self.comp = demod.layout[l1_cells + plp_start_cell + ti].astype(
+            np.int32)
+        fec = plp.fec
+        addr = interleavers.bit_interleaver_perm(plp.constellation,
+                                                plp.fec_frame, plp.rate)
+        pperm = interleavers.parity_interleaver_perm(fec.n_ldpc, fec.k_ldpc,
+                                                    fec.q_ldpc)
+        g = pperm[addr]
+        g_inv = np.empty_like(g)
+        g_inv[g] = np.arange(len(g), dtype=np.int32)
+        self.bit_inv = g_inv
+        self.rot = np.exp(-1j * tables.ROTATION_ANGLE[plp.constellation]) \
+            if plp.rotated else 1.0
+        self._fn = jax.jit(self._build())
+
+    def _build(self):
+        plp = self.plp
+        m = plp.bits_per_cell
+        half = m // 2
+        cpf = plp.cells_per_fec_block
+        nb = self.num_blocks
+        comp = self.comp
+        bit_inv = self.bit_inv
+        rot_re = np.float32(np.real(self.rot))
+        rot_im = np.float32(np.imag(self.rot))
+        from ..dvbt2.tables import NORM_FACTOR, _gray_levels
+        levels = (_gray_levels(m) * NORM_FACTOR[plp.constellation]
+                  ).astype(np.float32)
+        words = np.arange(len(levels))
+        axis_masks = np.stack(
+            [(words >> (half - 1 - b)) & 1 for b in range(half)]).astype(bool)
+        inf = np.float32(1e30)
+
+        def axis_llrs(xax, inv_nvar):
+            d2 = (xax[:, None] - levels[None, :]) ** 2
+            out = []
+            for b in range(half):
+                d0 = jnp.min(jnp.where(axis_masks[b][None, :], inf, d2),
+                             axis=1)
+                d1 = jnp.min(jnp.where(axis_masks[b][None, :], d2, inf),
+                             axis=1)
+                out.append((d1 - d0) * inv_nvar)
+            return jnp.stack(out, axis=1)
+
+        def run(flat2, inv_nvar):
+            cells = flat2[comp]                          # (nb*cpf, 2)
+            re = cells[:, 0].reshape(nb, cpf)
+            im = cells[:, 1].reshape(nb, cpf)
+            if plp.rotated:
+                im = jnp.roll(im, -1, axis=-1)
+                re, im = (re * rot_re - im * rot_im,
+                          re * rot_im + im * rot_re)
+            li = axis_llrs(re.reshape(-1), inv_nvar)     # (n, half)
+            lq = axis_llrs(im.reshape(-1), inv_nvar)
+            v = jnp.stack([li, lq], axis=2).reshape(nb, cpf * m)
+            vt = v.T                                     # (n_ldpc, nb)
+            return vt[bit_inv, :]                        # row gather
+
+        return run
+
+
+@functools.lru_cache(maxsize=None)
+def get_fused_demod(p: T2Params) -> FusedFrameDemod:
+    return FusedFrameDemod(p)
+
+
+@functools.lru_cache(maxsize=None)
+def get_fused_plp_path(p: T2Params, plp: PLPParams,
+                       num_blocks: int) -> FusedPLPPath:
+    return FusedPLPPath(p, plp, num_blocks, get_fused_demod(p))

@@ -1,0 +1,70 @@
+"""Fused TPU receive path equivalence vs the NumPy oracle."""
+import numpy as np
+import jax.numpy as jnp
+
+from sdr_receiver_dvb_t2_tpu.dvbt2 import l1 as l1mod
+from sdr_receiver_dvb_t2_tpu.dvbt2 import ldpc as ldpcmod
+from sdr_receiver_dvb_t2_tpu.dvbt2.params import (
+    CodeRate, Constellation, FECFrame, FFTMode, GuardInterval, PilotPattern,
+    PLPParams, T2Params)
+from sdr_receiver_dvb_t2_tpu.ops import ldpc as jldpc
+from sdr_receiver_dvb_t2_tpu.ops import ldpc_pallas as qldpc
+from sdr_receiver_dvb_t2_tpu.rx import decode as npdec
+from sdr_receiver_dvb_t2_tpu.rx import demod as npd
+from sdr_receiver_dvb_t2_tpu.rx import fusedpath as fp
+from sdr_receiver_dvb_t2_tpu.tx.modulator import T2Modulator
+
+RNG = np.random.default_rng(11)
+
+
+def _setup():
+    p = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                 pilot_pattern=PilotPattern.PP1, extended_carrier=False,
+                 n_data=9)
+    plp = PLPParams(constellation=Constellation.QAM16, rate=CodeRate.C1_2,
+                    fec_frame=FECFrame.SHORT, num_blocks_max=3,
+                    time_il_length=1)
+    mod = T2Modulator(p, [plp])
+    ts = RNG.integers(0, 256, (mod.packets_needed(1) + 4, 188)
+                      ).astype(np.uint8)
+    ts[:, 0] = 0x47
+    out = mod.modulate(ts.reshape(-1), 1)
+    return p, plp, out
+
+
+def test_fused_demod_matches_oracle():
+    p, plp, out = _setup()
+    carriers = npd.extract_carriers(p, out.samples, 2048)
+    oracle = npd.equalize_frame(p, carriers).frame_cells
+    fd = fp.FusedFrameDemod(p)
+    body2 = np.stack([np.real(out.samples[2048:]),
+                      np.imag(out.samples[2048:])], -1).astype(np.float32)
+    flat2 = np.asarray(fd._fn(jnp.asarray(body2)))
+    flat = flat2[:, 0] + 1j * flat2[:, 1]
+    np.testing.assert_allclose(flat[fd.layout], oracle, atol=1e-3)
+    # layout is a permutation covering every cell
+    assert np.array_equal(np.sort(fd.layout), np.arange(fd.total_cells))
+
+
+def test_fused_plp_path_and_nb_decoder():
+    p, plp, out = _setup()
+    fd = fp.FusedFrameDemod(p)
+    body2 = np.stack([np.real(out.samples[2048:]),
+                      np.imag(out.samples[2048:])], -1).astype(np.float32)
+    flat2 = jnp.asarray(fd._fn(jnp.asarray(body2)))
+    path = fp.FusedPLPPath(p, plp, 3, fd)
+    llr_t = np.asarray(path._fn(flat2, jnp.float32(1e3)))
+    # against the NumPy oracle
+    carriers = npd.extract_carriers(p, out.samples, 2048)
+    oracle = npd.equalize_frame(p, carriers).frame_cells
+    l1c = l1mod.L1_PRE_CELLS + out.l1pre.l1_post_size
+    sl = oracle[l1c:l1c + 3 * plp.cells_per_fec_block]
+    cells2 = npdec.deinterleave_plp_frame(plp, sl, 3)
+    llr_np = npdec.bits_from_llrs(plp, npdec.llr_demap(plp, cells2, 1e-3))
+    assert ((llr_t.T < 0) == (llr_np < 0)).all()
+    # nb-layout decoder closes the loop
+    dec = qldpc.make_decoder_nb(plp.fec_frame, plp.rate, iters=8, batch=3,
+                                interpret=True)
+    bits_t = np.asarray(dec(jnp.asarray(llr_t)))
+    code = ldpcmod.get_code(plp.fec_frame, plp.rate)
+    assert jldpc.syndrome_ok(code, bits_t.T).all()
