@@ -12,7 +12,9 @@ two-diagonal weight matrix:
     symbols by l mod dy -- dy is even so the frequency-interleaver parity is
     a function of the class -- FC);
   - pilot extraction   = row gather of pilot_pos rows (x class columns)
-  - interpolation      = W_class @ est_p        (two real matmuls)
+  - interpolation      = two row gathers of the pilot-estimate rows + FMA
+    (the irregular linear-interp stencil indexes ROWS, so it is DMA-friendly;
+    a dense weight-matrix matmul also works but bakes ~GB constants)
   - data + frequency deinterleave = ONE composed row gather per class
   - PLP time/cell deinterleave    = one composed gather (TI o layout)
   - LLRs computed separably per axis, emitted TRANSPOSED (n_ldpc, B) so the
@@ -36,21 +38,12 @@ from .jaxdemod import _interp_stencil
 
 
 class _Class:
-    def __init__(self, sym_cols, pilot_rows, inv_ref, interp_w, comp_rows):
+    def __init__(self, sym_cols, pilot_rows, inv_ref, stencil, comp_rows):
         self.sym_cols = sym_cols        # (nc,) symbol indices
         self.pilot_rows = pilot_rows    # (np_c,)
         self.inv_ref = inv_ref          # (np_c, nc) float32, 1/ref
-        self.interp_w = interp_w        # (k_total, np_c) float32
+        self.stencil = stencil          # (il, ir, w): row indices + weight
         self.comp_rows = comp_rows      # (n_data_c,) data+FI composed rows
-
-
-def _dense_interp_matrix(pilot_pos: np.ndarray, k_total: int) -> np.ndarray:
-    il, ir, w = _interp_stencil(pilot_pos, k_total)
-    m = np.zeros((k_total, len(pilot_pos)), dtype=np.float32)
-    rows = np.arange(k_total)
-    np.add.at(m, (rows, il), 1.0 - w)
-    np.add.at(m, (rows, ir), w)
-    return m
 
 
 class FusedFrameDemod:
@@ -93,7 +86,8 @@ class FusedFrameDemod:
             inv_ref = np.stack(
                 [1.0 / np.real(tabs[r]["pilot_ref"]).astype(np.float32)
                  for r in rows], axis=1)
-            interp_w = _dense_interp_matrix(pilot_rows, p.k_total)
+            il, ir, w = _interp_stencil(pilot_rows, p.k_total)
+            stencil = (il, ir, w.reshape(-1, 1))
             # composed data-extraction + frequency-deinterleave rows:
             # plain cell i of any symbol in the class comes from carrier
             # data_pos[rx_gather[i]]
@@ -106,7 +100,7 @@ class FusedFrameDemod:
                                             + np.arange(n_data_c) * nc + ci)
             self.classes.append(_Class(
                 np.array(rows, np.int32), pilot_rows.astype(np.int32),
-                inv_ref, interp_w, comp.astype(np.int32)))
+                inv_ref, stencil, comp.astype(np.int32)))
             flat_off += n_data_c * nc
         self.layout = layout
         self.total_cells = total
@@ -126,14 +120,10 @@ class FusedFrameDemod:
             for c in classes:
                 xc = x[:, c.sym_cols]                    # (k, nc)
                 pr = xc[c.pilot_rows, :]                 # row gather
-                est_re = jnp.real(pr) * c.inv_ref
-                est_im = jnp.imag(pr) * c.inv_ref
-                # interpolation as MXU matmuls
-                ch_re = jnp.dot(c.interp_w, est_re,
-                                preferred_element_type=jnp.float32)
-                ch_im = jnp.dot(c.interp_w, est_im,
-                                preferred_element_type=jnp.float32)
-                ch = jax.lax.complex(ch_re, ch_im)
+                est_p = pr * c.inv_ref
+                il, ir, w = c.stencil
+                # interpolation: two row gathers + FMA
+                ch = est_p[il, :] * (1.0 - w) + est_p[ir, :] * w
                 eq = xc / ch
                 outs.append(eq[c.comp_rows, :].reshape(-1))
             flat = jnp.concatenate(outs)
