@@ -1,0 +1,146 @@
+"""ctypes bindings for the native ingest library (see ingest.cpp).
+
+The library is built on first use (g++ is assumed present, as in the dev
+image); all entry points degrade gracefully to NumPy when the build is
+unavailable so the pure-Python path keeps working.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libt2ingest.so")
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["sh", os.path.join(_DIR, "build.sh")], check=True,
+                       capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.iq_int16_to_float.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_float]
+    lib.ring_create.restype = ctypes.c_void_p
+    lib.ring_create.argtypes = [ctypes.c_int64]
+    lib.ring_destroy.argtypes = [ctypes.c_void_p]
+    lib.ring_fill.restype = ctypes.c_int64
+    lib.ring_fill.argtypes = [ctypes.c_void_p]
+    lib.ring_overruns.restype = ctypes.c_int64
+    lib.ring_overruns.argtypes = [ctypes.c_void_p]
+    lib.ring_push.restype = ctypes.c_int64
+    lib.ring_push.argtypes = [ctypes.c_void_p,
+                              ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    lib.ring_push_int16.restype = ctypes.c_int64
+    lib.ring_push_int16.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+        ctypes.c_float]
+    lib.ring_pop.restype = ctypes.c_int64
+    lib.ring_pop.argtypes = [ctypes.c_void_p,
+                             ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    lib.read_ci16_file.restype = ctypes.c_int64
+    lib.read_ci16_file.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_float]
+    lib.udp_ts_open.restype = ctypes.c_void_p
+    lib.udp_ts_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.udp_ts_send.restype = ctypes.c_int64
+    lib.udp_ts_send.argtypes = [ctypes.c_void_p,
+                                ctypes.POINTER(ctypes.c_uint8),
+                                ctypes.c_int64]
+    lib.udp_ts_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def int16_to_complex(iq_int16: np.ndarray,
+                     scale: float = 1.0 / 32768.0) -> np.ndarray:
+    """Interleaved int16 IQ -> complex64, native (AVX2) when available."""
+    iq_int16 = np.ascontiguousarray(iq_int16, dtype=np.int16)
+    n = len(iq_int16) // 2
+    lib = get_lib()
+    if lib is None:
+        pairs = iq_int16[:2 * n].reshape(-1, 2).astype(np.float32) * scale
+        return (pairs[:, 0] + 1j * pairs[:, 1]).astype(np.complex64)
+    out = np.empty(2 * n, dtype=np.float32)
+    lib.iq_int16_to_float(
+        iq_int16.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, scale)
+    return out.view(np.complex64)
+
+
+class IQRing:
+    """SPSC streaming ring for capture ingest (native; NumPy fallback)."""
+
+    def __init__(self, capacity: int):
+        self._lib = get_lib()
+        if self._lib is None:
+            raise RuntimeError("native ingest library unavailable")
+        self._h = self._lib.ring_create(capacity)
+
+    def push(self, samples: np.ndarray) -> int:
+        arr = np.ascontiguousarray(
+            np.stack([np.real(samples), np.imag(samples)], -1),
+            dtype=np.float32)
+        return self._lib.ring_push(
+            self._h, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(samples))
+
+    def push_int16(self, iq: np.ndarray, scale: float = 1 / 32768.0) -> int:
+        iq = np.ascontiguousarray(iq, dtype=np.int16)
+        return self._lib.ring_push_int16(
+            self._h, iq.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            len(iq) // 2, scale)
+
+    def pop(self, n: int) -> np.ndarray:
+        out = np.empty(2 * n, dtype=np.float32)
+        got = self._lib.ring_pop(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
+        return out[:2 * got].view(np.complex64)
+
+    @property
+    def fill(self) -> int:
+        return self._lib.ring_fill(self._h)
+
+    @property
+    def overruns(self) -> int:
+        return self._lib.ring_overruns(self._h)
+
+    def close(self):
+        if self._h:
+            self._lib.ring_destroy(self._h)
+            self._h = None
+
+
+def read_ci16(path: str, max_samples: int = 1 << 62,
+              scale: float = 1 / 32768.0) -> np.ndarray:
+    """Native bulk reader for interleaved-int16 captures."""
+    lib = get_lib()
+    if lib is None:
+        from ..io.iq import read_iq
+        return read_iq(path, "ci16")
+    size = os.path.getsize(path) // 4
+    n = min(size, max_samples)
+    out = np.empty(2 * n, dtype=np.float32)
+    got = lib.read_ci16_file(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, scale)
+    if got < 0:
+        raise IOError(f"cannot read {path}")
+    return out[:2 * got].view(np.complex64)
