@@ -86,30 +86,47 @@ def main():
         llrs_t = path._fn(flat2, inv_nvar)
         return decode(llrs_t)
 
-    d_body = jnp.asarray(np.stack([np.real(body), np.imag(body)],
-                                  axis=-1).astype(np.float32))
-    inv_nvar = jnp.float32(10.0 ** (30 / 10.0))
-    bits_t = np.asarray(jax.jit(one_frame)(d_body, inv_nvar))
-    exact = bool(np.array_equal(bits_t.T, cw_tx))
-    print(f"correctness: decoded codewords bit-exact = {exact}",
-          file=sys.stderr)
+    # correctness gate without bulk DtoH (the tunneled runtime moves bytes
+    # slowly): device-side weighted checksum over all decoded bits + a
+    # fetched slice of the first two codewords
+    wvec = ((np.arange(code.n, dtype=np.int64) * 2654435761) % 997
+            ).astype(np.int32)
+    with np.errstate(over="ignore"):
+        expect_sum = int((cw_tx.astype(np.int32)
+                          * wvec[None, :]).sum(dtype=np.int32))
 
     @jax.jit
     def chained(b2, inv, n):
         def step(i, carry):
             b2, acc = carry
             bits = one_frame(b2, inv)
-            s = jnp.sum(bits.astype(jnp.float32))
-            return b2 + s * 1e-12, acc + s
-        _, acc = jax.lax.fori_loop(0, n, step, (b2, jnp.float32(0.0)))
-        return acc
+            s = jnp.sum(bits.astype(jnp.int32) * wvec[:, None],
+                        dtype=jnp.int32)
+            return b2 + s.astype(jnp.float32) * 1e-16, acc + s
+        _, acc = jax.lax.fori_loop(0, n, step, (b2, jnp.int32(0)))
+        bits = one_frame(b2, inv)
+        return acc, bits[:, :2]
 
-    float(chained(d_body, inv_nvar, 1))  # warm
     t0 = time.time()
-    float(chained(d_body, inv_nvar, 2))
+    d_body = jnp.asarray(np.stack([np.real(body), np.imag(body)],
+                                  axis=-1).astype(np.float32))
+    inv_nvar = jnp.float32(10.0 ** (30 / 10.0))
+    acc1, head = chained(d_body, inv_nvar, 1)  # transfer + compile + warm
+    head = np.asarray(head)
+    acc1 = int(acc1)
+    print(f"first call (incl 127MB transfer+compile): {time.time()-t0:.0f}s",
+          file=sys.stderr)
+    exact = (acc1 == expect_sum and np.array_equal(head.T, cw_tx[:2]))
+    print(f"correctness: checksum+slice bit-exact = {exact} "
+          f"(acc={acc1:.0f} expect={expect_sum:.0f})", file=sys.stderr)
+
+    t0 = time.time()
+    a, _ = chained(d_body, inv_nvar, 2)
+    int(a)
     t2 = time.time() - t0
     t0 = time.time()
-    float(chained(d_body, inv_nvar, 12))
+    a, _ = chained(d_body, inv_nvar, 12)
+    int(a)
     t12 = time.time() - t0
     dt = (t12 - t2) / 10.0
     n_samples = p.frame_samples

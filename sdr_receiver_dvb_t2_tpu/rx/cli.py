@@ -60,6 +60,8 @@ def main(argv=None):
                     help="print parsed L1 signalling")
     ap.add_argument("--stats-json", action="store_true",
                     help="print receiver stats as JSON")
+    ap.add_argument("--plots", default=None, metavar="DIR",
+                    help="dump spectrum/constellation/P1-correlation PNGs")
     ap.add_argument("--jax-ldpc", action="store_true",
                     help="use the batched JAX/TPU LDPC decoder")
     args = ap.parse_args(argv)
@@ -104,6 +106,16 @@ def main(argv=None):
             "plp": {str(k): dataclasses.asdict(v)
                     for k, v in s.plp_stats.items()},
         }))
+
+    if args.plots:
+        import os
+        from ..utils import plots
+        os.makedirs(args.plots, exist_ok=True)
+        plots.spectrum_png(x[:2_000_000], os.path.join(args.plots,
+                                                       "spectrum.png"))
+        plots.p1_correlation_png(x[:300_000],
+                                 os.path.join(args.plots, "p1_corr.png"))
+        print(f"plots -> {args.plots}/", file=sys.stderr)
 
     if len(res.ts):
         sink = ts_io.open_sink(args.out)

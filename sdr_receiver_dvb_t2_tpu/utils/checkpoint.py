@@ -1,0 +1,52 @@
+"""Block-level receiver state checkpoint/resume (SURVEY.md §5: the reference
+has none; for a streaming receiver over long captures the resumable state is
+small and explicit -- sample offset, acquisition results, BB/TS reassembly
+state -- because the TPU design already carries all sync state explicitly
+instead of hiding it in thread-local loop filters)."""
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass
+
+import numpy as np
+
+
+@dataclass
+class ReceiverCheckpoint:
+    sample_offset: int                 # absolute offset of the next frame
+    cfo_hz: float
+    fft_mode: int
+    l1pre_bits: list                   # 200 ints; re-parse on resume
+    ts_buf: list                       # TSAssembler._buf bytes
+    ts_prev_crc: int | None
+    ts_lost: bool
+    frames_decoded: int
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(asdict(self), f)
+
+    @classmethod
+    def load(cls, path: str) -> "ReceiverCheckpoint":
+        with open(path) as f:
+            return cls(**json.load(f))
+
+
+def capture_state(frame_start: int, stats, p1, l1pre,
+                  assembler) -> ReceiverCheckpoint:
+    return ReceiverCheckpoint(
+        sample_offset=int(frame_start),
+        cfo_hz=float(stats.cfo_hz),
+        fft_mode=int(p1.fft_mode),
+        l1pre_bits=[int(b) for b in l1pre.pack()],
+        ts_buf=[int(b) for b in assembler._buf],
+        ts_prev_crc=assembler._prev_crc,
+        ts_lost=bool(assembler._lost),
+        frames_decoded=int(stats.frames_decoded),
+    )
+
+
+def restore_assembler(ck: ReceiverCheckpoint, assembler) -> None:
+    assembler._buf = np.array(ck.ts_buf, dtype=np.uint8)
+    assembler._prev_crc = ck.ts_prev_crc
+    assembler._lost = ck.ts_lost
