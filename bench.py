@@ -96,38 +96,39 @@ def main():
                           * wvec[None, :]).sum(dtype=np.int32))
 
     @jax.jit
-    def chained(b2, inv, n):
-        def step(i, carry):
-            b2, acc = carry
-            bits = one_frame(b2, inv)
-            s = jnp.sum(bits.astype(jnp.int32) * wvec[:, None],
-                        dtype=jnp.int32)
-            return b2 + s.astype(jnp.float32) * 1e-16, acc + s
-        _, acc = jax.lax.fori_loop(0, n, step, (b2, jnp.int32(0)))
+    def step(b2, inv):
         bits = one_frame(b2, inv)
-        return acc, bits[:, :2]
+        s = jnp.sum(bits.astype(jnp.int32) * wvec[:, None],
+                    dtype=jnp.int32)
+        # data-dependent feedback: the next frame's input depends on this
+        # frame's decoded bits, forcing strictly serial device execution
+        return b2 + s.astype(jnp.float32) * 1e-16, s, bits[:, :2]
 
     t0 = time.time()
     d_body = jnp.asarray(np.stack([np.real(body), np.imag(body)],
                                   axis=-1).astype(np.float32))
     inv_nvar = jnp.float32(10.0 ** (30 / 10.0))
-    acc1, head = chained(d_body, inv_nvar, 1)  # transfer + compile + warm
+    _, acc1, head = step(d_body, inv_nvar)  # transfer + compile + warm
     head = np.asarray(head)
     acc1 = int(acc1)
     print(f"first call (incl 127MB transfer+compile): {time.time()-t0:.0f}s",
           file=sys.stderr)
     exact = (acc1 == expect_sum and np.array_equal(head.T, cw_tx[:2]))
     print(f"correctness: checksum+slice bit-exact = {exact} "
-          f"(acc={acc1:.0f} expect={expect_sum:.0f})", file=sys.stderr)
+          f"(acc={acc1} expect={expect_sum})", file=sys.stderr)
 
-    t0 = time.time()
-    a, _ = chained(d_body, inv_nvar, 2)
-    int(a)
-    t2 = time.time() - t0
-    t0 = time.time()
-    a, _ = chained(d_body, inv_nvar, 12)
-    int(a)
-    t12 = time.time() - t0
+    def run_chain(n):
+        b2 = d_body
+        t0 = time.time()
+        s = None
+        for _ in range(n):
+            b2, s, _ = step(b2, inv_nvar)
+        int(s)  # forces the whole serial chain
+        return time.time() - t0
+
+    run_chain(1)
+    t2 = run_chain(2)
+    t12 = run_chain(12)
     dt = (t12 - t2) / 10.0
     n_samples = p.frame_samples
     msps = n_samples / dt / 1e6

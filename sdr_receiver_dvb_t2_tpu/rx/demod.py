@@ -82,6 +82,7 @@ def extract_carriers(p: T2Params, x: np.ndarray, body_start: int) -> np.ndarray:
 class DemodResult:
     frame_cells: np.ndarray        # concatenated deinterleaved data cells
     snr_db: float                  # pilot-based SNR estimate
+    timing_offset: float = 0.0     # symbol-timing offset in samples
     channel: np.ndarray | None = None
 
 
@@ -92,6 +93,14 @@ def equalize_frame(p: T2Params, carriers: np.ndarray) -> DemodResult:
     k = np.arange(p.k_total)
     cells_out = []
     err_acc, sig_acc = 0.0, 0.0
+    # symbol-timing offset from the pilot-phase slope of the first symbol:
+    # a delay of tau samples rotates carrier k by -2*pi*k*tau/N (the quantity
+    # the reference feeds its sample-rate loop, data_symbol.cpp:319-324)
+    t0 = tabs[0]
+    est0 = carriers[0][t0["pilot_pos"]] / t0["pilot_ref"]
+    dphi = np.angle(np.sum(est0[1:] * np.conj(est0[:-1])))
+    dk = float(np.mean(np.diff(t0["pilot_pos"])))
+    timing = -dphi / (2.0 * np.pi * dk) * p.fft_size
     for row, tab in zip(carriers, tabs):
         pos = tab["pilot_pos"]
         ref = tab["pilot_ref"]
@@ -113,4 +122,5 @@ def equalize_frame(p: T2Params, carriers: np.ndarray) -> DemodResult:
         sig_acc += float(np.mean(np.abs(est_p) ** 2)) \
             * float(np.mean(np.abs(ref) ** 2))
     snr = 10.0 * np.log10(sig_acc / max(err_acc, 1e-30))
-    return DemodResult(frame_cells=np.concatenate(cells_out), snr_db=snr)
+    return DemodResult(frame_cells=np.concatenate(cells_out), snr_db=snr,
+                       timing_offset=float(timing))

@@ -96,6 +96,30 @@ def farrow_resample(x: np.ndarray, ratio: float,
     return (c0 + c1 * mu + c2 * mu2 + c3 * mu3).astype(np.complex64)
 
 
+def sinc_resample(x: np.ndarray, ratio: float, taps: int = 24,
+                  frac0: float = 0.0) -> np.ndarray:
+    """High-quality arbitrary resampler: windowed-sinc interpolation.
+
+    The cubic Farrow above matches the reference's interpolator but, like
+    it, droops near the band edge -- DVB-T2 occupies ~83% of Nyquist and
+    repeated cubic passes visibly damage edge carriers.  This kernel stays
+    flat past 0.9 Nyquist; use it for sample-clock-offset correction where
+    the signal is already at (nearly) the elementary rate (|ratio-1| small).
+    """
+    half = taps // 2
+    n_out = int((len(x) - taps) / ratio)
+    t = np.arange(n_out) * ratio + frac0 + half
+    base = np.floor(t).astype(np.int64)
+    mu = (t - base).astype(np.float64)
+    out = np.zeros(n_out, dtype=np.complex128)
+    k = np.arange(-half + 1, half + 1)  # taps offsets
+    for j, kj in enumerate(k):
+        d = kj - mu
+        w = np.sinc(d) * np.cos(np.pi * d / taps) ** 2  # cosine^2 window
+        out += x[base + kj] * w
+    return out.astype(np.complex64)
+
+
 # --- FIR decimator ---
 
 def lowpass_taps(n_taps: int = 64, cutoff: float = 0.25) -> np.ndarray:

@@ -25,6 +25,8 @@ from . import p1_detect as rxp1
 class ReceiverStats:
     frames_decoded: int = 0
     snr_db: list = field(default_factory=list)
+    timing_offset: list = field(default_factory=list)
+    sco_ppm: float = 0.0
     cfo_hz: float = 0.0
     l1_failures: int = 0
     plp_stats: dict = field(default_factory=dict)
@@ -53,7 +55,8 @@ class T2Receiver:
         self.ldpc_decode_fn_factory = ldpc_decode_fn_factory
         self._last_l1post = None
 
-    def receive(self, x: np.ndarray) -> ReceiveResult:
+    def receive(self, x: np.ndarray, _sco_pass: bool = True,
+                _ladder: bool = True) -> ReceiveResult:
         stats = ReceiverStats()
         x = np.asarray(x)
         p1 = rxp1.acquire_p1(x)
@@ -88,6 +91,15 @@ class T2Receiver:
             if params is not None:
                 break
         if params is None:
+            # acquisition failed outright: a large sample-clock offset can
+            # smear the carriers enough to break even hard-decision L1.
+            # Try a ladder of trial resample ratios (the recorded-block
+            # analogue of the reference slowly pulling its resampler in);
+            # the fine SCO measurement below then converges the residue.
+            if _ladder:
+                ladder = self._sco_ladder(x)
+                if ladder is not None:
+                    return ladder
             stats.l1_failures += 1
             return ReceiveResult(ts=np.zeros(0, np.uint8), stats=stats)
 
@@ -103,10 +115,38 @@ class T2Receiver:
             dres.frame_cells[l1mod.L1_PRE_CELLS:
                              l1mod.L1_PRE_CELLS + l1pre.l1_post_size], l1pre)
         if l1post is None:
+            if _ladder:
+                ladder = self._sco_ladder(x)
+                if ladder is not None:
+                    return ladder
             stats.l1_failures += 1
             return ReceiveResult(ts=np.zeros(0, np.uint8), stats=stats,
                                  params=params, l1pre=l1pre)
         params, plps = rxdecode.params_from_l1(p1.fft_mode, l1pre, l1post)
+
+        # sample-clock-offset measurement: locate the next frame's P1 and
+        # compare the spacing with the nominal frame length; a material
+        # offset means the capture clock is off (the reference closes this
+        # loop through its Farrow resampler at +-8e-9/symbol,
+        # dvbt2_demodulator.cpp:430-439) -- we measure feed-forward and
+        # resample the whole block once, then re-acquire.
+        if _sco_pass:
+            nominal = params.frame_samples
+            if p1.start + 2 * nominal <= len(x):
+                # pilot-slope timing of frame 1 vs frame 0: the drift per
+                # frame is the sample-clock offset (sub-sample precision,
+                # unlike P1 peak positions)
+                car1 = rxdemod.extract_carriers(
+                    params, x, p1.start + nominal + rxp1.P1_LEN)
+                t1 = rxdemod.equalize_frame(params, car1).timing_offset
+                sco = (t1 - dres.timing_offset) / nominal
+                if 2e-6 < abs(sco) < 5e-3:
+                    from . import frontend
+                    x2 = frontend.sinc_resample(x, 1.0 + sco)
+                    res = self.receive(x2, _sco_pass=False)
+                    res.stats.cfo_hz = stats.cfo_hz
+                    res.stats.sco_ppm = sco * 1e6
+                    return res
 
         assembler = bbframe.TSAssembler()
         frame_start = p1.start
@@ -120,10 +160,32 @@ class T2Receiver:
                 break
             frame_idx += 1
             frame_start += params.frame_samples
+            # sample-clock-offset retiming: when the pilot-slope timing
+            # estimate shows the windows drifting (the reference nudges its
+            # Farrow resampler +-8e-9/symbol instead,
+            # dvbt2_demodulator.cpp:430-439) step the next frame start by
+            # whole samples; fractional residue is absorbed by the
+            # per-symbol channel estimate
+            if stats.timing_offset and abs(stats.timing_offset[-1]) > 2.0:
+                frame_start += int(round(stats.timing_offset[-1]))
         stats.ts_errors = assembler.errors
         stats.ts_packets = len(assembler.packets)
         return ReceiveResult(ts=assembler.ts_bytes(), stats=stats,
                              params=params, l1pre=l1pre, l1post=l1post)
+
+    def _sco_ladder(self, x):
+        """Trial resample ratios for large sample-clock offsets (the
+        recorded-block analogue of the reference slowly pulling its
+        resampler in); the fine P1-spacing measurement converges the
+        residue on the successful branch."""
+        from . import frontend
+        for trial in (40e-6, -40e-6, 100e-6, -100e-6, 180e-6, -180e-6):
+            xr = frontend.sinc_resample(x, 1.0 + trial)
+            res = self.receive(xr, _ladder=False)
+            if res.stats.frames_decoded > 0:
+                res.stats.sco_ppm += trial * 1e6
+                return res
+        return None
 
     def _try_l1pre(self, x, p1, gi, ext, pp):
         """Candidate-GI demod of the first P2 symbol -> L1-pre CRC gate."""
@@ -175,6 +237,7 @@ class T2Receiver:
         carriers = rxdemod.extract_carriers(params, x, body)
         dres = rxdemod.equalize_frame(params, carriers)
         stats.snr_db.append(dres.snr_db)
+        stats.timing_offset.append(dres.timing_offset)
         if l1post_cached is not None:
             l1post = l1post_cached
         else:

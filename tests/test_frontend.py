@@ -80,3 +80,43 @@ def test_e2e_from_device_rate_capture():
     flat = ts.reshape(-1)
     assert len(got) > 0
     np.testing.assert_array_equal(got, flat[:len(got)])
+
+
+@pytest.mark.parametrize("sco_ppm", [10, 60, -120])
+def test_e2e_sample_clock_offset(sco_ppm):
+    """Captures with a wrong sample clock: measured via pilot-slope timing
+    drift, corrected with one windowed-sinc resample, TS bit-exact."""
+    p = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                 pilot_pattern=PilotPattern.PP1, extended_carrier=False,
+                 n_data=9)
+    plp = PLPParams(constellation=Constellation.QAM16, rate=CodeRate.C1_2,
+                    fec_frame=FECFrame.SHORT, num_blocks_max=3,
+                    time_il_length=1)
+    mod = T2Modulator(p, [plp])
+    rng = np.random.default_rng(7)
+    ts = rng.integers(0, 256, (mod.packets_needed(3) + 4, 188)
+                      ).astype(np.uint8)
+    ts[:, 0] = 0x47
+    ts[:, 1] &= 0x7F
+    out = mod.modulate(ts.reshape(-1), 3)
+    y = fe.sinc_resample(
+        np.concatenate([out.samples, np.zeros(8192, np.complex64)]),
+        1.0 + sco_ppm * 1e-6)
+    res = T2Receiver().receive(y)
+    got = res.ts
+    assert res.stats.frames_decoded >= 2
+    assert abs(res.stats.sco_ppm + sco_ppm) < 5
+    np.testing.assert_array_equal(got, ts.reshape(-1)[:len(got)])
+
+
+def test_sinc_resampler_band_edge_quality():
+    fs = SAMPLE_RATE
+    t = np.arange(50000) / fs
+    x = np.exp(2j * np.pi * 3.8e6 * t).astype(np.complex64)
+    ratio = 1.0 + 60e-6
+    y = fe.sinc_resample(x, ratio)
+    tk = (np.arange(len(y)) * ratio + 12) / fs
+    ref = np.exp(2j * np.pi * 3.8e6 * tk)
+    err = y[100:-100] - ref[100:len(y) - 100]
+    snr = 10 * np.log10(1.0 / np.mean(np.abs(err) ** 2))
+    assert snr > 35, snr
