@@ -146,14 +146,15 @@ def qc_to_bits_nb_jnp(tab: QCTables, total_info, total_par):
 
 
 def make_decoder_nb(frame: FECFrame, rate: CodeRate, iters: int,
-                    batch: int, interpret: bool = False):
+                    batch: int, interpret: bool = False,
+                    dtype=jnp.float32):
     """Pallas layered decoder over (N, B) transposed LLR layout."""
     tab = qc_tables(frame, rate)
     core = make_pallas_layered(frame, rate, iters, batch,
-                               interpret=interpret)
+                               interpret=interpret, dtype=dtype)
 
     def decode(llrs_t):
-        ti, tp = llrs_nb_to_qc_jnp(tab, llrs_t.astype(jnp.float32))
+        ti, tp = llrs_nb_to_qc_jnp(tab, llrs_t.astype(dtype))
         ti2, tp2 = core(ti, tp)
         return qc_to_bits_nb_jnp(tab, ti2, tp2)
 
@@ -185,7 +186,7 @@ def _roll(x, s):
 
 def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
                         batch: int, offset: float = 0.5,
-                        interpret: bool = False):
+                        interpret: bool = False, dtype=jnp.float32):
     """Pallas TPU layered decoder.
 
     Returns fn(total_info (G+1,360,B), total_par (q,360,B)) -> updated totals
@@ -207,6 +208,7 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
     g_host = tab.entry_g.reshape(-1).astype(np.int32)
     s_host = tab.entry_s.reshape(-1).astype(np.int32)
     n_steps = iters * q
+    DT = dtype
 
     def kernel(deg_ref, g_ref, s_ref, tinfo_in, tpar_in, c2v_in,
                tinfo_out, tpar_out, c2v_out,
@@ -214,6 +216,7 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
         tinfo_out[:] = tinfo_in[:]
         tpar_out[:] = tpar_in[:]
         u_iota = jax.lax.broadcasted_iota(jnp.int32, (360, B), 0)
+        big = jnp.asarray(_BIG, DT)
 
         def in_dma(slot, layer):
             return pltpu.make_async_copy(
@@ -248,19 +251,20 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
 
                 @pl.when(j >= deg)
                 def _():
-                    msgs[j] = jnp.full((360, B), _BIG, jnp.float32)
+                    msgs[j] = jnp.full((360, B), _BIG, DT)
             msgs[degmax] = tpar_out[t] - in_buf[slot, degmax]
             tm1 = jax.lax.rem(t + q - 1, q)
             shift_prev = jnp.where(t == 0, 1, 0)
             prev_al = pltpu.roll(tpar_out[tm1], shift_prev, axis=0)
             mask0 = jnp.where(
-                jnp.logical_and(t == 0, u_iota == 0), _BIG, 0.0)
+                jnp.logical_and(t == 0, u_iota == 0), big,
+                jnp.asarray(0.0, DT))
             msgs[E - 1] = prev_al - in_buf[slot, E - 1] + mask0
 
             # ---- two-minimum + leave-one-out sign ----
             m0 = msgs[0]
             min1 = jnp.abs(m0)
-            min2 = jnp.full((360, B), _BIG, jnp.float32)
+            min2 = jnp.full((360, B), _BIG, DT)
             amin = jnp.zeros((360, B), jnp.int32)
             nneg = (m0 < 0).astype(jnp.int32)
             for j in range(1, E):
@@ -271,7 +275,8 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
                 min1 = jnp.where(is_new, aj, min1)
                 amin = jnp.where(is_new, j, amin)
                 nneg = nneg + (mj < 0).astype(jnp.int32)
-            sign_all = 1.0 - 2.0 * jax.lax.rem(nneg, 2).astype(jnp.float32)
+            sign_all = (1.0 - 2.0 * jax.lax.rem(nneg, 2).astype(jnp.float32)
+                        ).astype(DT)
 
             @pl.when(idx >= 2)
             def _():
@@ -280,8 +285,9 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
             for j in range(E):
                 mj = msgs[j]
                 loo = jnp.where(amin == j, min2, min1)
-                sgn = sign_all * jnp.where(mj < 0, -1.0, 1.0)
-                newc[j] = sgn * jnp.maximum(loo - off, 0.0)
+                sgn = sign_all * jnp.where(mj < 0, -1.0, 1.0).astype(DT)
+                newc[j] = sgn * jnp.maximum(loo - jnp.asarray(off, DT),
+                                            jnp.asarray(0.0, DT))
 
             # ---- additive write-backs ----
             for j in range(degmax):
@@ -297,7 +303,7 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
 
                 @pl.when(j >= deg)
                 def _():
-                    out_buf[slot, j] = jnp.zeros((360, B), jnp.float32)
+                    out_buf[slot, j] = jnp.zeros((360, B), DT)
             tpar_out[t] = msgs[degmax] + newc[degmax]
             out_buf[slot, degmax] = newc[degmax]
             prev_new = msgs[E - 1] + newc[E - 1] - mask0
@@ -331,10 +337,10 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((E, 360, B), jnp.float32),    # msgs
-            pltpu.VMEM((E, 360, B), jnp.float32),    # newc
-            pltpu.VMEM((2, E, 360, B), jnp.float32),  # in_buf
-            pltpu.VMEM((2, E, 360, B), jnp.float32),  # out_buf
+            pltpu.VMEM((E, 360, B), dtype),    # msgs
+            pltpu.VMEM((E, 360, B), dtype),    # newc
+            pltpu.VMEM((2, E, 360, B), dtype),  # in_buf
+            pltpu.VMEM((2, E, 360, B), dtype),  # out_buf
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -344,9 +350,9 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((G + 1, 360, B), jnp.float32),
-            jax.ShapeDtypeStruct((q, 360, B), jnp.float32),
-            jax.ShapeDtypeStruct((q, E, 360, B), jnp.float32),
+            jax.ShapeDtypeStruct((G + 1, 360, B), dtype),
+            jax.ShapeDtypeStruct((q, 360, B), dtype),
+            jax.ShapeDtypeStruct((q, E, 360, B), dtype),
         ),
         input_output_aliases={3: 0, 4: 1, 5: 2},
         compiler_params=pltpu.CompilerParams(
@@ -356,9 +362,11 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
     )
 
     def decode(total_info, total_par):
-        c2v0 = jnp.zeros((q, E, 360, B), jnp.float32)
+        c2v0 = jnp.zeros((q, E, 360, B), dtype)
         ti, tp, _ = call(jnp.asarray(deg_host), jnp.asarray(g_host),
-                         jnp.asarray(s_host), total_info, total_par, c2v0)
+                         jnp.asarray(s_host),
+                         total_info.astype(dtype), total_par.astype(dtype),
+                         c2v0)
         return ti, tp
 
     return jax.jit(decode)

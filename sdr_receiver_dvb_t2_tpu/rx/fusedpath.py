@@ -217,6 +217,100 @@ class FusedPLPPath:
         return run
 
 
+class MultiFramePath:
+    """F-frame batched demod + PLP path: amortizes the row gathers (which
+    run at a fixed ~1e8 rows/s on the chip regardless of row width) across
+    F frames by widening every gathered row to F*2 floats.
+
+    fn(bodies (F, len_frame*symbol_size, 2), inv_nvar)
+      -> (n_ldpc, F, nb) LLRs; feed lanes per frame (or F x nb reshaped
+         chunks of 128) to the Pallas decoder.
+    """
+
+    def __init__(self, p: T2Params, plp: PLPParams, num_blocks: int,
+                 n_frames: int):
+        self.p = p
+        self.plp = plp
+        self.num_blocks = num_blocks
+        self.n_frames = n_frames
+        self.demod = get_fused_demod(p)
+        self.single = get_fused_plp_path(p, plp, num_blocks)
+        self._fn = jax.jit(self._build())
+
+    def _build(self):
+        p = self.p
+        plp = self.plp
+        f = self.n_frames
+        nb = self.num_blocks
+        cpf = plp.cells_per_fec_block
+        m = plp.bits_per_cell
+        half = m // 2
+        classes = self.demod.classes
+        comp = self.single.comp
+        bit_inv = self.single.bit_inv
+        rot_re = np.float32(np.real(self.single.rot))
+        rot_im = np.float32(np.imag(self.single.rot))
+        from ..dvbt2.tables import NORM_FACTOR, _gray_levels
+        levels = (_gray_levels(m) * NORM_FACTOR[plp.constellation]
+                  ).astype(np.float32)
+        words = np.arange(len(levels))
+        axis_masks = np.stack(
+            [(words >> (half - 1 - b)) & 1 for b in range(half)]).astype(bool)
+        inf = np.float32(1e30)
+
+        def demod_one(body2):
+            body = jax.lax.complex(body2[:, 0], body2[:, 1])
+            sym = body.reshape(p.len_frame, p.symbol_size)[:, p.guard_size:]
+            spec = jnp.fft.fftshift(jnp.fft.fft(sym, axis=1), axes=1)
+            car = spec[:, p.left_nulls:p.left_nulls + p.k_total]
+            x = car.T
+            outs = []
+            for c in classes:
+                xc = x[:, c.sym_cols]
+                pr = xc[c.pilot_rows, :]
+                est_p = pr * c.inv_ref
+                il, ir, w = c.stencil
+                ch = est_p[il, :] * (1.0 - w) + est_p[ir, :] * w
+                eq = xc / ch
+                outs.append(eq[c.comp_rows, :].reshape(-1))
+            return jnp.concatenate(outs)           # (total_cells,) complex
+
+        def axis_llrs(xax, inv_nvar):
+            d2 = (xax[..., None] - levels) ** 2    # (..., 2^half)
+            out = []
+            for b in range(half):
+                d0 = jnp.min(jnp.where(axis_masks[b], inf, d2), axis=-1)
+                d1 = jnp.min(jnp.where(axis_masks[b], d2, inf), axis=-1)
+                out.append((d1 - d0) * inv_nvar)
+            return jnp.stack(out, axis=-1)         # (..., half)
+
+        def run(bodies, inv_nvar):
+            flat = jax.vmap(demod_one)(bodies)     # (F, total) complex
+            wide = jnp.stack([jnp.real(flat), jnp.imag(flat)],
+                             axis=-1)              # (F, total, 2)
+            wide = jnp.transpose(wide, (1, 0, 2))  # (total, F, 2)
+            cells = wide[comp]                     # ONE row gather (nc, F, 2)
+            re = cells[..., 0].reshape(nb, cpf, f)
+            im = cells[..., 1].reshape(nb, cpf, f)
+            if plp.rotated:
+                im = jnp.roll(im, -1, axis=1)
+                re, im = (re * rot_re - im * rot_im,
+                          re * rot_im + im * rot_re)
+            li = axis_llrs(re, inv_nvar)           # (nb, cpf, F, half)
+            lq = axis_llrs(im, inv_nvar)
+            v = jnp.stack([li, lq], axis=-1)       # (nb, cpf, F, half, 2)
+            # cell-word bit order y0(I),y1(Q),y2(I)...: interleave half/2
+            v = jnp.transpose(v, (0, 1, 3, 4, 2))  # (nb, cpf, half, 2, F)
+            v = v.reshape(nb, cpf * m, f)
+            vt = jnp.transpose(v, (1, 0, 2))       # (n_ldpc, nb, F)
+            return vt[bit_inv]                     # row gather (n_ldpc,nb,F)
+
+        return run
+
+    def __call__(self, bodies, inv_nvar):
+        return self._fn(bodies, inv_nvar)
+
+
 @functools.lru_cache(maxsize=None)
 def get_fused_demod(p: T2Params) -> FusedFrameDemod:
     return FusedFrameDemod(p)

@@ -68,3 +68,34 @@ def test_fused_plp_path_and_nb_decoder():
     bits_t = np.asarray(dec(jnp.asarray(llr_t)))
     code = ldpcmod.get_code(plp.fec_frame, plp.rate)
     assert jldpc.syndrome_ok(code, bits_t.T).all()
+
+
+def test_multiframe_path_matches_single():
+    p, plp, _ = _setup()
+    mod = T2Modulator(p, [plp])
+    ts = RNG.integers(0, 256, (mod.packets_needed(2) + 4, 188)
+                      ).astype(np.uint8)
+    ts[:, 0] = 0x47
+    out = mod.modulate(ts.reshape(-1), 2)
+    bodies = []
+    for fi in range(2):
+        s0 = fi * p.frame_samples + 2048
+        b = out.samples[s0:s0 + p.len_frame * p.symbol_size]
+        bodies.append(np.stack([np.real(b), np.imag(b)], -1
+                               ).astype(np.float32))
+    mf = fp.MultiFramePath(p, plp, 3, 2)
+    llrs = np.asarray(mf(jnp.asarray(np.stack(bodies)), jnp.float32(1e3)))
+    fd = fp.get_fused_demod(p)
+    single = fp.get_fused_plp_path(p, plp, 3)
+    for fi in range(2):
+        flat2 = fd._fn(jnp.asarray(bodies[fi]))
+        ref = np.asarray(single._fn(flat2, jnp.float32(1e3)))
+        assert ((llrs[:, :, fi] < 0) == (ref < 0)).all()
+
+
+def test_device_receiver_end_to_end():
+    from sdr_receiver_dvb_t2_tpu.rx.device_receiver import DeviceT2Receiver
+    p, plp, out = _setup()
+    res = DeviceT2Receiver().receive(out.samples)
+    assert res.stats.frames_decoded == 1
+    assert len(res.ts) > 0
