@@ -320,6 +320,15 @@ class L1Post:
         """Parse; geometry (num_rf/fef) comes from L1-pre like the reference.
         Returns None on CRC-32 mismatch over the parsed length."""
         bits = np.asarray(bits, dtype=np.uint8)
+        try:
+            return cls._unpack_inner(bits, num_rf, has_fef, repetition)
+        except IndexError:
+            # corrupted counts (num_plp/num_aux) walked past the buffer --
+            # equivalent failure to a CRC mismatch
+            return None
+
+    @classmethod
+    def _unpack_inner(cls, bits, num_rf, has_fef, repetition):
         out = cls(rf=[], plp=[], aux=[])
         pos = 0
         out.sub_slices_per_frame, pos = _get(bits, pos, 15)
@@ -555,6 +564,91 @@ def l1post_encode(l1post: L1Post, l1_post_mod: int,
     interleaved = _l1post_interleave(coded, eta)
     cell_bits = _l1post_demux(interleaved, eta)
     return _map_cells(cell_bits, eta)
+
+
+def _unmap_cells_llr(cells: np.ndarray, eta_mod: int,
+                     nvar: float) -> np.ndarray:
+    """Soft bit LLRs (positive = 0) for the L1-post modulations."""
+    from .tables import constellation_points
+    if eta_mod == 1:
+        return (2.0 / nvar) * np.real(cells)
+    c = L1_MOD_CONSTELLATION[eta_mod]
+    pts = constellation_points(c)
+    words = np.arange(len(pts))
+    d2 = np.abs(cells[:, None] - pts[None, :]) ** 2
+    out = np.empty((len(cells), eta_mod), dtype=np.float64)
+    for b in range(eta_mod):
+        bit = (words >> (eta_mod - 1 - b)) & 1
+        d0 = d2[:, bit == 0].min(axis=1)
+        d1 = d2[:, bit == 1].min(axis=1)
+        out[:, b] = (d1 - d0) / max(nvar, 1e-9)
+    return out.reshape(-1)
+
+
+def l1post_decode_soft(cells: np.ndarray, l1pre: L1Pre,
+                       nvar: float = 0.05,
+                       iters: int = 30) -> L1Post | None:
+    """Soft L1-post decode: exploit the shortened/punctured LDPC parity the
+    reference throws away (it only hard-slices the systematic bits,
+    p2_symbol.cpp:536-668).  Punctured parity positions get LLR 0, shortened
+    info positions a large known-zero prior; after min-sum the systematic
+    bits are re-parsed and CRC-gated as usual."""
+    from . import ldpc as ldpcmod
+    from .interleavers import parity_interleaver_perm
+    eta = L1_MOD_BITS[l1pre.l1_post_mod]
+    n_post = l1pre.l1_post_size * eta
+    ksig = l1pre.l1_post_info_size + 32
+    fec = fec_params(FECFrame.SHORT, CodeRate.C1_2)
+    llr_v = _unmap_cells_llr(cells[:l1pre.l1_post_size], eta, nvar)
+    interleaved = _l1post_mux_inverse_f(llr_v, eta)
+    coded = _l1post_deinterleave_f(interleaved, eta)
+    if l1pre.t2_version > 1 and l1pre.l1_post_scrambled:
+        sgn = 1.0 - 2.0 * bbframe.bb_scrambler_sequence(n_post).astype(float)
+        coded = coded * sgn
+    # rebuild the full-codeword LLR vector
+    pad_mask = _pad_positions(ksig, fec.k_bch, L1POST_PAD_GROUPS)
+    n_punc = (fec.n_ldpc - fec.k_ldpc) * 0  # computed below
+    _, n_punc = l1post_fec_geometry(ksig, eta)
+    keep = _keep_indices_after_punct(fec.q_ldpc, L1POST_PUNCT_GROUPS, n_punc)
+    big = 1e3
+    full = np.zeros(fec.n_ldpc)
+    info_llr = np.full(fec.k_bch, big)          # shortened zeros: strong 0
+    info_llr[~pad_mask] = coded[:ksig]
+    full[:fec.k_bch] = info_llr
+    full[fec.k_bch:fec.k_ldpc] = coded[ksig:ksig + fec.bch_parity]
+    parity_il = np.zeros(fec.n_ldpc - fec.k_ldpc)
+    parity_il[keep] = coded[ksig + fec.bch_parity:]
+    # undo the parity interleave (u[360t+s] = c[q s + t])
+    q = fec.q_ldpc
+    t = np.arange(q)[:, None]
+    sidx = np.arange(360)[None, :]
+    full[fec.k_ldpc + (q * sidx + t).reshape(-1)] = parity_il
+    code = ldpcmod.get_code(FECFrame.SHORT, CodeRate.C1_2)
+    hard, _ = ldpcmod.decode_minsum_np(code, full, iters=iters)
+    info_bits = hard[:fec.k_bch][~pad_mask].astype(np.uint8)
+    return L1Post.unpack(info_bits, num_rf=l1pre.num_rf,
+                         has_fef=bool(l1pre.s2_field2),
+                         repetition=bool(l1pre.l1_repetition_flag))
+
+
+def _l1post_mux_inverse_f(vals: np.ndarray, eta_mod: int) -> np.ndarray:
+    if eta_mod == 4:
+        mux = np.array(MUX16)
+    elif eta_mod == 6:
+        mux = np.array(MUX64)
+    else:
+        return vals
+    inv = np.empty_like(mux)
+    inv[mux] = np.arange(len(mux))
+    return vals.reshape(-1, len(mux))[:, inv].reshape(-1)
+
+
+def _l1post_deinterleave_f(vals: np.ndarray, eta_mod: int) -> np.ndarray:
+    if eta_mod not in (4, 6):
+        return vals
+    cols = 2 * eta_mod
+    rows = len(vals) // cols
+    return vals.reshape(rows, cols).T.reshape(-1)
 
 
 def l1post_decode_hard(cells: np.ndarray, l1pre: L1Pre) -> L1Post | None:

@@ -218,6 +218,14 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
         u_iota = jax.lax.broadcasted_iota(jnp.int32, (360, B), 0)
         big = jnp.asarray(_BIG, DT)
 
+        def vroll(x, shift):
+            # Mosaic only implements dynamic sublane rotates for 32-bit
+            # dtypes; for bf16 pack lane pairs into f32, rotate, unpack.
+            if jnp.dtype(DT).itemsize == 4:
+                return pltpu.roll(x, shift, axis=0)
+            x32 = pltpu.bitcast(x, jnp.float32)
+            return pltpu.bitcast(pltpu.roll(x32, shift, axis=0), DT)
+
         def in_dma(slot, layer):
             return pltpu.make_async_copy(
                 c2v_in.at[layer], in_buf.at[slot], in_sem.at[slot])
@@ -246,7 +254,7 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
                 def _():
                     g = g_ref[t * degmax + j]
                     s = s_ref[t * degmax + j]
-                    aligned = pltpu.roll(tinfo_out[g], s, axis=0)
+                    aligned = vroll(tinfo_out[g], s)
                     msgs[j] = aligned - in_buf[slot, j]
 
                 @pl.when(j >= deg)
@@ -255,7 +263,7 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
             msgs[degmax] = tpar_out[t] - in_buf[slot, degmax]
             tm1 = jax.lax.rem(t + q - 1, q)
             shift_prev = jnp.where(t == 0, 1, 0)
-            prev_al = pltpu.roll(tpar_out[tm1], shift_prev, axis=0)
+            prev_al = vroll(tpar_out[tm1], shift_prev)
             mask0 = jnp.where(
                 jnp.logical_and(t == 0, u_iota == 0), big,
                 jnp.asarray(0.0, DT))
@@ -297,8 +305,7 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
                     s = s_ref[t * degmax + j]
                     delta = newc[j] - in_buf[slot, j]
                     back = jax.lax.rem(360 - s, 360)
-                    tinfo_out[g] = tinfo_out[g] + pltpu.roll(
-                        delta, back, axis=0)
+                    tinfo_out[g] = tinfo_out[g] + vroll(delta, back)
                     out_buf[slot, j] = newc[j]
 
                 @pl.when(j >= deg)
@@ -310,7 +317,7 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
             # t==0: aligned slot u maps to par[q-1][u-1]; u=0 is the masked
             # non-edge and par[q-1][359] has no prev-edge consumer
             shift_back = jnp.where(t == 0, 359, 0)
-            rolled = pltpu.roll(prev_new, shift_back, axis=0)
+            rolled = vroll(prev_new, shift_back)
             keep = jnp.logical_and(t == 0, u_iota == 359)
             tpar_out[tm1] = jnp.where(keep, tpar_out[tm1], rolled)
             out_buf[slot, E - 1] = newc[E - 1]

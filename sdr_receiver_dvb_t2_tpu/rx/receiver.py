@@ -111,9 +111,13 @@ class T2Receiver:
         body = p1.start + rxp1.P1_LEN
         carriers = rxdemod.extract_carriers(params, x, body)
         dres = rxdemod.equalize_frame(params, carriers)
-        l1post = l1mod.l1post_decode_hard(
-            dres.frame_cells[l1mod.L1_PRE_CELLS:
-                             l1mod.L1_PRE_CELLS + l1pre.l1_post_size], l1pre)
+        l1_cells = dres.frame_cells[l1mod.L1_PRE_CELLS:
+                                    l1mod.L1_PRE_CELLS + l1pre.l1_post_size]
+        l1post = l1mod.l1post_decode_hard(l1_cells, l1pre)
+        if l1post is None:
+            # soft fallback: use the L1 LDPC parity the reference discards
+            nvar = 10.0 ** (-min(dres.snr_db, 35.0) / 10.0)
+            l1post = l1mod.l1post_decode_soft(l1_cells, l1pre, nvar=nvar)
         if l1post is None:
             if _ladder:
                 ladder = self._sco_ladder(x)
@@ -241,10 +245,13 @@ class T2Receiver:
         if l1post_cached is not None:
             l1post = l1post_cached
         else:
-            l1post = l1mod.l1post_decode_hard(
-                dres.frame_cells[l1mod.L1_PRE_CELLS:
-                                 l1mod.L1_PRE_CELLS + l1pre.l1_post_size],
-                l1pre)
+            cells_l1 = dres.frame_cells[l1mod.L1_PRE_CELLS:
+                                        l1mod.L1_PRE_CELLS
+                                        + l1pre.l1_post_size]
+            l1post = l1mod.l1post_decode_hard(cells_l1, l1pre)
+            if l1post is None:
+                nvar = 10.0 ** (-min(dres.snr_db, 35.0) / 10.0)
+                l1post = l1mod.l1post_decode_soft(cells_l1, l1pre, nvar=nvar)
             if l1post is None:
                 # CRC failed this frame: fall back to the last good L1-post
                 # (CCM streams keep the configurable part and, typically,

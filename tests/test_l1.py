@@ -87,3 +87,27 @@ def test_l1pre_fixed_total_bits():
 
 
 L1PRE_TOTAL = (L1.L1PRE_KSIG + 168 + (12960 - L1.L1PRE_N_PUNC))
+
+
+def test_l1post_soft_decode_beats_hard():
+    """Soft L1-post decode (uses the LDPC parity the reference discards)
+    recovers where hard decisions fail."""
+    rng = np.random.default_rng(5)
+    p = T2Params()
+    pre, post = L1.build_l1(p, [PLPParams()], l1_post_mod=1)
+    post.dyn.plp[0].num_blocks = 9
+    cells = L1.l1post_encode(post, 1)
+    nvar = 10 ** (-5 / 10)
+    noisy = cells + (rng.normal(0, np.sqrt(nvar / 2), len(cells))
+                     + 1j * rng.normal(0, np.sqrt(nvar / 2), len(cells)))
+    assert L1.l1post_decode_hard(noisy, pre) is None
+    soft = L1.l1post_decode_soft(noisy, pre, nvar=nvar)
+    assert soft is not None
+    assert soft.dyn.plp[0].num_blocks == 9
+
+
+def test_l1post_unpack_rejects_corrupt_counts():
+    """A corrupted num_plp must not walk the parser off the buffer."""
+    bits = np.zeros(400, dtype=np.uint8)
+    bits[15:23] = 1  # num_plp = 255
+    assert L1.L1Post.unpack(bits, num_rf=1, has_fef=False) is None
