@@ -154,7 +154,7 @@ def make_decoder_nb(frame: FECFrame, rate: CodeRate, iters: int,
                                interpret=interpret, dtype=dtype)
 
     def decode(llrs_t):
-        ti, tp = llrs_nb_to_qc_jnp(tab, llrs_t.astype(dtype))
+        ti, tp = llrs_nb_to_qc_jnp(tab, llrs_t.astype(jnp.float32))
         ti2, tp2 = core(ti, tp)
         return qc_to_bits_nb_jnp(tab, ti2, tp2)
 
@@ -208,6 +208,10 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
     g_host = tab.entry_g.reshape(-1).astype(np.int32)
     s_host = tab.entry_s.reshape(-1).astype(np.int32)
     n_steps = iters * q
+    # dtype parameterizes only the HBM-streamed c2v messages (the DMA
+    # traffic); totals and compute stay float32 -- Mosaic's dynamic sublane
+    # rotate only supports 32-bit data and 360 rows break the bf16 bitcast
+    # alignment, and f32 totals also keep the additive updates exact.
     DT = dtype
 
     def kernel(deg_ref, g_ref, s_ref, tinfo_in, tpar_in, c2v_in,
@@ -216,15 +220,10 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
         tinfo_out[:] = tinfo_in[:]
         tpar_out[:] = tpar_in[:]
         u_iota = jax.lax.broadcasted_iota(jnp.int32, (360, B), 0)
-        big = jnp.asarray(_BIG, DT)
+        big = jnp.asarray(_BIG, jnp.float32)
 
         def vroll(x, shift):
-            # Mosaic only implements dynamic sublane rotates for 32-bit
-            # dtypes; for bf16 pack lane pairs into f32, rotate, unpack.
-            if jnp.dtype(DT).itemsize == 4:
-                return pltpu.roll(x, shift, axis=0)
-            x32 = pltpu.bitcast(x, jnp.float32)
-            return pltpu.bitcast(pltpu.roll(x32, shift, axis=0), DT)
+            return pltpu.roll(x, shift, axis=0)
 
         def in_dma(slot, layer):
             return pltpu.make_async_copy(
@@ -255,24 +254,26 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
                     g = g_ref[t * degmax + j]
                     s = s_ref[t * degmax + j]
                     aligned = vroll(tinfo_out[g], s)
-                    msgs[j] = aligned - in_buf[slot, j]
+                    msgs[j] = aligned - in_buf[slot, j].astype(jnp.float32)
 
                 @pl.when(j >= deg)
                 def _():
-                    msgs[j] = jnp.full((360, B), _BIG, DT)
-            msgs[degmax] = tpar_out[t] - in_buf[slot, degmax]
+                    msgs[j] = jnp.full((360, B), _BIG, jnp.float32)
+            msgs[degmax] = (tpar_out[t]
+                            - in_buf[slot, degmax].astype(jnp.float32))
             tm1 = jax.lax.rem(t + q - 1, q)
             shift_prev = jnp.where(t == 0, 1, 0)
             prev_al = vroll(tpar_out[tm1], shift_prev)
             mask0 = jnp.where(
                 jnp.logical_and(t == 0, u_iota == 0), big,
-                jnp.asarray(0.0, DT))
-            msgs[E - 1] = prev_al - in_buf[slot, E - 1] + mask0
+                jnp.asarray(0.0, jnp.float32))
+            msgs[E - 1] = (prev_al
+                           - in_buf[slot, E - 1].astype(jnp.float32) + mask0)
 
             # ---- two-minimum + leave-one-out sign ----
             m0 = msgs[0]
             min1 = jnp.abs(m0)
-            min2 = jnp.full((360, B), _BIG, DT)
+            min2 = jnp.full((360, B), _BIG, jnp.float32)
             amin = jnp.zeros((360, B), jnp.int32)
             nneg = (m0 < 0).astype(jnp.int32)
             for j in range(1, E):
@@ -283,8 +284,7 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
                 min1 = jnp.where(is_new, aj, min1)
                 amin = jnp.where(is_new, j, amin)
                 nneg = nneg + (mj < 0).astype(jnp.int32)
-            sign_all = (1.0 - 2.0 * jax.lax.rem(nneg, 2).astype(jnp.float32)
-                        ).astype(DT)
+            sign_all = 1.0 - 2.0 * jax.lax.rem(nneg, 2).astype(jnp.float32)
 
             @pl.when(idx >= 2)
             def _():
@@ -293,9 +293,8 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
             for j in range(E):
                 mj = msgs[j]
                 loo = jnp.where(amin == j, min2, min1)
-                sgn = sign_all * jnp.where(mj < 0, -1.0, 1.0).astype(DT)
-                newc[j] = sgn * jnp.maximum(loo - jnp.asarray(off, DT),
-                                            jnp.asarray(0.0, DT))
+                sgn = sign_all * jnp.where(mj < 0, -1.0, 1.0)
+                newc[j] = sgn * jnp.maximum(loo - off, 0.0)
 
             # ---- additive write-backs ----
             for j in range(degmax):
@@ -303,24 +302,29 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
                 def _():
                     g = g_ref[t * degmax + j]
                     s = s_ref[t * degmax + j]
-                    delta = newc[j] - in_buf[slot, j]
+                    stored = newc[j].astype(DT)
+                    delta = (stored.astype(jnp.float32)
+                             - in_buf[slot, j].astype(jnp.float32))
                     back = jax.lax.rem(360 - s, 360)
                     tinfo_out[g] = tinfo_out[g] + vroll(delta, back)
-                    out_buf[slot, j] = newc[j]
+                    out_buf[slot, j] = stored
 
                 @pl.when(j >= deg)
                 def _():
                     out_buf[slot, j] = jnp.zeros((360, B), DT)
-            tpar_out[t] = msgs[degmax] + newc[degmax]
-            out_buf[slot, degmax] = newc[degmax]
-            prev_new = msgs[E - 1] + newc[E - 1] - mask0
+            stored_self = newc[degmax].astype(DT)
+            tpar_out[t] = msgs[degmax] + stored_self.astype(jnp.float32)
+            out_buf[slot, degmax] = stored_self
+            stored_prev = newc[E - 1].astype(DT)
+            prev_new = (msgs[E - 1] + stored_prev.astype(jnp.float32)
+                        - mask0)
             # t==0: aligned slot u maps to par[q-1][u-1]; u=0 is the masked
             # non-edge and par[q-1][359] has no prev-edge consumer
             shift_back = jnp.where(t == 0, 359, 0)
             rolled = vroll(prev_new, shift_back)
             keep = jnp.logical_and(t == 0, u_iota == 359)
             tpar_out[tm1] = jnp.where(keep, tpar_out[tm1], rolled)
-            out_buf[slot, E - 1] = newc[E - 1]
+            out_buf[slot, E - 1] = stored_prev
             out_dma(slot, t).start()
             return 0
 
@@ -344,9 +348,9 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((E, 360, B), dtype),    # msgs
-            pltpu.VMEM((E, 360, B), dtype),    # newc
-            pltpu.VMEM((2, E, 360, B), dtype),  # in_buf
+            pltpu.VMEM((E, 360, B), jnp.float32),    # msgs
+            pltpu.VMEM((E, 360, B), jnp.float32),    # newc
+            pltpu.VMEM((2, E, 360, B), dtype),  # in_buf (c2v storage dtype)
             pltpu.VMEM((2, E, 360, B), dtype),  # out_buf
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -357,8 +361,8 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((G + 1, 360, B), dtype),
-            jax.ShapeDtypeStruct((q, 360, B), dtype),
+            jax.ShapeDtypeStruct((G + 1, 360, B), jnp.float32),
+            jax.ShapeDtypeStruct((q, 360, B), jnp.float32),
             jax.ShapeDtypeStruct((q, E, 360, B), dtype),
         ),
         input_output_aliases={3: 0, 4: 1, 5: 2},
@@ -372,8 +376,8 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
         c2v0 = jnp.zeros((q, E, 360, B), dtype)
         ti, tp, _ = call(jnp.asarray(deg_host), jnp.asarray(g_host),
                          jnp.asarray(s_host),
-                         total_info.astype(dtype), total_par.astype(dtype),
-                         c2v0)
+                         total_info.astype(jnp.float32),
+                         total_par.astype(jnp.float32), c2v0)
         return ti, tp
 
     return jax.jit(decode)
