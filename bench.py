@@ -29,6 +29,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the fused 32K pipeline takes minutes to
+    # compile through the remote-compile tunnel; cache hits cut reruns to
+    # seconds
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from sdr_receiver_dvb_t2_tpu.dvbt2 import ldpc as ldpcmod
     from sdr_receiver_dvb_t2_tpu.dvbt2.params import (
         CodeRate, Constellation, FECFrame, FFTMode, GuardInterval,
