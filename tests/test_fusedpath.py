@@ -99,3 +99,29 @@ def test_device_receiver_end_to_end():
     res = DeviceT2Receiver().receive(out.samples)
     assert res.stats.frames_decoded == 1
     assert len(res.ts) > 0
+
+
+def test_fused_demod_1k_multi_p2_and_fc():
+    """1K FFT: 16 P2 symbols (even/odd classes) + frame-closing symbol."""
+    from sdr_receiver_dvb_t2_tpu.dvbt2.params import (FFTMode, GuardInterval,
+                                                      PilotPattern)
+    p = T2Params(fft_mode=FFTMode.FFT_1K, guard=GuardInterval.GI_1_16,
+                 pilot_pattern=PilotPattern.PP1, extended_carrier=False,
+                 n_data=20)
+    assert p.n_p2 == 16 and p.has_fc
+    plp = PLPParams(constellation=Constellation.QPSK, rate=CodeRate.C1_2,
+                    fec_frame=FECFrame.SHORT, rotated=False,
+                    num_blocks_max=2, time_il_length=1)
+    mod = T2Modulator(p, [plp])
+    ts = RNG.integers(0, 256, (mod.packets_needed(1) + 4, 188)
+                      ).astype(np.uint8)
+    ts[:, 0] = 0x47
+    out = mod.modulate(ts.reshape(-1), 1)
+    carriers = npd.extract_carriers(p, out.samples, 2048)
+    oracle = npd.equalize_frame(p, carriers).frame_cells
+    fd = fp.FusedFrameDemod(p)
+    body = out.samples[2048:2048 + p.len_frame * p.symbol_size]
+    body2 = np.stack([np.real(body), np.imag(body)], -1).astype(np.float32)
+    flat2 = np.asarray(fd._fn(jnp.asarray(body2)))
+    flat = flat2[:, 0] + 1j * flat2[:, 1]
+    np.testing.assert_allclose(flat[fd.layout], oracle, atol=1e-3)
