@@ -159,3 +159,14 @@ def test_e2e_two_plps():
     src = {p_.tobytes() for p_ in flat}
     for pkt in res.ts.reshape(-1, 188):
         assert pkt.tobytes() in src
+
+
+def test_no_signal_returns_empty():
+    """Noise-only capture: the receiver reports no frames (the reference
+    pops its bad_signal dialog and stops, main_window.cpp:323-331)."""
+    rng = np.random.default_rng(9)
+    noise = (rng.normal(size=300000)
+             + 1j * rng.normal(size=300000)).astype(np.complex64)
+    res = T2Receiver().receive(noise)
+    assert res.stats.frames_decoded == 0
+    assert len(res.ts) == 0
