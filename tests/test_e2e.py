@@ -170,3 +170,16 @@ def test_no_signal_returns_empty():
     res = T2Receiver().receive(noise)
     assert res.stats.frames_decoded == 0
     assert len(res.ts) == 0
+
+
+def test_e2e_16k_fft():
+    p = T2Params(fft_mode=FFTMode.FFT_16K, guard=GuardInterval.GI_1_16,
+                 pilot_pattern=PilotPattern.PP3, extended_carrier=False,
+                 n_data=5)
+    plp = PLPParams(constellation=Constellation.QAM64, rate=CodeRate.C3_4,
+                    fec_frame=FECFrame.SHORT, num_blocks_max=3,
+                    time_il_length=1)
+    flat, res = run_loopback(p, plp, n_frames=1)
+    got = res.ts
+    assert len(got) > 0
+    np.testing.assert_array_equal(got, flat[:len(got)])
