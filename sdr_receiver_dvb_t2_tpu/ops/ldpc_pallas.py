@@ -145,13 +145,32 @@ def qc_to_bits_nb_jnp(tab: QCTables, total_info, total_par):
     return (jnp.concatenate([info, par], axis=0) < 0).astype(jnp.uint8)
 
 
+_VMEM_BUDGET = 96 * 1024 * 1024
+
+
+def make_core(frame: FECFrame, rate: CodeRate, iters: int, batch: int,
+              interpret: bool = False, dtype=None, variant: str = "auto"):
+    """Select the layered-decoder core: fully-VMEM-resident when the code
+    fits (zero HBM traffic per iteration), HBM-streamed otherwise."""
+    if variant == "auto":
+        fits = vmem_fit_bytes(frame, rate, batch) <= _VMEM_BUDGET
+        variant = "vmem" if fits else "hbm"
+    if variant == "vmem":
+        return make_pallas_layered_vmem(
+            frame, rate, iters, batch, interpret=interpret,
+            dtype=dtype or jnp.bfloat16)
+    return make_pallas_layered(frame, rate, iters, batch,
+                               interpret=interpret,
+                               dtype=dtype or jnp.float32)
+
+
 def make_decoder_nb(frame: FECFrame, rate: CodeRate, iters: int,
                     batch: int, interpret: bool = False,
-                    dtype=jnp.float32):
+                    dtype=None, variant: str = "auto"):
     """Pallas layered decoder over (N, B) transposed LLR layout."""
     tab = qc_tables(frame, rate)
-    core = make_pallas_layered(frame, rate, iters, batch,
-                               interpret=interpret, dtype=dtype)
+    core = make_core(frame, rate, iters, batch, interpret=interpret,
+                     dtype=dtype, variant=variant)
 
     def decode(llrs_t):
         ti, tp = llrs_nb_to_qc_jnp(tab, llrs_t.astype(jnp.float32))
@@ -162,11 +181,12 @@ def make_decoder_nb(frame: FECFrame, rate: CodeRate, iters: int,
 
 
 def make_decoder_natural(frame: FECFrame, rate: CodeRate, iters: int,
-                         batch: int, interpret: bool = False):
+                         batch: int, interpret: bool = False,
+                         variant: str = "auto"):
     """Pallas layered decoder with natural (B, N) in/out layout."""
     tab = qc_tables(frame, rate)
-    core = make_pallas_layered(frame, rate, iters, batch,
-                               interpret=interpret)
+    core = make_core(frame, rate, iters, batch, interpret=interpret,
+                     variant=variant)
 
     def decode(llrs):
         ti, tp = llrs_to_qc_jnp(tab, llrs.astype(jnp.float32))
@@ -190,7 +210,11 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
     """Pallas TPU layered decoder.
 
     Returns fn(total_info (G+1,360,B), total_par (q,360,B)) -> updated totals
-    (same layout as `llrs_to_qc`).  State residency:
+    (same layout as `llrs_to_qc`).  NOTE: c2v messages persist across
+    iterations through the aliased HBM in/out buffers -- correct on
+    hardware (donated buffers), but interpret mode does not honor the
+    aliasing, so interpret-mode results only match the reference schedule
+    for the first iteration.  State residency:
       - bit-group totals + parity totals: VMEM for the whole decode
       - c2v edge messages: HBM, streamed per layer with double-buffered DMA
     Per layer the compute is deg static-shift rolls + a two-minimum scan over
@@ -379,6 +403,165 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
                          total_info.astype(jnp.float32),
                          total_par.astype(jnp.float32), c2v0)
         return ti, tp
+
+    return jax.jit(decode)
+
+
+def vmem_fit_bytes(frame: FECFrame, rate: CodeRate, batch: int,
+                   c2v_bytes: int = 2) -> int:
+    """VMEM bytes the fully-resident kernel needs for this code/batch."""
+    tab = qc_tables(frame, rate)
+    tile = 360 * batch
+    e = tab.degmax + 2
+    return (tile * 4 * (tab.n_groups + 1)      # totals (info)
+            + tile * 4 * tab.q                 # totals (parity)
+            + tile * c2v_bytes * tab.q * e     # resident c2v
+            + tile * 4 * e                     # msgs scratch
+            + tile * 4 * 4)                    # slack (iota/masks/regs)
+
+
+def make_pallas_layered_vmem(frame: FECFrame, rate: CodeRate, iters: int,
+                             batch: int, offset: float = 0.5,
+                             interpret: bool = False, dtype=jnp.bfloat16):
+    """Fully VMEM-resident Pallas layered decoder (no per-layer HBM traffic).
+
+    Unlike `make_pallas_layered` (which streams c2v messages through HBM
+    with double-buffered DMA and drives the layer schedule with dynamic
+    scalar-prefetched tables), this variant statically unrolls the q layers
+    inside the iteration loop, so:
+      - every cyclic shift is a *static* `pltpu.roll` (no dynamic sublane
+        rotate),
+      - there are no scalar-ref reads or `pl.when` degree branches,
+      - the c2v edge messages live in a VMEM scratch for the whole decode
+        (bf16 by default): zero HBM traffic per iteration.
+    Totals are DMA'd HBM->VMEM once at entry and back once at exit.
+
+    Only valid when `vmem_fit_bytes` is within the chip's VMEM (~100 MB);
+    `make_decoder_nb` auto-selects this variant when it fits.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tab = qc_tables(frame, rate)
+    q, degmax, G = tab.q, tab.degmax, tab.n_groups
+    E = degmax + 2
+    B = batch
+    off = np.float32(offset)
+    DT = dtype
+    layer_deg = [int(d) for d in tab.layer_deg]
+    entry_g = tab.entry_g
+    entry_s = tab.entry_s
+
+    def kernel(tinfo_hbm, tpar_hbm, tinfo_out, tpar_out,
+               vti, vtp, c2v, msgs, sem_i, sem_p):
+        cp_i = pltpu.make_async_copy(tinfo_hbm, vti, sem_i)
+        cp_p = pltpu.make_async_copy(tpar_hbm, vtp, sem_p)
+        cp_i.start(); cp_p.start()
+        u_iota = jax.lax.broadcasted_iota(jnp.int32, (360, B), 0)
+        big = jnp.asarray(_BIG, jnp.float32)
+        mask0 = jnp.where(u_iota == 0, big, jnp.asarray(0.0, jnp.float32))
+        for t in range(q):
+            c2v[t] = jnp.zeros((E, 360, B), DT)
+        cp_i.wait(); cp_p.wait()
+
+        def layer(t):
+            deg = layer_deg[t]
+            et = deg + 2
+            # ---- pass 1: v2c messages + running two-minimum scan ----
+            min1 = min2 = amin = nneg = None
+            for j in range(et):
+                if j < deg:
+                    g, s = int(entry_g[t, j]), int(entry_s[t, j])
+                    aligned = pltpu.roll(vti[g], s, axis=0)
+                    m = aligned - c2v[t, j].astype(jnp.float32)
+                elif j == deg:
+                    m = vtp[t] - c2v[t, j].astype(jnp.float32)
+                else:
+                    if t > 0:
+                        prev = vtp[t - 1]
+                        m = prev - c2v[t, j].astype(jnp.float32)
+                    else:
+                        prev = pltpu.roll(vtp[q - 1], 1, axis=0)
+                        m = prev - c2v[t, j].astype(jnp.float32) + mask0
+                msgs[j] = m
+                aj = jnp.abs(m)
+                neg = (m < 0).astype(jnp.int32)
+                if j == 0:
+                    min1 = aj
+                    min2 = jnp.full((360, B), _BIG, jnp.float32)
+                    amin = jnp.zeros((360, B), jnp.int32)
+                    nneg = neg
+                else:
+                    is_new = aj < min1
+                    min2 = jnp.where(is_new, min1, jnp.minimum(min2, aj))
+                    min1 = jnp.where(is_new, aj, min1)
+                    amin = jnp.where(is_new, j, amin)
+                    nneg = nneg + neg
+            sign_all = 1.0 - 2.0 * jax.lax.rem(nneg, 2).astype(jnp.float32)
+
+            # ---- pass 2: new c2v + additive total write-backs ----
+            for j in range(et):
+                mj = msgs[j]
+                loo = jnp.where(amin == j, min2, min1)
+                sgn = sign_all * jnp.where(mj < 0, -1.0, 1.0)
+                stored = (sgn * jnp.maximum(loo - off, 0.0)).astype(DT)
+                new = stored.astype(jnp.float32)
+                if j < deg:
+                    g, s = int(entry_g[t, j]), int(entry_s[t, j])
+                    delta = new - c2v[t, j].astype(jnp.float32)
+                    vti[g] = vti[g] + pltpu.roll(delta, (360 - s) % 360,
+                                                 axis=0)
+                elif j == deg:
+                    vtp[t] = mj + new
+                else:
+                    prev_new = mj + new
+                    if t > 0:
+                        vtp[t - 1] = prev_new
+                    else:
+                        # aligned slot u maps to par[q-1][u-1]; u=0 is the
+                        # masked non-edge, par[q-1][359] has no consumer
+                        rolled = pltpu.roll(prev_new - mask0, 359, axis=0)
+                        vtp[q - 1] = jnp.where(u_iota == 359, vtp[q - 1],
+                                               rolled)
+                c2v[t, j] = stored
+
+        def body(_, carry):
+            for t in range(q):
+                layer(t)
+            return carry
+
+        jax.lax.fori_loop(0, iters, body, 0)
+        cp_oi = pltpu.make_async_copy(vti, tinfo_out, sem_i)
+        cp_op = pltpu.make_async_copy(vtp, tpar_out, sem_p)
+        cp_oi.start(); cp_op.start()
+        cp_oi.wait(); cp_op.wait()
+
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_shape=(
+            jax.ShapeDtypeStruct((G + 1, 360, B), jnp.float32),
+            jax.ShapeDtypeStruct((q, 360, B), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((G + 1, 360, B), jnp.float32),   # vti
+            pltpu.VMEM((q, 360, B), jnp.float32),       # vtp
+            pltpu.VMEM((q, E, 360, B), DT),             # resident c2v
+            pltpu.VMEM((E, 360, B), jnp.float32),       # msgs
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def decode(total_info, total_par):
+        return call(total_info.astype(jnp.float32),
+                    total_par.astype(jnp.float32))
 
     return jax.jit(decode)
 
