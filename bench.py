@@ -102,11 +102,14 @@ def main():
     cw_tx[:, pperm] = u
 
     print("compiling fused device pipeline...", file=sys.stderr)
-    n_frames = 8  # frames per super-step: amortizes the row gathers
-    mf = fusedpath.MultiFramePath(p, plp, num_blocks, n_frames)
+    import jax.numpy as _jnp
+    # frames per super-step: every gather row carries all F frames, so the
+    # per-frame cost of the 1M-index PLP permutation scales as 1/F
+    n_frames = 32
+    mf = fusedpath.MultiFramePath(p, plp, num_blocks, n_frames,
+                                  llr_dtype=_jnp.bfloat16)
     code = ldpcmod.get_code(plp.fec_frame, plp.rate)
     iters = 10
-    import jax.numpy as _jnp
     decode = qldpc.make_decoder_nb(plp.fec_frame, plp.rate,
                                    iters=iters, batch=num_blocks,
                                    dtype=_jnp.bfloat16)

@@ -44,6 +44,15 @@ class _Class:
         self.inv_ref = inv_ref          # (np_c, nc) float32, 1/ref
         self.stencil = stencil          # (il, ir, w): row indices + weight
         self.comp_rows = comp_rows      # (n_data_c,) data+FI composed rows
+        # classes are arithmetic progressions of symbol indices by
+        # construction (P2 parity / l mod dy / FC) -> expressible as a
+        # strided slice, which is much cheaper than a middle-axis gather
+        self.start = int(sym_cols[0])
+        self.step = int(sym_cols[1] - sym_cols[0]) if len(sym_cols) > 1 else 1
+        self.count = len(sym_cols)
+        assert np.array_equal(
+            np.asarray(sym_cols),
+            self.start + self.step * np.arange(self.count))
 
 
 class FusedFrameDemod:
@@ -218,21 +227,29 @@ class FusedPLPPath:
 
 
 class MultiFramePath:
-    """F-frame batched demod + PLP path: amortizes the row gathers (which
-    run at a fixed ~1e8 rows/s on the chip regardless of row width) across
-    F frames by widening every gathered row to F*2 floats.
+    """F-frame batched demod + PLP path, carrier-major with the frame axis
+    folded into the *row width* of every gather.
+
+    TPU gathers run at a roughly fixed index rate regardless of row width
+    (verify skill / measured ~1e8 rows/s), so the per-frame cost of the
+    big PLP cell permutation (nb*cpf composed indices) scales as 1/F: all
+    arrays keep (..., F) minor so each gathered row carries all F frames.
+    At F=32..64 a row is 256..512 B = a full (8,128) vreg row.  Stage
+    profile that motivated this layout (tools/path_microbench.py, F=8):
+    the (total, F, 2) transpose + 1M-row PLP gather cost 6.5 ms/frame of
+    the 14.7 ms total; with F on the minor axis it amortizes to ~0.2 ms.
 
     fn(bodies (F, len_frame*symbol_size, 2), inv_nvar)
-      -> (n_ldpc, F, nb) LLRs; feed lanes per frame (or F x nb reshaped
-         chunks of 128) to the Pallas decoder.
+      -> (n_ldpc, nb, F) LLRs; feed lanes per frame to the Pallas decoder.
     """
 
     def __init__(self, p: T2Params, plp: PLPParams, num_blocks: int,
-                 n_frames: int):
+                 n_frames: int, llr_dtype=jnp.float32):
         self.p = p
         self.plp = plp
         self.num_blocks = num_blocks
         self.n_frames = n_frames
+        self.llr_dtype = llr_dtype
         self.demod = get_fused_demod(p)
         self.single = get_fused_plp_path(p, plp, num_blocks)
         self._fn = jax.jit(self._build())
@@ -246,8 +263,11 @@ class MultiFramePath:
         m = plp.bits_per_cell
         half = m // 2
         classes = self.demod.classes
-        comp = self.single.comp
+        # cell-major ordering of the composed PLP permutation so the LLR
+        # pipeline keeps (nb, F) minor and never transposes them
+        comp_cm = self.single.comp.reshape(nb, cpf).T.reshape(-1)
         bit_inv = self.single.bit_inv
+        llr_dtype = self.llr_dtype
         rot_re = np.float32(np.real(self.single.rot))
         rot_im = np.float32(np.imag(self.single.rot))
         from ..dvbt2.tables import NORM_FACTOR, _gray_levels
@@ -257,23 +277,6 @@ class MultiFramePath:
         axis_masks = np.stack(
             [(words >> (half - 1 - b)) & 1 for b in range(half)]).astype(bool)
         inf = np.float32(1e30)
-
-        def demod_one(body2):
-            body = jax.lax.complex(body2[:, 0], body2[:, 1])
-            sym = body.reshape(p.len_frame, p.symbol_size)[:, p.guard_size:]
-            spec = jnp.fft.fftshift(jnp.fft.fft(sym, axis=1), axes=1)
-            car = spec[:, p.left_nulls:p.left_nulls + p.k_total]
-            x = car.T
-            outs = []
-            for c in classes:
-                xc = x[:, c.sym_cols]
-                pr = xc[c.pilot_rows, :]
-                est_p = pr * c.inv_ref
-                il, ir, w = c.stencil
-                ch = est_p[il, :] * (1.0 - w) + est_p[ir, :] * w
-                eq = xc / ch
-                outs.append(eq[c.comp_rows, :].reshape(-1))
-            return jnp.concatenate(outs)           # (total_cells,) complex
 
         def axis_llrs(xax, inv_nvar):
             d2 = (xax[..., None] - levels) ** 2    # (..., 2^half)
@@ -285,25 +288,42 @@ class MultiFramePath:
             return jnp.stack(out, axis=-1)         # (..., half)
 
         def run(bodies, inv_nvar):
-            flat = jax.vmap(demod_one)(bodies)     # (F, total) complex
-            wide = jnp.stack([jnp.real(flat), jnp.imag(flat)],
-                             axis=-1)              # (F, total, 2)
-            wide = jnp.transpose(wide, (1, 0, 2))  # (total, F, 2)
-            cells = wide[comp]                     # ONE row gather (nc, F, 2)
-            re = cells[..., 0].reshape(nb, cpf, f)
-            im = cells[..., 1].reshape(nb, cpf, f)
+            body = jax.lax.complex(bodies[..., 0], bodies[..., 1])  # (F, S)
+            sym = body.reshape(f, p.len_frame, p.symbol_size
+                               )[:, :, p.guard_size:]
+            spec = jnp.fft.fftshift(jnp.fft.fft(sym, axis=-1), axes=-1)
+            car = spec[..., p.left_nulls:p.left_nulls + p.k_total]
+            x = jnp.transpose(car, (2, 1, 0))      # (k_total, n_sym, F)
+            outs = []
+            for c in classes:
+                xc = jax.lax.slice_in_dim(
+                    x, c.start, c.start + c.step * (c.count - 1) + 1,
+                    c.step, axis=1)                # (k, nc, F)
+                pr = xc[c.pilot_rows]              # row gather (np_c, nc, F)
+                est_p = pr * c.inv_ref[:, :, None]
+                il, ir, w = c.stencil
+                w3 = w[..., None]                  # (k, 1, 1)
+                ch = est_p[il] * (1.0 - w3) + est_p[ir] * w3
+                eq = xc / ch
+                outs.append(eq[c.comp_rows].reshape(-1, f))
+            flat = jnp.concatenate(outs, axis=0)   # (total, F) complex
+            wide = jnp.concatenate([jnp.real(flat), jnp.imag(flat)],
+                                   axis=1)         # (total, 2F) planar
+            cells = wide[comp_cm]                  # ONE row gather, 2F wide
+            cells = cells.reshape(cpf, nb, 2 * f)
+            re = cells[..., :f]                    # (cpf, nb, F)
+            im = cells[..., f:]
             if plp.rotated:
-                im = jnp.roll(im, -1, axis=1)
+                im = jnp.roll(im, -1, axis=0)      # cyclic Q-delay per block
                 re, im = (re * rot_re - im * rot_im,
                           re * rot_im + im * rot_re)
-            li = axis_llrs(re, inv_nvar)           # (nb, cpf, F, half)
+            li = axis_llrs(re, inv_nvar)           # (cpf, nb, F, half)
             lq = axis_llrs(im, inv_nvar)
-            v = jnp.stack([li, lq], axis=-1)       # (nb, cpf, F, half, 2)
-            # cell-word bit order y0(I),y1(Q),y2(I)...: interleave half/2
-            v = jnp.transpose(v, (0, 1, 3, 4, 2))  # (nb, cpf, half, 2, F)
-            v = v.reshape(nb, cpf * m, f)
-            vt = jnp.transpose(v, (1, 0, 2))       # (n_ldpc, nb, F)
-            return vt[bit_inv]                     # row gather (n_ldpc,nb,F)
+            v = jnp.stack([li, lq], axis=-1)       # (cpf, nb, F, half, 2)
+            # cell-word bit order y0(I),y1(Q),y2(I)...: (nb, F) stays minor
+            v = jnp.transpose(v, (0, 3, 4, 1, 2))  # (cpf, half, 2, nb, F)
+            v = v.reshape(cpf * m, nb, f).astype(llr_dtype)
+            return v[bit_inv]                      # row gather (n_ldpc,nb,F)
 
         return run
 
