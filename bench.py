@@ -104,8 +104,9 @@ def main():
     print("compiling fused device pipeline...", file=sys.stderr)
     import jax.numpy as _jnp
     # frames per super-step: every gather row carries all F frames, so the
-    # per-frame cost of the 1M-index PLP permutation scales as 1/F
-    n_frames = 32
+    # per-frame cost of the 1M-index PLP permutation scales as 1/F, and
+    # F=128 makes every minor axis a full (8,128) vreg tile
+    n_frames = 128
     mf = fusedpath.MultiFramePath(p, plp, num_blocks, n_frames,
                                   llr_dtype=_jnp.bfloat16)
     code = ldpcmod.get_code(plp.fec_frame, plp.rate)
@@ -116,7 +117,8 @@ def main():
 
     def one_superstep(bodies, inv_nvar):
         llrs = mf._fn(bodies, inv_nvar)        # (n_ldpc, nb, F)
-        outs = [decode(llrs[:, :, fi]) for fi in range(n_frames)]
+        lf = jnp.transpose(llrs, (2, 0, 1))    # frame-major for the decoder
+        outs = [decode(lf[fi]) for fi in range(n_frames)]
         return jnp.stack(outs, axis=-1)        # (n_ldpc, nb, F) bits
 
     # correctness gate without bulk DtoH (the tunneled runtime moves bytes

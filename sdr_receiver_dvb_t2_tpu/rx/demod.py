@@ -86,8 +86,102 @@ class DemodResult:
     channel: np.ndarray | None = None
 
 
+def _interp_complex(k: np.ndarray, pos: np.ndarray,
+                    vals: np.ndarray) -> np.ndarray:
+    return (np.interp(k, pos, vals.real)
+            + 1j * np.interp(k, pos, vals.imag))
+
+
+def _miso_eq_symbol(row: np.ndarray, t1: dict, t2: dict, k: np.ndarray):
+    """One OFDM symbol of MISO combining; returns (deinterleaved cells,
+    sum-channel pilot estimates, ref1) -- the latter two for SNR."""
+    pos = t1["pilot_pos"]
+    ref1 = t1["pilot_ref"]
+    ref2 = t2["pilot_ref"]
+    est = row[pos] / ref1                    # h1 +/- h2 per subset
+    inverted = np.real(ref2 * np.conj(ref1)) < 0
+    s_pos, s_est = pos[~inverted], est[~inverted]
+    d_pos, d_est = pos[inverted], est[inverted]
+    hsum = _interp_complex(k, s_pos, s_est)
+    hdif = _interp_complex(k, d_pos, d_est)
+    h1 = 0.5 * (hsum + hdif)
+    h2 = 0.5 * (hsum - hdif)
+    dpos = t1["data_pos"]
+    r = row[dpos]
+    h1p, h2p = h1[dpos], h2[dpos]
+    r0, r1 = r[0::2], r[1::2]
+    h1_0, h2_0 = h1p[0::2], h2p[0::2]
+    h1_1, h2_1 = h1p[1::2], h2p[1::2]
+    # [r0; r1*] = [[h1_0, -h2_0]; [h2_1*, h1_1*]] [e0; e1*]
+    det = h1_0 * np.conj(h1_1) + h2_0 * np.conj(h2_1)
+    det = np.where(np.abs(det) < 1e-12, 1e-12, det)
+    e0 = (np.conj(h1_1) * r0 + h2_0 * np.conj(r1)) / det
+    e1 = np.conj((-np.conj(h2_1) * r0 + h1_0 * np.conj(r1)) / det)
+    data = np.empty(len(dpos), dtype=np.complex64)
+    data[0::2] = e0
+    data[1::2] = e1
+    return data[t1["rx_gather"]], s_est, ref1
+
+
+def equalize_p2_symbol(p: T2Params, row: np.ndarray) -> np.ndarray:
+    """Equalize + frequency-deinterleave the first P2 symbol only (the
+    acquisition-phase L1-pre gate); MISO-aware."""
+    k = np.arange(p.k_total)
+    if p.miso:
+        import dataclasses as _dc
+        t1 = pilot_tables(_dc.replace(p, miso_group=0))[0]
+        t2 = pilot_tables(_dc.replace(p, miso_group=1))[0]
+        cells, _, _ = _miso_eq_symbol(row, t1, t2, k)
+        return cells
+    tabs = pilot_tables(p)[0]
+    est_p = row[tabs["pilot_pos"]] / tabs["pilot_ref"]
+    est = _interp_complex(k, tabs["pilot_pos"], est_p)
+    eq = row / est
+    return eq[tabs["data_pos"]][tabs["rx_gather"]]
+
+
+def equalize_frame_miso(p: T2Params, carriers: np.ndarray) -> DemodResult:
+    """MISO receive: dual channel estimation + Alamouti pair decode.
+
+    Both transmitter groups send pilots at the same positions; group 2
+    inverts the subset given by the clause-9.2 rule (dvbt2.tables
+    `_miso_inverted`).  A received pilot is therefore
+    ref*(h1+h2) on non-inverted positions and ref*(h1-h2) on inverted
+    ones: interpolating each half-density subset gives the sum and
+    difference channels, hence h1 and h2 per carrier.  Data cells come in
+    clause-9.1 Alamouti pairs  r0 = h1*e0 - h2*e1*,  r1 = h1*e1 + h2*e0*
+    on adjacent data carriers; we solve the exact 2x2 system per pair
+    (zero-forcing, reduces to classic Alamouti combining when the channel
+    is flat across the pair).  The reference receiver is SISO-only
+    (README.md:17-23); its tables anticipate MISO (dvbt2_definition.h
+    pilot maps) but no combining exists -- this exceeds it.
+    """
+    import dataclasses as _dc
+    pg1 = _dc.replace(p, miso_group=0)
+    pg2 = _dc.replace(p, miso_group=1)
+    tabs1 = pilot_tables(pg1)
+    tabs2 = pilot_tables(pg2)
+    assert carriers.shape[0] == len(tabs1) == p.len_frame
+    k = np.arange(p.k_total)
+    cells_out = []
+    err_acc, sig_acc = 0.0, 0.0
+    for row, t1, t2 in zip(carriers, tabs1, tabs2):
+        cells, s_est, ref1 = _miso_eq_symbol(row, t1, t2, k)
+        cells_out.append(cells)
+        d = s_est[1:] - s_est[:-1]
+        err_acc += float(np.mean(np.abs(d) ** 2)) / 2.0 \
+            * float(np.mean(np.abs(ref1) ** 2))
+        sig_acc += float(np.mean(np.abs(s_est) ** 2)) \
+            * float(np.mean(np.abs(ref1) ** 2))
+    snr = 10.0 * np.log10(sig_acc / max(err_acc, 1e-30))
+    return DemodResult(frame_cells=np.concatenate(cells_out), snr_db=snr,
+                       timing_offset=0.0)
+
+
 def equalize_frame(p: T2Params, carriers: np.ndarray) -> DemodResult:
     """Pilot-aided equalization + frequency deinterleave of one frame."""
+    if p.miso:
+        return equalize_frame_miso(p, carriers)
     tabs = pilot_tables(p)
     assert carriers.shape[0] == len(tabs) == p.len_frame
     k = np.arange(p.k_total)

@@ -279,13 +279,16 @@ class MultiFramePath:
         inf = np.float32(1e30)
 
         def axis_llrs(xax, inv_nvar):
-            d2 = (xax[..., None] - levels) ** 2    # (..., 2^half)
+            # level axis LEADING so the minor dims stay (nb, F) -- a
+            # trailing 2^half axis would force (F, 16) tile padding
+            d2 = (xax[None] - levels.reshape(-1, 1, 1, 1)) ** 2
             out = []
             for b in range(half):
-                d0 = jnp.min(jnp.where(axis_masks[b], inf, d2), axis=-1)
-                d1 = jnp.min(jnp.where(axis_masks[b], d2, inf), axis=-1)
+                mask = axis_masks[b].reshape(-1, 1, 1, 1)
+                d0 = jnp.min(jnp.where(mask, inf, d2), axis=0)
+                d1 = jnp.min(jnp.where(mask, d2, inf), axis=0)
                 out.append((d1 - d0) * inv_nvar)
-            return jnp.stack(out, axis=-1)         # (..., half)
+            return jnp.stack(out, axis=0)          # (half, cpf, nb, F)
 
         def run(bodies, inv_nvar):
             body = jax.lax.complex(bodies[..., 0], bodies[..., 1])  # (F, S)
@@ -293,35 +296,41 @@ class MultiFramePath:
                                )[:, :, p.guard_size:]
             spec = jnp.fft.fftshift(jnp.fft.fft(sym, axis=-1), axes=-1)
             car = spec[..., p.left_nulls:p.left_nulls + p.k_total]
-            x = jnp.transpose(car, (2, 1, 0))      # (k_total, n_sym, F)
-            outs = []
+            # planar f32 from here on: complex arrays with small trailing
+            # dims tile poorly, and XLA's complex divide is branch-heavy
+            xr = jnp.transpose(jnp.real(car), (2, 1, 0))  # (k, n_sym, F)
+            xi = jnp.transpose(jnp.imag(car), (2, 1, 0))
+            outs_r, outs_i = [], []
             for c in classes:
-                xc = jax.lax.slice_in_dim(
-                    x, c.start, c.start + c.step * (c.count - 1) + 1,
+                sl = lambda a: jax.lax.slice_in_dim(
+                    a, c.start, c.start + c.step * (c.count - 1) + 1,
                     c.step, axis=1)                # (k, nc, F)
-                pr = xc[c.pilot_rows]              # row gather (np_c, nc, F)
-                est_p = pr * c.inv_ref[:, :, None]
+                xcr, xci = sl(xr), sl(xi)
+                iref = c.inv_ref[:, :, None]
+                epr = xcr[c.pilot_rows] * iref     # row gather (np_c, nc, F)
+                epi = xci[c.pilot_rows] * iref
                 il, ir, w = c.stencil
                 w3 = w[..., None]                  # (k, 1, 1)
-                ch = est_p[il] * (1.0 - w3) + est_p[ir] * w3
-                eq = xc / ch
-                outs.append(eq[c.comp_rows].reshape(-1, f))
-            flat = jnp.concatenate(outs, axis=0)   # (total, F) complex
-            wide = jnp.concatenate([jnp.real(flat), jnp.imag(flat)],
-                                   axis=1)         # (total, 2F) planar
-            cells = wide[comp_cm]                  # ONE row gather, 2F wide
-            cells = cells.reshape(cpf, nb, 2 * f)
-            re = cells[..., :f]                    # (cpf, nb, F)
-            im = cells[..., f:]
+                chr_ = epr[il] * (1.0 - w3) + epr[ir] * w3
+                chi_ = epi[il] * (1.0 - w3) + epi[ir] * w3
+                inv = 1.0 / (chr_ * chr_ + chi_ * chi_)
+                eqr = (xcr * chr_ + xci * chi_) * inv
+                eqi = (xci * chr_ - xcr * chi_) * inv
+                outs_r.append(eqr[c.comp_rows].reshape(-1, f))
+                outs_i.append(eqi[c.comp_rows].reshape(-1, f))
+            fr = jnp.concatenate(outs_r, axis=0)   # (total, F)
+            fi_ = jnp.concatenate(outs_i, axis=0)
+            re = fr[comp_cm].reshape(cpf, nb, f)   # planar row gathers
+            im = fi_[comp_cm].reshape(cpf, nb, f)
             if plp.rotated:
                 im = jnp.roll(im, -1, axis=0)      # cyclic Q-delay per block
                 re, im = (re * rot_re - im * rot_im,
                           re * rot_im + im * rot_re)
-            li = axis_llrs(re, inv_nvar)           # (cpf, nb, F, half)
+            li = axis_llrs(re, inv_nvar)           # (half, cpf, nb, F)
             lq = axis_llrs(im, inv_nvar)
-            v = jnp.stack([li, lq], axis=-1)       # (cpf, nb, F, half, 2)
+            v = jnp.stack([li, lq], axis=1)        # (half, 2, cpf, nb, F)
             # cell-word bit order y0(I),y1(Q),y2(I)...: (nb, F) stays minor
-            v = jnp.transpose(v, (0, 3, 4, 1, 2))  # (cpf, half, 2, nb, F)
+            v = jnp.transpose(v, (2, 0, 1, 3, 4))  # (cpf, half, 2, nb, F)
             v = v.reshape(cpf * m, nb, f).astype(llr_dtype)
             return v[bit_inv]                      # row gather (n_ldpc,nb,F)
 

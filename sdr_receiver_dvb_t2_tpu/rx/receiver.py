@@ -208,13 +208,7 @@ class T2Receiver:
         sym = x[body + g:body + g + n]
         spec = np.fft.fftshift(np.fft.fft(sym))
         row = spec[cand.left_nulls:cand.left_nulls + cand.k_total]
-        tabs = rxdemod.pilot_tables(cand)[0]
-        k = np.arange(cand.k_total)
-        est_p = row[tabs["pilot_pos"]] / tabs["pilot_ref"]
-        est = (np.interp(k, tabs["pilot_pos"], est_p.real)
-               + 1j * np.interp(k, tabs["pilot_pos"], est_p.imag))
-        eq = row / est
-        cells = eq[tabs["data_pos"]][tabs["rx_gather"]]
+        cells = rxdemod.equalize_p2_symbol(cand, row)
         pre = l1mod.l1pre_decode_hard(cells[:l1mod.L1_PRE_CELLS])
         if pre is None:
             return None

@@ -99,11 +99,32 @@ def cells_to_symbols(p: T2Params, frame_cells: np.ndarray) -> list[np.ndarray]:
     return out
 
 
+def miso_group2_cells(y: np.ndarray) -> np.ndarray:
+    """MISO processing for transmitter group 2 (EN 302 755 clause 9.1,
+    the modified Alamouti encoding the reference's tables anticipate via
+    the inverted-pilot carrier types): pairs of frequency-interleaved
+    cells (e0, e1) are transmitted as (-e1*, e0*)."""
+    assert len(y) % 2 == 0, "MISO requires an even number of data cells"
+    out = np.empty_like(y)
+    out[0::2] = -np.conj(y[1::2])
+    out[1::2] = np.conj(y[0::2])
+    return out
+
+
 def symbols_to_carriers(p: T2Params, symbol_cells: list[np.ndarray]) -> np.ndarray:
     """Frequency-interleave each symbol's cells and insert pilots.
 
     Returns (len_frame, k_total) complex64 carrier vectors (no IFFT yet).
+    For a MISO group-2 transmitter pass `dataclasses.replace(p,
+    miso_group=1)`: the pilot tables then carry the clause-9.2 inversions
+    and the data cells get the group-2 Alamouti pair encoding.
     """
+    g2 = bool(p.miso and p.miso_group == 1)
+
+    def fi(cells, tx):
+        v = cells[tx]
+        return miso_group2_cells(v) if g2 else v
+
     out = np.zeros((p.len_frame, p.k_total), dtype=np.complex64)
 
     p2_map = tables.p2_carrier_map(p)
@@ -112,7 +133,7 @@ def symbols_to_carriers(p: T2Params, symbol_cells: list[np.ndarray]) -> np.ndarr
     tx_e, tx_o, _, _ = interleavers.fi_gathers(p, "p2")
     for j in range(p.n_p2):
         tx = tx_e if j % 2 == 0 else tx_o
-        out[j, p2_data_pos] = symbol_cells[j][tx]
+        out[j, p2_data_pos] = fi(symbol_cells[j], tx)
         out[j] += p2_refer[j]
 
     data_maps = tables.data_carrier_maps(p)
@@ -125,7 +146,7 @@ def symbols_to_carriers(p: T2Params, symbol_cells: list[np.ndarray]) -> np.ndarr
         cmap = data_maps[l % dy]
         dpos = np.where(cmap == tables.DATA)[0]
         tx = tx_e if l % 2 == 0 else tx_o
-        out[l, dpos] = symbol_cells[l][tx]
+        out[l, dpos] = fi(symbol_cells[l], tx)
         out[l] += data_refer[i]
 
     if p.has_fc:
@@ -137,6 +158,6 @@ def symbols_to_carriers(p: T2Params, symbol_cells: list[np.ndarray]) -> np.ndarr
         # FC symbol: n_fc data positions but only c_fc carry real data; the
         # tail (n_fc - c_fc) are "unmodulated cells" -- we transmit them as
         # dummy fill already included in the frame stream slice.
-        out[l, fpos] = symbol_cells[l][tx]
+        out[l, fpos] = fi(symbol_cells[l], tx)
         out[l] += tables.fc_pilot_refer(p)
     return out

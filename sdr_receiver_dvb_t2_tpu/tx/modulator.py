@@ -11,6 +11,7 @@ Usage:
 """
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 
 import numpy as np
@@ -24,10 +25,11 @@ from . import ofdm as txofdm
 
 @dataclass
 class ModulatorOutput:
-    samples: np.ndarray          # complex64 IQ at 9.142857 Msps
+    samples: np.ndarray          # complex64 IQ at 9.142857 Msps (TX group 1)
     l1pre: l1mod.L1Pre
     l1post_frames: list          # per-frame L1Post (dynamic differs)
     n_frames: int
+    samples2: np.ndarray | None = None   # MISO TX group 2 stream
 
 
 class T2Modulator:
@@ -66,6 +68,7 @@ class T2Modulator:
         # distribute TS packets: round-robin by need per adapter
         pos = 0
         frames_samples = []
+        frames_samples2 = []
         l1pre, l1post_template = l1mod.build_l1(
             p, self.plps, num_frames=n_frames, l1_post_mod=self.l1_post_mod)
         l1posts = []
@@ -98,11 +101,21 @@ class T2Modulator:
                                     scrambled=bool(l1pre.l1_post_scrambled))])
             frame_cells = txframe.build_frame_cells(p, l1_cells, plp_slices)
             symbols = txframe.cells_to_symbols(p, frame_cells)
-            carriers = txframe.symbols_to_carriers(p, symbols)
-            frames_samples.append(txofdm.frame_to_samples(p, carriers))
+            if p.miso:
+                pg1 = dataclasses.replace(p, miso_group=0)
+                pg2 = dataclasses.replace(p, miso_group=1)
+                frames_samples.append(txofdm.frame_to_samples(
+                    pg1, txframe.symbols_to_carriers(pg1, symbols)))
+                frames_samples2.append(txofdm.frame_to_samples(
+                    pg2, txframe.symbols_to_carriers(pg2, symbols)))
+            else:
+                carriers = txframe.symbols_to_carriers(p, symbols)
+                frames_samples.append(txofdm.frame_to_samples(p, carriers))
         return ModulatorOutput(samples=np.concatenate(frames_samples),
                                l1pre=l1pre, l1post_frames=l1posts,
-                               n_frames=n_frames)
+                               n_frames=n_frames,
+                               samples2=(np.concatenate(frames_samples2)
+                                         if p.miso else None))
 
 
 def awgn(samples: np.ndarray, snr_db: float, seed: int = 0) -> np.ndarray:

@@ -183,3 +183,36 @@ def test_e2e_16k_fft():
     got = res.ts
     assert len(got) > 0
     np.testing.assert_array_equal(got, flat[:len(got)])
+
+
+def test_e2e_miso_bit_exact():
+    """MISO loopback: two TX groups over distinct frequency-selective
+    channels summed at one RX antenna; dual channel estimation from the
+    inverted-pilot subsets + Alamouti pair decode recovers the TS.
+    Exceeds the reference, which is SISO-only (README.md:17-23)."""
+    from sdr_receiver_dvb_t2_tpu.dvbt2.params import Preamble
+    p = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                 pilot_pattern=PilotPattern.PP1, extended_carrier=False,
+                 n_data=9, miso=True, preamble=Preamble.T2_MISO)
+    plp = PLPParams(constellation=Constellation.QAM16, rate=CodeRate.C1_2,
+                    fec_frame=FECFrame.SHORT, rotated=True,
+                    num_blocks_max=3, time_il_length=1)
+    mod = T2Modulator(p, [plp])
+    ts = make_ts(mod.packets_needed(2) + 4, seed=7)
+    out = mod.modulate(ts.reshape(-1), 2)
+    assert out.samples2 is not None
+
+    # group 1: mild 2-tap channel; group 2: attenuated, rotated, delayed
+    def ch(x, taps):
+        return np.convolve(x, taps)[:len(x)].astype(np.complex64)
+
+    y = (ch(out.samples, [1.0, 0.08j])
+         + ch(out.samples2, [0.0, 0.0, 0.6 * np.exp(0.7j), -0.05]))
+    y = awgn(y, 28, seed=3)
+    res = T2Receiver().receive(y)
+    assert res.params is not None and res.params.miso
+    assert res.stats.frames_decoded == 2
+    got = res.ts
+    assert len(got) > 0
+    flat = ts.reshape(-1)
+    np.testing.assert_array_equal(got, flat[:len(got)])

@@ -7,8 +7,11 @@ input's perturbation) so the axon runtime cannot overlap or cache calls.
 Usage: python tools/ldpc_microbench.py [hbm|vmem ...] [--iters N] [--batch B]
 """
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -10,8 +10,11 @@ difference between consecutive prefixes is the cost of the added stage:
   cells    : + transpose to (total, F, 2) + PLP composed gather
   llrs     : + separable LLRs + bit deinterleave row gather  (full _fn)
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -28,7 +31,7 @@ def main():
     from sdr_receiver_dvb_t2_tpu.rx import fusedpath
 
     num_blocks = 128
-    n_frames = 8
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     p = T2Params(fft_mode=FFTMode.FFT_32K, guard=GuardInterval.GI_1_128,
                  pilot_pattern=PilotPattern.PP7, extended_carrier=True,
                  n_data=59)
@@ -36,47 +39,53 @@ def main():
                     fec_frame=FECFrame.NORMAL, num_blocks_max=num_blocks,
                     time_il_length=1)
     mf = fusedpath.MultiFramePath(p, plp, num_blocks, n_frames)
-    demod = mf.demod
-    classes = demod.classes
-    comp = mf.single.comp
+    classes = mf.demod.classes
+    nb, cpf = num_blocks, plp.cells_per_fec_block
+    comp_cm = mf.single.comp.reshape(nb, cpf).T.reshape(-1)
+    f = n_frames
 
-    def fft_part(body2):
-        body = jax.lax.complex(body2[:, 0], body2[:, 1])
-        sym = body.reshape(p.len_frame, p.symbol_size)[:, p.guard_size:]
-        spec = jnp.fft.fftshift(jnp.fft.fft(sym, axis=1), axes=1)
-        car = spec[:, p.left_nulls:p.left_nulls + p.k_total]
-        return car.T
+    def fft_part(bodies):
+        body = jax.lax.complex(bodies[..., 0], bodies[..., 1])
+        sym = body.reshape(f, p.len_frame, p.symbol_size)[:, :, p.guard_size:]
+        spec = jnp.fft.fftshift(jnp.fft.fft(sym, axis=-1), axes=-1)
+        return spec[..., p.left_nulls:p.left_nulls + p.k_total]
 
-    def demod_part(body2):
-        x = fft_part(body2)
+    def trans_part(bodies):
+        return jnp.transpose(fft_part(bodies), (2, 1, 0))
+
+    def demod_part(bodies):
+        x = trans_part(bodies)
         outs = []
         for c in classes:
-            xc = x[:, c.sym_cols]
-            pr = xc[c.pilot_rows, :]
-            est_p = pr * c.inv_ref
+            xc = jax.lax.slice_in_dim(
+                x, c.start, c.start + c.step * (c.count - 1) + 1,
+                c.step, axis=1)
+            pr = xc[c.pilot_rows]
+            est_p = pr * c.inv_ref[:, :, None]
             il, ir, w = c.stencil
-            ch = est_p[il, :] * (1.0 - w) + est_p[ir, :] * w
+            w3 = w[..., None]
+            ch = est_p[il] * (1.0 - w3) + est_p[ir] * w3
             eq = xc / ch
-            outs.append(eq[c.comp_rows, :].reshape(-1))
-        return jnp.concatenate(outs)
+            outs.append(eq[c.comp_rows].reshape(-1, f))
+        flat = jnp.concatenate(outs, axis=0)
+        return jnp.concatenate([jnp.real(flat), jnp.imag(flat)], axis=1)
 
     def stage_fft(bodies, inv):
-        x = jax.vmap(fft_part)(bodies)
+        x = fft_part(bodies)
+        return jnp.sum(jnp.real(x) + jnp.imag(x))
+
+    def stage_trans(bodies, inv):
+        x = trans_part(bodies)
         return jnp.sum(jnp.real(x) + jnp.imag(x))
 
     def stage_demod(bodies, inv):
-        f = jax.vmap(demod_part)(bodies)
-        return jnp.sum(jnp.real(f) + jnp.imag(f))
+        return jnp.sum(demod_part(bodies))
 
     def stage_cells(bodies, inv):
-        f = jax.vmap(demod_part)(bodies)
-        wide = jnp.stack([jnp.real(f), jnp.imag(f)], axis=-1)
-        wide = jnp.transpose(wide, (1, 0, 2))
-        cells = wide[comp]
-        return jnp.sum(cells)
+        return jnp.sum(demod_part(bodies)[comp_cm])
 
     def stage_llrs(bodies, inv):
-        return jnp.sum(mf._fn(bodies, inv))
+        return jnp.sum(mf._fn(bodies, inv).astype(jnp.float32))
 
     rng = np.random.default_rng(0)
     body = rng.normal(0, 0.3, (n_frames, p.len_frame * p.symbol_size, 2)
@@ -84,7 +93,8 @@ def main():
     inv = jnp.float32(1000.0)
     d_bodies = jnp.asarray(body)
 
-    for name, fn in (("fft", stage_fft), ("demod", stage_demod),
+    for name, fn in (("fft", stage_fft), ("trans", stage_trans),
+                     ("demod", stage_demod),
                      ("cells", stage_cells), ("llrs", stage_llrs)):
         @jax.jit
         def chain(b, inv, n, fn=fn):
