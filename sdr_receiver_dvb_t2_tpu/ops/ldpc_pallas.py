@@ -420,9 +420,40 @@ def vmem_fit_bytes(frame: FECFrame, rate: CodeRate, batch: int,
             + tile * 4 * 4)                    # slack (iota/masks/regs)
 
 
+def qc_syndrome_ok(frame: FECFrame, rate: CodeRate, total_info, total_par):
+    """Per-codeword parity check from QC-layout totals (XLA, gather-free).
+
+    Mirrors the layered kernel's alignment: check (t, u) sees info group g
+    rolled by s, its own parity par[t, u], and the previous parity
+    par[t-1, u] (par[q-1, u-1] for t=0; check 0 has none).  Equivalent of
+    the reference decoder's `bad()` early-exit test
+    (LDPC/layered_decoder.hh:65-82).  Returns (B,) bool.
+    """
+    tab = qc_tables(frame, rate)
+    hard_i = (total_info < 0).astype(jnp.int32)    # (G+1, 360, B)
+    hard_p = (total_par < 0).astype(jnp.int32)     # (q, 360, B)
+    b = total_info.shape[-1]
+    bad = jnp.zeros((b,), jnp.int32)
+    u0 = np.zeros((360, 1), np.int32)
+    u0[0] = 1
+    for t in range(tab.q):
+        acc = hard_p[t]
+        for j in range(int(tab.layer_deg[t])):
+            g, s = int(tab.entry_g[t, j]), int(tab.entry_s[t, j])
+            acc = acc + jnp.roll(hard_i[g], s, axis=0)
+        if t > 0:
+            acc = acc + hard_p[t - 1]
+        else:
+            # u=0 has no previous parity
+            acc = acc + jnp.roll(hard_p[tab.q - 1], 1, axis=0) * (1 - u0)
+        bad = bad + jnp.sum(jax.lax.rem(acc, 2), axis=0)
+    return bad == 0
+
+
 def make_pallas_layered_vmem(frame: FECFrame, rate: CodeRate, iters: int,
                              batch: int, offset: float = 0.5,
-                             interpret: bool = False, dtype=jnp.bfloat16):
+                             interpret: bool = False, dtype=jnp.bfloat16,
+                             carry_c2v: bool = False):
     """Fully VMEM-resident Pallas layered decoder (no per-layer HBM traffic).
 
     Unlike `make_pallas_layered` (which streams c2v messages through HBM
@@ -452,16 +483,27 @@ def make_pallas_layered_vmem(frame: FECFrame, rate: CodeRate, iters: int,
     entry_g = tab.entry_g
     entry_s = tab.entry_s
 
-    def kernel(tinfo_hbm, tpar_hbm, tinfo_out, tpar_out,
-               vti, vtp, c2v, msgs, sem_i, sem_p):
+    def kernel(*refs):
+        if carry_c2v:
+            (tinfo_hbm, tpar_hbm, c2v_hbm, tinfo_out, tpar_out, c2v_out,
+             vti, vtp, c2v, msgs, sem_i, sem_p, sem_c) = refs
+        else:
+            (tinfo_hbm, tpar_hbm, tinfo_out, tpar_out,
+             vti, vtp, c2v, msgs, sem_i, sem_p) = refs
         cp_i = pltpu.make_async_copy(tinfo_hbm, vti, sem_i)
         cp_p = pltpu.make_async_copy(tpar_hbm, vtp, sem_p)
         cp_i.start(); cp_p.start()
+        if carry_c2v:
+            cp_c = pltpu.make_async_copy(c2v_hbm, c2v, sem_c)
+            cp_c.start()
         u_iota = jax.lax.broadcasted_iota(jnp.int32, (360, B), 0)
         big = jnp.asarray(_BIG, jnp.float32)
         mask0 = jnp.where(u_iota == 0, big, jnp.asarray(0.0, jnp.float32))
-        for t in range(q):
-            c2v[t] = jnp.zeros((E, 360, B), DT)
+        if not carry_c2v:
+            for t in range(q):
+                c2v[t] = jnp.zeros((E, 360, B), DT)
+        else:
+            cp_c.wait()
         cp_i.wait(); cp_p.wait()
 
         def layer(t):
@@ -534,34 +576,91 @@ def make_pallas_layered_vmem(frame: FECFrame, rate: CodeRate, iters: int,
         cp_oi = pltpu.make_async_copy(vti, tinfo_out, sem_i)
         cp_op = pltpu.make_async_copy(vtp, tpar_out, sem_p)
         cp_oi.start(); cp_op.start()
+        if carry_c2v:
+            cp_oc = pltpu.make_async_copy(c2v, c2v_out, sem_c)
+            cp_oc.start()
+            cp_oc.wait()
         cp_oi.wait(); cp_op.wait()
 
+    n_in = 3 if carry_c2v else 2
+    out_shape = [
+        jax.ShapeDtypeStruct((G + 1, 360, B), jnp.float32),
+        jax.ShapeDtypeStruct((q, 360, B), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((G + 1, 360, B), jnp.float32),   # vti
+        pltpu.VMEM((q, 360, B), jnp.float32),       # vtp
+        pltpu.VMEM((q, E, 360, B), DT),             # resident c2v
+        pltpu.VMEM((E, 360, B), jnp.float32),       # msgs
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
+    if carry_c2v:
+        out_shape.append(jax.ShapeDtypeStruct((q, E, 360, B), DT))
+        scratch.append(pltpu.SemaphoreType.DMA)
     call = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_shape=(
-            jax.ShapeDtypeStruct((G + 1, 360, B), jnp.float32),
-            jax.ShapeDtypeStruct((q, 360, B), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((G + 1, 360, B), jnp.float32),   # vti
-            pltpu.VMEM((q, 360, B), jnp.float32),       # vtp
-            pltpu.VMEM((q, E, 360, B), DT),             # resident c2v
-            pltpu.VMEM((E, 360, B), jnp.float32),       # msgs
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 
-    def decode(total_info, total_par):
-        return call(total_info.astype(jnp.float32),
-                    total_par.astype(jnp.float32))
+    if carry_c2v:
+        def decode(total_info, total_par, c2v_in):
+            return call(total_info.astype(jnp.float32),
+                        total_par.astype(jnp.float32), c2v_in)
+    else:
+        def decode(total_info, total_par):
+            return call(total_info.astype(jnp.float32),
+                        total_par.astype(jnp.float32))
+
+    return jax.jit(decode)
+
+
+def make_adaptive_decoder_nb(frame: FECFrame, rate: CodeRate,
+                             max_iters: int = 24, chunk: int = 3,
+                             batch: int = 128, interpret: bool = False,
+                             dtype=jnp.bfloat16):
+    """Early-exit layered decoder over (N, B) LLRs: runs `chunk` layered
+    iterations per kernel call, checks the syndrome of the whole batch
+    between calls, and stops as soon as every codeword is clean (or at
+    max_iters).  The c2v messages are carried across calls through HBM so
+    the schedule is identical to one long fixed-iteration decode.
+
+    Matches the reference's semantics: TRIALS=25 with a per-iteration
+    `bad()` early-exit (ldpc_decoder.h:62, layered_decoder.hh:65-82) --
+    at clean-signal SNR this typically exits after 2-4 iterations.
+
+    Returns fn(llrs_t (N,B)) -> (bits (N,B) uint8, iters_used ()).
+    """
+    tab = qc_tables(frame, rate)
+    core = make_pallas_layered_vmem(frame, rate, chunk, batch,
+                                    interpret=interpret, dtype=dtype,
+                                    carry_c2v=True)
+    e = tab.degmax + 2
+    n_chunks = (max_iters + chunk - 1) // chunk
+
+    def decode(llrs_t):
+        ti, tp = llrs_nb_to_qc_jnp(tab, llrs_t.astype(jnp.float32))
+        c2v0 = jnp.zeros((tab.q, e, 360, batch), dtype)
+
+        def cond(state):
+            ti, tp, c2v, it, done = state
+            return jnp.logical_and(it < n_chunks, jnp.logical_not(done))
+
+        def body(state):
+            ti, tp, c2v, it, _ = state
+            ti2, tp2, c2v2 = core(ti, tp, c2v)
+            ok = jnp.all(qc_syndrome_ok(frame, rate, ti2, tp2))
+            return (ti2, tp2, c2v2, it + 1, ok)
+
+        ti, tp, c2v, it, _ = jax.lax.while_loop(
+            cond, body, (ti, tp, c2v0, jnp.int32(0), jnp.bool_(False)))
+        return qc_to_bits_nb_jnp(tab, ti, tp), it * chunk
 
     return jax.jit(decode)
 

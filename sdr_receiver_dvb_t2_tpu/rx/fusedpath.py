@@ -279,16 +279,25 @@ class MultiFramePath:
         inf = np.float32(1e30)
 
         def axis_llrs(xax, inv_nvar):
-            # level axis LEADING so the minor dims stay (nb, F) -- a
-            # trailing 2^half axis would force (F, 16) tile padding
-            d2 = (xax[None] - levels.reshape(-1, 1, 1, 1)) ** 2
-            out = []
-            for b in range(half):
-                mask = axis_masks[b].reshape(-1, 1, 1, 1)
-                d0 = jnp.min(jnp.where(mask, inf, d2), axis=0)
-                d1 = jnp.min(jnp.where(mask, d2, inf), axis=0)
-                out.append((d1 - d0) * inv_nvar)
-            return jnp.stack(out, axis=0)          # (half, cpf, nb, F)
+            # explicit level loop: never materializes a (2^half, ...)
+            # distance tensor (2+ GB at F=128), and accumulates the
+            # per-bit min distances in llr_dtype -- bf16 on the device
+            # path, comparable to the reference's int8 LLR quantization
+            # (llr_demapper.cpp:770-776)
+            acc0 = [None] * half
+            acc1 = [None] * half
+            for lvl_i, lvl in enumerate(levels):
+                d = ((xax - lvl) ** 2).astype(llr_dtype)
+                for b in range(half):
+                    if axis_masks[b][lvl_i]:
+                        acc1[b] = d if acc1[b] is None \
+                            else jnp.minimum(acc1[b], d)
+                    else:
+                        acc0[b] = d if acc0[b] is None \
+                            else jnp.minimum(acc0[b], d)
+            inv_t = inv_nvar.astype(llr_dtype)
+            return jnp.stack([(acc1[b] - acc0[b]) * inv_t
+                              for b in range(half)], axis=0)
 
         def run(bodies, inv_nvar):
             body = jax.lax.complex(bodies[..., 0], bodies[..., 1])  # (F, S)
@@ -326,12 +335,12 @@ class MultiFramePath:
                 im = jnp.roll(im, -1, axis=0)      # cyclic Q-delay per block
                 re, im = (re * rot_re - im * rot_im,
                           re * rot_im + im * rot_re)
-            li = axis_llrs(re, inv_nvar)           # (half, cpf, nb, F)
+            li = axis_llrs(re, inv_nvar)           # (half, cpf, nb, F) bf16
             lq = axis_llrs(im, inv_nvar)
             v = jnp.stack([li, lq], axis=1)        # (half, 2, cpf, nb, F)
             # cell-word bit order y0(I),y1(Q),y2(I)...: (nb, F) stays minor
             v = jnp.transpose(v, (2, 0, 1, 3, 4))  # (cpf, half, 2, nb, F)
-            v = v.reshape(cpf * m, nb, f).astype(llr_dtype)
+            v = v.reshape(cpf * m, nb, f)
             return v[bit_inv]                      # row gather (n_ldpc,nb,F)
 
         return run

@@ -15,6 +15,7 @@ import functools
 
 import numpy as np
 
+from ..dvbt2 import tables
 from ..dvbt2.params import T2Params, FFTMode, Preamble
 
 P1_LEN = 2048
@@ -173,18 +174,88 @@ def generate_p1(p: T2Params) -> np.ndarray:
     return p1.astype(np.complex64)
 
 
-def ofdm_modulate(p: T2Params, carriers: np.ndarray) -> np.ndarray:
+def tr_positions(p: T2Params, l: int) -> np.ndarray:
+    """Absolute carrier indices of the reserved PAPR tones of symbol l."""
+    from ..dvbt2.params import PAPR
+    if p.papr not in (PAPR.TR, PAPR.BOTH):
+        return np.zeros(0, np.int64)
+    if l < p.n_p2:
+        m = tables.p2_carrier_map(p)
+        return np.where(m == tables.P2_PAPR)[0]
+    if p.has_fc and l == p.len_frame - 1:
+        m = tables.fc_carrier_map(p)
+        return np.where(m == tables.TR)[0]
+    dy = tables.SP_PATTERN[p.pilot_pattern][1]
+    m = tables.data_carrier_maps(p)[l % dy]
+    return np.where(m == tables.TR)[0]
+
+
+def tr_papr_reduce(p: T2Params, spec: np.ndarray, sym: np.ndarray,
+                   symbol_indices: np.ndarray, target_db: float = 7.5,
+                   max_iters: int = 20) -> np.ndarray:
+    """Tone-reservation PAPR reduction (EN 302 755 clause 9.6.2).
+
+    Iterative peak cancellation: the reserved carriers of each symbol form
+    a frequency comb whose IFFT is a peaked kernel; each iteration finds
+    the largest time-domain sample above the clipping level and subtracts
+    a scaled, circularly-shifted kernel -- which by construction only adds
+    energy on the reserved tones, so data/pilot cells are untouched and the
+    receiver (which skips TR cells) is unaffected.  The reference receiver
+    only *skips* reserved tones (pilot_generator.cpp:1962-2009); actually
+    exercising them is transmit-side and beyond its scope.
+
+    spec: (n_sym, fft) baseband spectra; sym: matching IFFT output
+    (pre-scale, pre-GI).  Returns the corrected time-domain symbols.
+    """
+    n = p.fft_size
+    shifted_of_k = ((np.arange(p.k_total) + p.left_nulls) - n // 2) % n
+    kernels: dict = {}
+    out = sym.copy()
+    for row, l in enumerate(symbol_indices):
+        trs = tr_positions(p, int(l))
+        if len(trs) == 0:
+            continue
+        bins = shifted_of_k[trs]
+        key = bins.tobytes()
+        if key not in kernels:
+            comb = np.zeros(n, np.complex128)
+            comb[bins] = 1.0
+            kern = np.fft.ifft(comb) * (n / len(bins))  # kern[0] == 1
+            kernels[key] = kern
+        kern = kernels[key]
+        x = out[row].astype(np.complex128)
+        rms = np.sqrt(np.mean(np.abs(x) ** 2))
+        vclip = rms * 10.0 ** (target_db / 20.0)
+        for _ in range(max_iters):
+            m = int(np.argmax(np.abs(x)))
+            pk = abs(x[m])
+            if pk <= vclip:
+                break
+            alpha = (pk - vclip) * x[m] / pk
+            x -= alpha * np.roll(kern, m)
+        out[row] = x.astype(np.complex64)
+    return out
+
+
+def ofdm_modulate(p: T2Params, carriers: np.ndarray,
+                  first_symbol: int = 0) -> np.ndarray:
     """(n_sym, k_total) carrier vectors -> (n_sym, fft+guard) samples.
 
     Carrier k maps to fft-shifted bin left_nulls + k (the receiver reads
     `&fft_shifted[left_nulls]`, dvbt2_demodulator.cpp / data_symbol.cpp).
+    When tone reservation is enabled (p.papr TR/BOTH) the reserved tones
+    get the clause-9.6.2 peak-cancellation values.
     """
+    from ..dvbt2.params import PAPR
     n_sym = carriers.shape[0]
     spec = np.zeros((n_sym, p.fft_size), dtype=np.complex64)
     shifted = np.arange(p.k_total) + p.left_nulls
     baseband = (shifted - p.fft_size // 2) % p.fft_size
     spec[:, baseband] = carriers
     sym = np.fft.ifft(spec, axis=1).astype(np.complex64)
+    if p.papr in (PAPR.TR, PAPR.BOTH):
+        sym = tr_papr_reduce(p, spec, sym,
+                             np.arange(first_symbol, first_symbol + n_sym))
     sym *= np.float32(p.fft_size / np.sqrt(p.k_total))
     g = p.guard_size
     return np.concatenate([sym[:, -g:], sym], axis=1)

@@ -216,3 +216,35 @@ def test_e2e_miso_bit_exact():
     assert len(got) > 0
     flat = ts.reshape(-1)
     np.testing.assert_array_equal(got, flat[:len(got)])
+
+
+def test_e2e_tr_papr_reduction():
+    """Tone-reservation PAPR: peak power drops measurably and the receiver
+    (which skips reserved tones) still recovers the TS bit-exact."""
+    from sdr_receiver_dvb_t2_tpu.dvbt2.params import PAPR
+    import dataclasses
+    p, plp = small_config()
+    p_tr = dataclasses.replace(p, papr=PAPR.TR)
+    mod_tr = T2Modulator(p_tr, [plp])
+    ts = make_ts(mod_tr.packets_needed(1) + 4, seed=11)
+    out_tr = mod_tr.modulate(ts.reshape(-1), 1)
+
+    def papr_db(x):
+        pk = np.max(np.abs(x) ** 2)
+        return 10 * np.log10(pk / np.mean(np.abs(x) ** 2))
+
+    # same content without the TR cancellation values
+    import sdr_receiver_dvb_t2_tpu.tx.ofdm as txofdm
+    orig = txofdm.tr_papr_reduce
+    try:
+        txofdm.tr_papr_reduce = lambda p, spec, sym, idx, **kw: sym
+        out_off = T2Modulator(p_tr, [plp]).modulate(ts.reshape(-1), 1)
+    finally:
+        txofdm.tr_papr_reduce = orig
+    body = slice(2048, None)
+    assert papr_db(out_tr.samples[body]) < papr_db(out_off.samples[body]) - 1.0
+
+    res = T2Receiver().receive(out_tr.samples)
+    assert res.stats.frames_decoded == 1
+    flat = ts.reshape(-1)
+    np.testing.assert_array_equal(res.ts, flat[:len(res.ts)])

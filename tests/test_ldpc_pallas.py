@@ -110,3 +110,38 @@ def test_pallas_kernel_flags_garbage():
     ti2, tp2 = dec(jnp.asarray(ti), jnp.asarray(tp))
     hard = qc.qc_to_bits(tab, np.asarray(ti2), np.asarray(tp2))
     assert not jldpc.syndrome_ok(code, hard).any()
+
+
+def test_qc_syndrome_ok_xla():
+    frame, rate = FECFrame.SHORT, CodeRate.C1_2
+    code, cw, llr = _noisy(frame, rate, 6, snr_scale=20.0)  # clean
+    tab = qc.qc_tables(frame, rate)
+    ti, tp = qc.llrs_to_qc(tab, llr)
+    ok = np.asarray(qc.qc_syndrome_ok(frame, rate,
+                                      jnp.asarray(ti), jnp.asarray(tp)))
+    ref = jldpc.syndrome_ok(code, (llr < 0).astype(np.uint8))
+    np.testing.assert_array_equal(ok, ref)
+    # flip one bit of lane 0 -> its syndrome must fail
+    llr2 = llr.copy()
+    llr2[0, 5] *= -1.0
+    ti2, tp2 = qc.llrs_to_qc(tab, llr2)
+    ok2 = np.asarray(qc.qc_syndrome_ok(frame, rate,
+                                       jnp.asarray(ti2), jnp.asarray(tp2)))
+    assert not ok2[0] and ok2[1:].all()
+
+
+def test_adaptive_decoder_early_exit():
+    frame, rate = FECFrame.SHORT, CodeRate.C1_2
+    code, cw, llr = _noisy(frame, rate, 8, snr_scale=4.0)
+    dec = qc.make_adaptive_decoder_nb(frame, rate, max_iters=12, chunk=2,
+                                      batch=8, interpret=True,
+                                      dtype=jnp.float32)
+    bits, it = dec(jnp.asarray(llr.T))
+    bits = np.asarray(bits)
+    np.testing.assert_array_equal(bits.T, cw)
+    assert int(it) < 12  # clean batch exits early
+    # garbage input: runs to max_iters
+    rng = np.random.default_rng(9)
+    garbage = rng.normal(0, 1, llr.T.shape).astype(np.float32)
+    _, it2 = dec(jnp.asarray(garbage))
+    assert int(it2) == 12
