@@ -671,11 +671,14 @@ def l1post_decode_hard(cells: np.ndarray, l1pre: L1Pre) -> L1Post | None:
 # --------------------------------------------------------------------------
 
 def build_l1(p: T2Params, plps, num_frames: int = 2,
-             l1_post_mod: int = 1) -> tuple[L1Pre, L1Post]:
-    """Construct consistent L1-pre/L1-post for a SISO single-RF T2 system.
+             l1_post_mod: int = 1,
+             l1_repetition: bool = False) -> tuple[L1Pre, L1Post]:
+    """Construct consistent L1-pre/L1-post for a single-RF T2 system.
 
     `plps`: list of PLPParams.  Dynamic fields (plp start / num_blocks) are
-    zero here; the frame builder fills them per frame.
+    zero here; the frame builder fills them per frame.  With
+    `l1_repetition` the post size accounts for the doubled dynamic block
+    (current frame + next frame, clause 7.2.3.1).
     """
     post_plps = []
     for cfg in plps:
@@ -689,9 +692,10 @@ def build_l1(p: T2Params, plps, num_frames: int = 2,
     dyn = L1PostDynamic(plp=[L1PostDynPLP(id=c.plp_id) for c in plps])
     post = L1Post(num_plp=len(plps), plp=post_plps, dyn=dyn)
     eta = L1_MOD_BITS[l1_post_mod]
-    info_size = post.info_bits()
+    info_size = post.info_bits(repetition=l1_repetition)
     n_post, _ = l1post_fec_geometry(info_size + 32, eta)
     pre = L1Pre(
+        l1_repetition_flag=int(l1_repetition),
         bwt_ext=int(p.extended_carrier),
         s1=1 if p.miso else 0,
         s2_field1={1024: 3, 2048: 0, 4096: 2, 8192: 1, 16384: 4, 32768: 5}[

@@ -34,11 +34,13 @@ class ModulatorOutput:
 
 class T2Modulator:
     def __init__(self, p: T2Params, plps: list[PLPParams],
-                 l1_post_mod: int = 1, hem: bool = False):
+                 l1_post_mod: int = 1, hem: bool = False,
+                 l1_repetition: bool = False):
         self.p = p
         self.plps = plps
         self.l1_post_mod = l1_post_mod
         self.hem = hem
+        self.l1_repetition = l1_repetition
         self.adapters = [bbframe.ModeAdapter(kbch=c.fec.k_bch, hem=hem,
                                              isi=c.plp_id)
                          for c in plps]
@@ -70,7 +72,8 @@ class T2Modulator:
         frames_samples = []
         frames_samples2 = []
         l1pre, l1post_template = l1mod.build_l1(
-            p, self.plps, num_frames=n_frames, l1_post_mod=self.l1_post_mod)
+            p, self.plps, num_frames=n_frames, l1_post_mod=self.l1_post_mod,
+            l1_repetition=self.l1_repetition)
         l1posts = []
         for fidx in range(n_frames):
             plp_slices = []
@@ -91,13 +94,21 @@ class T2Modulator:
                 dyn_plps.append(l1mod.L1PostDynPLP(
                     id=cfg.plp_id, start=start_cell, num_blocks=nb))
                 start_cell += nb * cfg.cells_per_fec_block
+            dyn_next = None
+            if self.l1_repetition:
+                # constant scheduling: next frame's dynamic differs only in
+                # frame_idx (clause 7.2.3.1 L1 repetition)
+                dyn_next = l1mod.L1PostDynamic(
+                    frame_idx=(fidx + 1) % max(n_frames, 1), plp=dyn_plps)
             l1post = l1mod.L1Post(
                 num_plp=len(self.plps), plp=l1post_template.plp,
-                dyn=l1mod.L1PostDynamic(frame_idx=fidx, plp=dyn_plps))
+                dyn=l1mod.L1PostDynamic(frame_idx=fidx, plp=dyn_plps),
+                dyn_next=dyn_next)
             l1posts.append(l1post)
             l1_cells = np.concatenate([
                 l1mod.l1pre_encode(l1pre),
                 l1mod.l1post_encode(l1post, self.l1_post_mod,
+                                    repetition=self.l1_repetition,
                                     scrambled=bool(l1pre.l1_post_scrambled))])
             frame_cells = txframe.build_frame_cells(p, l1_cells, plp_slices)
             symbols = txframe.cells_to_symbols(p, frame_cells)
