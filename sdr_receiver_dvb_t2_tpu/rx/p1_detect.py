@@ -176,9 +176,61 @@ def decode_p1(x: np.ndarray, start: int, peak_metric: complex
         s1=s1, s2=s2, s2_field2=s2 & 1, correlation=float(np.abs(peak_metric)))
 
 
+def p1_candidate_peaks(mag: np.ndarray, threshold_ratio: float = 0.1,
+                       max_candidates: int = 16) -> list[int]:
+    """Plateau-clustered candidate peak indices, earliest first.
+
+    A strong interference burst can out-correlate the real P1 (its boxcar
+    metric is a random walk over 542 products), so a single global argmax
+    is not robust -- return every plateau above threshold and let the
+    decode gates (data[i]==data[i+40] redundancy + S1/S2 signature match,
+    p1_symbol.cpp:217-232) reject the false ones."""
+    gmax = float(mag.max()) if len(mag) else 0.0
+    if gmax <= 0:
+        return []
+    above = np.nonzero(mag >= threshold_ratio * gmax)[0]
+    peaks = []
+    i = 0
+    while i < len(above) and len(peaks) < max_candidates:
+        j = i
+        while j + 1 < len(above) and above[j + 1] - above[j] <= P1_LEN:
+            j += 1
+        seg0, seg1 = above[i], above[j]
+        peaks.append(int(seg0 + np.argmax(mag[seg0:seg1 + 1])))
+        i = j + 1
+    return peaks
+
+
 def acquire_p1(x: np.ndarray) -> P1Result | None:
-    """Search + decode in one call."""
-    hit = detect_p1(x)
-    if hit is None:
+    """Search + decode; robust to interference bursts.
+
+    Tries candidate plateaus earliest-first; when none decodes, the tried
+    plateaus are suppressed and the scan repeats (a burst of interference
+    can out-correlate every real P1, so thresholding against the global
+    maximum alone would never see them).  This is the recorded-block form
+    of the reference's continuous P1 hunt with begin/end hysteresis
+    (p1_symbol.cpp:92-172)."""
+    mag, metric = p1_correlate(x)
+    if len(mag) == 0:
         return None
-    return decode_p1(x, hit[0], hit[1])
+    mag = mag.copy()
+    for _ in range(8):
+        peaks = p1_candidate_peaks(mag)
+        if not peaks:
+            return None
+        for peak in peaks:
+            start = peak - 1565
+            if -256 <= start < 0:
+                # resampling can shift the first P1 a bit before the buffer
+                # start; the differential P1 decode tolerates starting late
+                # (the C-A correlation plateau is 542 samples wide) and the
+                # receiver's per-frame retiming absorbs the grid bias
+                start = 0
+            if start < 0 or start + P1_LEN > len(x):
+                continue
+            res = decode_p1(x, start, metric[peak])
+            if res is not None:
+                return res
+        for peak in peaks:
+            mag[max(0, peak - 2 * P1_LEN):peak + 2 * P1_LEN] = 0.0
+    return None

@@ -144,6 +144,17 @@ class T2Receiver:
                     params, x, p1.start + nominal + rxp1.P1_LEN)
                 t1 = rxdemod.equalize_frame(params, car1).timing_offset
                 sco = (t1 - dres.timing_offset) / nominal
+                if p1.start + 3 * nominal <= len(x):
+                    # a corrupted frame gives a garbage slope; demand two
+                    # consistent frame-gap estimates before resampling the
+                    # whole capture
+                    car2 = rxdemod.extract_carriers(
+                        params, x, p1.start + 2 * nominal + rxp1.P1_LEN)
+                    t2 = rxdemod.equalize_frame(params, car2).timing_offset
+                    sco_b = (t2 - t1) / nominal
+                    if not (abs(sco_b - sco) <
+                            0.3 * max(abs(sco), abs(sco_b))):
+                        sco = 0.0
                 if 2e-6 < abs(sco) < 5e-3:
                     from . import frontend
                     x2 = frontend.sinc_resample(x, 1.0 + sco)
@@ -170,7 +181,10 @@ class T2Receiver:
             # dvbt2_demodulator.cpp:430-439) step the next frame start by
             # whole samples; fractional residue is absorbed by the
             # per-symbol channel estimate
-            if stats.timing_offset and abs(stats.timing_offset[-1]) > 2.0:
+            # (gated on a sane pilot SNR: a corrupted frame's slope estimate
+            # is garbage and would mis-step the grid for the NEXT frame)
+            if (stats.timing_offset and abs(stats.timing_offset[-1]) > 2.0
+                    and stats.snr_db[-1] > 10.0):
                 frame_start += int(round(stats.timing_offset[-1]))
         stats.ts_errors = assembler.errors
         stats.ts_packets = len(assembler.packets)
@@ -247,15 +261,20 @@ class T2Receiver:
                 nvar = 10.0 ** (-min(dres.snr_db, 35.0) / 10.0)
                 l1post = l1mod.l1post_decode_soft(cells_l1, l1pre, nvar=nvar)
             if l1post is None:
-                # CRC failed this frame: fall back to the last good L1-post
-                # (CCM streams keep the configurable part and, typically,
-                # the dynamic scheduling constant) instead of the
-                # reference's full reset (dvbt2_demodulator.cpp:418-425) --
-                # on a recorded block we can keep decoding.
+                # CRC failed this frame: fall back to the previous frame's
+                # L1 (instead of the reference's full reset,
+                # dvbt2_demodulator.cpp:418-425 -- on a recorded block we
+                # can keep decoding).  With L1 repetition the previous
+                # frame carried THIS frame's dynamic block (dyn_next,
+                # clause 7.2.3.1) -- use it; otherwise assume CCM-style
+                # constant scheduling and reuse the last dynamic.
                 stats.l1_failures += 1
                 l1post = self._last_l1post
                 if l1post is None:
                     return False
+                if l1post.dyn_next is not None:
+                    import dataclasses as _dc
+                    l1post = _dc.replace(l1post, dyn=l1post.dyn_next)
             else:
                 self._last_l1post = l1post
         data_cells = dres.frame_cells[l1mod.L1_PRE_CELLS

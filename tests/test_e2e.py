@@ -248,3 +248,43 @@ def test_e2e_tr_papr_reduction():
     assert res.stats.frames_decoded == 1
     flat = ts.reshape(-1)
     np.testing.assert_array_equal(res.ts, flat[:len(res.ts)])
+
+
+def test_e2e_l1_repetition_survives_corrupt_p2():
+    """L1 repetition (clause 7.2.3.1): each frame carries the next frame's
+    dynamic block.  Corrupt the middle frame's P2 region so its L1-post CRC
+    fails; the receiver continues that frame from the previous frame's
+    dyn_next instead of resetting (the reference resets the whole chain,
+    dvbt2_demodulator.cpp:418-425)."""
+    p, plp = small_config()
+    mod = T2Modulator(p, [plp], l1_repetition=True)
+    ts = make_ts(mod.packets_needed(3) + 4, seed=13)
+    out = mod.modulate(ts.reshape(-1), 3)
+    assert out.l1pre.l1_repetition_flag == 1
+    y = out.samples.copy()
+    # clobber frame 1's P2 symbols (after its P1)
+    f1 = p.frame_samples
+    rng = np.random.default_rng(5)
+    n_p2_samples = p.n_p2 * p.symbol_size
+    seg = slice(f1 + 2048, f1 + 2048 + n_p2_samples)
+    y[seg] += (rng.normal(0, 3.0, n_p2_samples)
+               + 1j * rng.normal(0, 3.0, n_p2_samples)).astype(np.complex64)
+    res = T2Receiver().receive(y)
+    assert res.stats.l1_failures >= 1
+    assert res.stats.frames_decoded == 3
+    # frame 0's packets must still be bit-exact at the head of the stream
+    flat = ts.reshape(-1)
+    n_check = 10 * 188
+    np.testing.assert_array_equal(res.ts[:n_check], flat[:n_check])
+
+
+def test_e2e_l1_repetition_clean_roundtrip():
+    p, plp = small_config()
+    mod = T2Modulator(p, [plp], l1_repetition=True)
+    ts = make_ts(mod.packets_needed(2) + 4, seed=14)
+    out = mod.modulate(ts.reshape(-1), 2)
+    res = T2Receiver().receive(out.samples)
+    assert res.stats.frames_decoded == 2
+    assert res.l1post is not None and res.l1post.dyn_next is not None
+    flat = ts.reshape(-1)
+    np.testing.assert_array_equal(res.ts, flat[:len(res.ts)])
