@@ -107,7 +107,7 @@ def main():
     # frames per super-step: every gather row carries all F frames, so the
     # per-frame cost of the 1M-index PLP permutation scales as 1/F.
     # F=128 would make every minor tile exact but exceeds 16 GB HBM.
-    n_frames = 64
+    n_frames = 96
     mf = fusedpath.MultiFramePath(p, plp, num_blocks, n_frames,
                                   llr_dtype=_jnp.bfloat16)
     code = ldpcmod.get_code(plp.fec_frame, plp.rate)

@@ -155,6 +155,10 @@ def make_core(frame: FECFrame, rate: CodeRate, iters: int, batch: int,
     if variant == "auto":
         fits = vmem_fit_bytes(frame, rate, batch) <= _VMEM_BUDGET
         variant = "vmem" if fits else "hbm"
+    if variant == "vmem16":
+        return make_pallas_layered_vmem(
+            frame, rate, iters, batch, interpret=interpret,
+            dtype=dtype or jnp.bfloat16, scan_dtype=jnp.bfloat16)
     if variant == "vmem":
         return make_pallas_layered_vmem(
             frame, rate, iters, batch, interpret=interpret,
@@ -453,7 +457,8 @@ def qc_syndrome_ok(frame: FECFrame, rate: CodeRate, total_info, total_par):
 def make_pallas_layered_vmem(frame: FECFrame, rate: CodeRate, iters: int,
                              batch: int, offset: float = 0.5,
                              interpret: bool = False, dtype=jnp.bfloat16,
-                             carry_c2v: bool = False):
+                             carry_c2v: bool = False,
+                             scan_dtype=jnp.float32):
     """Fully VMEM-resident Pallas layered decoder (no per-layer HBM traffic).
 
     Unlike `make_pallas_layered` (which streams c2v messages through HBM
@@ -477,8 +482,14 @@ def make_pallas_layered_vmem(frame: FECFrame, rate: CodeRate, iters: int,
     q, degmax, G = tab.q, tab.degmax, tab.n_groups
     E = degmax + 2
     B = batch
-    off = np.float32(offset)
     DT = dtype
+    # the two-minimum scan + new-message math may run in bf16 (half the
+    # vregs on the ALU-bound path); totals and additive updates stay f32
+    # NOTE scan_dtype=bfloat16 works in interpret mode but current Mosaic
+    # rejects the bf16 compare relayout on (360, B) tiles ("non-singleton
+    # logical dimension is replicated"); keep float32 on hardware.
+    SD = scan_dtype
+    off = float(offset)  # python float: weak type, keeps SD arithmetic
     layer_deg = [int(d) for d in tab.layer_deg]
     entry_g = tab.entry_g
     entry_s = tab.entry_s
@@ -525,12 +536,13 @@ def make_pallas_layered_vmem(frame: FECFrame, rate: CodeRate, iters: int,
                     else:
                         prev = pltpu.roll(vtp[q - 1], 1, axis=0)
                         m = prev - c2v[t, j].astype(jnp.float32) + mask0
-                msgs[j] = m
-                aj = jnp.abs(m)
-                neg = (m < 0).astype(jnp.int32)
+                ms = m.astype(SD)
+                msgs[j] = ms
+                aj = jnp.abs(ms)
+                neg = (ms < 0).astype(jnp.int32)
                 if j == 0:
                     min1 = aj
-                    min2 = jnp.full((360, B), _BIG, jnp.float32)
+                    min2 = jnp.full((360, B), _BIG, SD)
                     amin = jnp.zeros((360, B), jnp.int32)
                     nneg = neg
                 else:
@@ -539,13 +551,13 @@ def make_pallas_layered_vmem(frame: FECFrame, rate: CodeRate, iters: int,
                     min1 = jnp.where(is_new, aj, min1)
                     amin = jnp.where(is_new, j, amin)
                     nneg = nneg + neg
-            sign_all = 1.0 - 2.0 * jax.lax.rem(nneg, 2).astype(jnp.float32)
+            sign_all = (1 - 2 * jax.lax.rem(nneg, 2)).astype(SD)
 
             # ---- pass 2: new c2v + additive total write-backs ----
             for j in range(et):
                 mj = msgs[j]
                 loo = jnp.where(amin == j, min2, min1)
-                sgn = sign_all * jnp.where(mj < 0, -1.0, 1.0)
+                sgn = jnp.where(mj < 0, -sign_all, sign_all)
                 stored = (sgn * jnp.maximum(loo - off, 0.0)).astype(DT)
                 new = stored.astype(jnp.float32)
                 if j < deg:
@@ -554,9 +566,9 @@ def make_pallas_layered_vmem(frame: FECFrame, rate: CodeRate, iters: int,
                     vti[g] = vti[g] + pltpu.roll(delta, (360 - s) % 360,
                                                  axis=0)
                 elif j == deg:
-                    vtp[t] = mj + new
+                    vtp[t] = mj.astype(jnp.float32) + new
                 else:
-                    prev_new = mj + new
+                    prev_new = mj.astype(jnp.float32) + new
                     if t > 0:
                         vtp[t - 1] = prev_new
                     else:
@@ -591,7 +603,7 @@ def make_pallas_layered_vmem(frame: FECFrame, rate: CodeRate, iters: int,
         pltpu.VMEM((G + 1, 360, B), jnp.float32),   # vti
         pltpu.VMEM((q, 360, B), jnp.float32),       # vtp
         pltpu.VMEM((q, E, 360, B), DT),             # resident c2v
-        pltpu.VMEM((E, 360, B), jnp.float32),       # msgs
+        pltpu.VMEM((E, 360, B), scan_dtype),        # msgs
         pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA,
     ]

@@ -299,29 +299,45 @@ class MultiFramePath:
             return jnp.stack([(acc1[b] - acc0[b]) * inv_t
                               for b in range(half)], axis=0)
 
+        from ..ops import mxu_fft
+
         def run(bodies, inv_nvar):
             body = jax.lax.complex(bodies[..., 0], bodies[..., 1])  # (F, S)
             sym = body.reshape(f, p.len_frame, p.symbol_size
                                )[:, :, p.guard_size:]
-            spec = jnp.fft.fftshift(jnp.fft.fft(sym, axis=-1), axes=-1)
-            car = spec[..., p.left_nulls:p.left_nulls + p.k_total]
+            # OFDM FFT on the MXU (two batched-matmul Cooley-Tukey stages;
+            # XLA's VPU FFT was the largest demod stage at 32K) fused with
+            # the carrier-major transpose; fftshift + active-carrier slice
+            # become two wrapped row slices of the k-major layout
+            x2 = mxu_fft.fft_stages(sym, p.fft_size)   # (F, n_sym, k1, k2)
+            xf = jnp.transpose(x2, (3, 2, 1, 0))       # (k2, k1, n_sym, F)
+            xf = xf.reshape(p.fft_size, p.len_frame, f)
+            s0 = (p.left_nulls - p.fft_size // 2) % p.fft_size
+            if s0 + p.k_total <= p.fft_size:
+                car = xf[s0:s0 + p.k_total]
+            else:
+                car = jnp.concatenate(
+                    [xf[s0:], xf[:s0 + p.k_total - p.fft_size]], axis=0)
             # planar f32 from here on: complex arrays with small trailing
             # dims tile poorly, and XLA's complex divide is branch-heavy
-            xr = jnp.transpose(jnp.real(car), (2, 1, 0))  # (k, n_sym, F)
-            xi = jnp.transpose(jnp.imag(car), (2, 1, 0))
+            xr = jnp.real(car)                         # (k, n_sym, F)
+            xi = jnp.imag(car)
             outs_r, outs_i = [], []
             for c in classes:
+                # flatten (nc, F) into one dense lane axis: (nc=10, F) minor
+                # dims tile as padded (16, 128) blocks, tripling the traffic
+                # of every elementwise op in this loop
+                nw = c.count * f
                 sl = lambda a: jax.lax.slice_in_dim(
                     a, c.start, c.start + c.step * (c.count - 1) + 1,
-                    c.step, axis=1)                # (k, nc, F)
+                    c.step, axis=1).reshape(-1, nw)  # (k, nc*F)
                 xcr, xci = sl(xr), sl(xi)
-                iref = c.inv_ref[:, :, None]
-                epr = xcr[c.pilot_rows] * iref     # row gather (np_c, nc, F)
+                iref = np.repeat(c.inv_ref, f, axis=1)   # (np_c, nc*F)
+                epr = xcr[c.pilot_rows] * iref     # row gather
                 epi = xci[c.pilot_rows] * iref
-                il, ir, w = c.stencil
-                w3 = w[..., None]                  # (k, 1, 1)
-                chr_ = epr[il] * (1.0 - w3) + epr[ir] * w3
-                chi_ = epi[il] * (1.0 - w3) + epi[ir] * w3
+                il, ir, w = c.stencil              # w: (k, 1)
+                chr_ = epr[il] * (1.0 - w) + epr[ir] * w
+                chi_ = epi[il] * (1.0 - w) + epi[ir] * w
                 inv = 1.0 / (chr_ * chr_ + chi_ * chi_)
                 eqr = (xcr * chr_ + xci * chi_) * inv
                 eqi = (xci * chr_ - xcr * chi_) * inv

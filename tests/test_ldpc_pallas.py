@@ -145,3 +145,17 @@ def test_adaptive_decoder_early_exit():
     garbage = rng.normal(0, 1, llr.T.shape).astype(np.float32)
     _, it2 = dec(jnp.asarray(garbage))
     assert int(it2) == 12
+
+
+def test_pallas_vmem_bf16_scan_decodes():
+    frame, rate = FECFrame.SHORT, CodeRate.C1_2
+    code, cw, llr = _noisy(frame, rate, 8, snr_scale=3.0)
+    tab = qc.qc_tables(frame, rate)
+    ti, tp = qc.llrs_to_qc(tab, llr)
+    dec = qc.make_pallas_layered_vmem(frame, rate, iters=8, batch=8,
+                                      interpret=True,
+                                      scan_dtype=jnp.bfloat16)
+    ti2, tp2 = dec(jnp.asarray(ti), jnp.asarray(tp))
+    hard = qc.qc_to_bits(tab, np.asarray(ti2), np.asarray(tp2))
+    assert jldpc.syndrome_ok(code, hard).all()
+    np.testing.assert_array_equal(hard, cw)

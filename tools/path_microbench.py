@@ -51,38 +51,48 @@ def main():
         return spec[..., p.left_nulls:p.left_nulls + p.k_total]
 
     def trans_part(bodies):
-        return jnp.transpose(fft_part(bodies), (2, 1, 0))
+        car = fft_part(bodies)
+        return (jnp.transpose(jnp.real(car), (2, 1, 0)),
+                jnp.transpose(jnp.imag(car), (2, 1, 0)))
 
     def demod_part(bodies):
-        x = trans_part(bodies)
-        outs = []
+        xr, xi = trans_part(bodies)
+        outs_r, outs_i = [], []
         for c in classes:
-            xc = jax.lax.slice_in_dim(
-                x, c.start, c.start + c.step * (c.count - 1) + 1,
+            sl = lambda a: jax.lax.slice_in_dim(
+                a, c.start, c.start + c.step * (c.count - 1) + 1,
                 c.step, axis=1)
-            pr = xc[c.pilot_rows]
-            est_p = pr * c.inv_ref[:, :, None]
+            xcr, xci = sl(xr), sl(xi)
+            iref = c.inv_ref[:, :, None]
+            epr = xcr[c.pilot_rows] * iref
+            epi = xci[c.pilot_rows] * iref
             il, ir, w = c.stencil
             w3 = w[..., None]
-            ch = est_p[il] * (1.0 - w3) + est_p[ir] * w3
-            eq = xc / ch
-            outs.append(eq[c.comp_rows].reshape(-1, f))
-        flat = jnp.concatenate(outs, axis=0)
-        return jnp.concatenate([jnp.real(flat), jnp.imag(flat)], axis=1)
+            chr_ = epr[il] * (1.0 - w3) + epr[ir] * w3
+            chi_ = epi[il] * (1.0 - w3) + epi[ir] * w3
+            inv = 1.0 / (chr_ * chr_ + chi_ * chi_)
+            eqr = (xcr * chr_ + xci * chi_) * inv
+            eqi = (xci * chr_ - xcr * chi_) * inv
+            outs_r.append(eqr[c.comp_rows].reshape(-1, f))
+            outs_i.append(eqi[c.comp_rows].reshape(-1, f))
+        return (jnp.concatenate(outs_r, axis=0),
+                jnp.concatenate(outs_i, axis=0))
 
     def stage_fft(bodies, inv):
         x = fft_part(bodies)
         return jnp.sum(jnp.real(x) + jnp.imag(x))
 
     def stage_trans(bodies, inv):
-        x = trans_part(bodies)
-        return jnp.sum(jnp.real(x) + jnp.imag(x))
+        xr, xi = trans_part(bodies)
+        return jnp.sum(xr) + jnp.sum(xi)
 
     def stage_demod(bodies, inv):
-        return jnp.sum(demod_part(bodies))
+        fr, fi_ = demod_part(bodies)
+        return jnp.sum(fr) + jnp.sum(fi_)
 
     def stage_cells(bodies, inv):
-        return jnp.sum(demod_part(bodies)[comp_cm])
+        fr, fi_ = demod_part(bodies)
+        return jnp.sum(fr[comp_cm]) + jnp.sum(fi_[comp_cm])
 
     def stage_llrs(bodies, inv):
         return jnp.sum(mf._fn(bodies, inv).astype(jnp.float32))
