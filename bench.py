@@ -117,10 +117,18 @@ def main():
                                    dtype=_jnp.bfloat16)
 
     def one_superstep(bodies, inv_nvar):
+        """-> (per-frame weighted checksums (F,), first frame's bits)."""
         llrs = mf._fn(bodies, inv_nvar)        # (n_ldpc, nb, F)
         lf = jnp.transpose(llrs, (2, 0, 1))    # frame-major for the decoder
-        outs = [decode(lf[fi]) for fi in range(n_frames)]
-        return jnp.stack(outs, axis=-1)        # (n_ldpc, nb, F) bits
+        sums = []
+        bits0 = None
+        for fi in range(n_frames):
+            bits = decode(lf[fi])              # (n_ldpc, nb)
+            sums.append(jnp.sum(bits.astype(jnp.int32) * wvec[:, None],
+                                dtype=jnp.int32))
+            if fi == 0:
+                bits0 = bits
+        return jnp.stack(sums), bits0
 
     # correctness gate without bulk DtoH (the tunneled runtime moves bytes
     # slowly): device-side weighted checksum over all decoded bits + a
@@ -133,13 +141,11 @@ def main():
 
     @functools.partial(jax.jit, donate_argnums=0)
     def step(bodies, inv):
-        bits = one_superstep(bodies, inv)      # (n_ldpc, nb, F)
-        s = jnp.sum(bits[:, :, 0].astype(jnp.int32) * wvec[:, None],
-                    dtype=jnp.int32)
-        s_all = jnp.sum(bits.astype(jnp.int32) * wvec[:, None, None],
-                        dtype=jnp.int32)
+        sums, bits0 = one_superstep(bodies, inv)
+        s = sums[0]
+        s_all = jnp.sum(sums, dtype=jnp.int32)
         # data-dependent feedback forces strictly serial device execution
-        return bodies + s_all.astype(jnp.float32) * 1e-16, s, s_all,             bits[:, :2, 0]
+        return bodies + s_all.astype(jnp.float32) * 1e-16, s, s_all,             bits0[:, :2]
 
     t0 = time.time()
     cscale = float(np.max(np.abs(np.stack([np.real(carriers),

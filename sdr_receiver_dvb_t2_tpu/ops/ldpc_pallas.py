@@ -633,6 +633,158 @@ def make_pallas_layered_vmem(frame: FECFrame, rate: CodeRate, iters: int,
     return jax.jit(decode)
 
 
+def make_decoder_nb_fused_io(frame: FECFrame, rate: CodeRate, iters: int,
+                             batch: int, interpret: bool = False,
+                             dtype=jnp.bfloat16):
+    """(N, B) LLR decoder with the QC layout transform folded into the
+    kernel: the bf16 LLRs are DMA'd into the (idle) c2v scratch and cast
+    to the f32 totals on the VPU, replacing the XLA-side f32
+    cast+transpose+concat and halving the input DMA bytes.
+
+    Returns fn(llrs_t (N,B)) -> (N,B) uint8 hard bits.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tab = qc_tables(frame, rate)
+    q, degmax, G = tab.q, tab.degmax, tab.n_groups
+    E = degmax + 2
+    B = batch
+    DT = dtype
+    off = 0.5
+    layer_deg = [int(d) for d in tab.layer_deg]
+    entry_g = tab.entry_g
+    entry_s = tab.entry_s
+    gi_rows = -(-G // E)
+    pi_rows = -(-q // E)
+    if gi_rows + pi_rows > q:
+        raise ValueError("staging exceeds the c2v scratch for this code")
+
+    def kernel(llr_i_hbm, llr_p_hbm, tinfo_out, tpar_out,
+               vti, vtp, c2v, msgs, sem_i, sem_p):
+        cp_i = pltpu.make_async_copy(llr_i_hbm, c2v.at[:gi_rows], sem_i)
+        cp_p = pltpu.make_async_copy(
+            llr_p_hbm, c2v.at[gi_rows:gi_rows + pi_rows], sem_p)
+        cp_i.start(); cp_p.start()
+        u_iota = jax.lax.broadcasted_iota(jnp.int32, (360, B), 0)
+        big = jnp.asarray(_BIG, jnp.float32)
+        mask0 = jnp.where(u_iota == 0, big, jnp.asarray(0.0, jnp.float32))
+        cp_i.wait(); cp_p.wait()
+        for g in range(G):
+            vti[g] = c2v[g // E, g % E].astype(jnp.float32)
+        vti[G] = jnp.full((360, B), _BIG, jnp.float32)
+        for t in range(q):
+            vtp[t] = c2v[gi_rows + t // E, t % E].astype(jnp.float32)
+        for t in range(q):
+            c2v[t] = jnp.zeros((E, 360, B), DT)
+
+        def layer(t):
+            deg = layer_deg[t]
+            et = deg + 2
+            min1 = min2 = amin = nneg = None
+            for j in range(et):
+                if j < deg:
+                    g, s = int(entry_g[t, j]), int(entry_s[t, j])
+                    aligned = pltpu.roll(vti[g], s, axis=0)
+                    m = aligned - c2v[t, j].astype(jnp.float32)
+                elif j == deg:
+                    m = vtp[t] - c2v[t, j].astype(jnp.float32)
+                else:
+                    if t > 0:
+                        m = vtp[t - 1] - c2v[t, j].astype(jnp.float32)
+                    else:
+                        prev = pltpu.roll(vtp[q - 1], 1, axis=0)
+                        m = prev - c2v[t, j].astype(jnp.float32) + mask0
+                msgs[j] = m
+                aj = jnp.abs(m)
+                neg = (m < 0).astype(jnp.int32)
+                if j == 0:
+                    min1 = aj
+                    min2 = jnp.full((360, B), _BIG, jnp.float32)
+                    amin = jnp.zeros((360, B), jnp.int32)
+                    nneg = neg
+                else:
+                    is_new = aj < min1
+                    min2 = jnp.where(is_new, min1, jnp.minimum(min2, aj))
+                    min1 = jnp.where(is_new, aj, min1)
+                    amin = jnp.where(is_new, j, amin)
+                    nneg = nneg + neg
+            sign_all = (1 - 2 * jax.lax.rem(nneg, 2)).astype(jnp.float32)
+            for j in range(et):
+                mj = msgs[j]
+                loo = jnp.where(amin == j, min2, min1)
+                sgn = jnp.where(mj < 0, -sign_all, sign_all)
+                stored = (sgn * jnp.maximum(loo - off, 0.0)).astype(DT)
+                new = stored.astype(jnp.float32)
+                if j < deg:
+                    g, s = int(entry_g[t, j]), int(entry_s[t, j])
+                    delta = new - c2v[t, j].astype(jnp.float32)
+                    vti[g] = vti[g] + pltpu.roll(delta, (360 - s) % 360,
+                                                 axis=0)
+                elif j == deg:
+                    vtp[t] = mj + new
+                else:
+                    prev_new = mj + new
+                    if t > 0:
+                        vtp[t - 1] = prev_new
+                    else:
+                        rolled = pltpu.roll(prev_new - mask0, 359, axis=0)
+                        vtp[q - 1] = jnp.where(u_iota == 359, vtp[q - 1],
+                                               rolled)
+                c2v[t, j] = stored
+
+        def body(_, carry):
+            for t in range(q):
+                layer(t)
+            return carry
+
+        jax.lax.fori_loop(0, iters, body, 0)
+        cp_oi = pltpu.make_async_copy(vti, tinfo_out, sem_i)
+        cp_op = pltpu.make_async_copy(vtp, tpar_out, sem_p)
+        cp_oi.start(); cp_op.start()
+        cp_oi.wait(); cp_op.wait()
+
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_shape=(
+            jax.ShapeDtypeStruct((G + 1, 360, B), jnp.float32),
+            jax.ShapeDtypeStruct((q, 360, B), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((G + 1, 360, B), jnp.float32),   # vti
+            pltpu.VMEM((q, 360, B), jnp.float32),       # vtp
+            pltpu.VMEM((q, E, 360, B), DT),             # c2v (+staging)
+            pltpu.VMEM((E, 360, B), jnp.float32),       # msgs
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    k = tab.k
+
+    def decode(llrs_t):
+        v = llrs_t.astype(DT)
+        info = v[:k].reshape(G, 360, B)
+        if gi_rows * E > G:
+            info = jnp.concatenate(
+                [info, jnp.zeros((gi_rows * E - G, 360, B), DT)], axis=0)
+        info = info.reshape(gi_rows, E, 360, B)
+        par = v[k:].reshape(360, q, B).transpose(1, 0, 2)  # (q, 360, B)
+        if pi_rows * E > q:
+            par = jnp.concatenate(
+                [par, jnp.zeros((pi_rows * E - q, 360, B), DT)], axis=0)
+        par = par.reshape(pi_rows, E, 360, B)
+        ti, tp = call(info, par)
+        return qc_to_bits_nb_jnp(tab, ti, tp)
+
+    return jax.jit(decode)
+
+
 def make_adaptive_decoder_nb(frame: FECFrame, rate: CodeRate,
                              max_iters: int = 24, chunk: int = 3,
                              batch: int = 128, interpret: bool = False,

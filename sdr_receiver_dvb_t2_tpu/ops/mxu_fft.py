@@ -12,9 +12,10 @@ available even at higher nominal FLOPs.
 Factorization (n = n1*N2 + n2, k = k1 + N1*k2):
   X[k1,k2] = sum_n2 W_N^{n2 k1} W_N2^{n2 k2} ( sum_n1 x[n1,n2] W_N1^{n1 k1} )
 
-Precision: matmuls run at jax.lax.Precision.HIGHEST (float32-accurate
-passes on the MXU).  256QAM needs roughly -40 dB EVM; measured max error
-vs numpy is ~1e-6 relative at N=32768.
+Precision: matmuls default to jax.lax.Precision.HIGH (three bf16 passes
+per f32 operand pair on the MXU, ~1e-5 relative error at N=32768 --
+256QAM needs roughly -40 dB EVM so there is ample margin; the e2e bench
+bit-exactness gate holds).  Pass HIGHEST for full float32 accuracy.
 """
 from __future__ import annotations
 
@@ -41,7 +42,7 @@ def _tables(n: int):
     return (w1.astype(f32), w2.astype(f32), tw.astype(f32))
 
 
-def fft_stages(x, n: int, precision=jax.lax.Precision.HIGHEST):
+def fft_stages(x, n: int, precision=jax.lax.Precision.HIGH):
     """(..., n) complex -> (..., k1: n1, k2: n2) complex with
     X[k] = out[..., k % n1, k // n1] (natural DFT ordering split)."""
     n1, n2 = _FACTORS[n]
@@ -54,7 +55,7 @@ def fft_stages(x, n: int, precision=jax.lax.Precision.HIGHEST):
                       precision=precision)
 
 
-def fft(x, n: int | None = None, precision=jax.lax.Precision.HIGHEST):
+def fft(x, n: int | None = None, precision=jax.lax.Precision.HIGH):
     """Drop-in jnp.fft.fft replacement over the last axis (supported n)."""
     n = n or x.shape[-1]
     if n not in _FACTORS:

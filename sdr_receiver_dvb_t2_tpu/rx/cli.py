@@ -64,7 +64,29 @@ def main(argv=None):
                     help="dump spectrum/constellation/P1-correlation PNGs")
     ap.add_argument("--jax-ldpc", action="store_true",
                     help="use the batched JAX/TPU LDPC decoder")
+    ap.add_argument("--stream", action="store_true",
+                    help="blockwise streaming receive through the device "
+                         "layer (closed-loop retune/AGC feedback; input "
+                         "may be sdr:NAME for a live front-end)")
     args = ap.parse_args(argv)
+
+    if args.stream or args.input.startswith("sdr:"):
+        from ..io import devices
+        if args.input.startswith("sdr:"):
+            dev = devices.DEVICES[args.input[4:]]()
+        else:
+            dev = devices.FileDevice(args.input, args.format)
+        dev.init(frequency_hz=0.0)
+        sink = ts_io.open_sink(args.out)
+        sr = devices.StreamingReceiver(
+            dev, T2Receiver(plp_filter=args.plp))
+        st = sr.run(ts_sink=sink.write)
+        sink.close()
+        snr = float(np.mean(st.snr_db)) if st.snr_db else float("nan")
+        print(f"blocks={st.blocks} frames={st.frames_decoded} "
+              f"retunes={st.retune_requests} ts_bytes={st.ts_bytes} "
+              f"snr={snr:.1f} dB", file=sys.stderr)
+        return 0 if st.frames_decoded > 0 else 1
 
     x = iqio.read_iq(args.input, args.format)
     rate = frontend.DEVICE_RATES.get(args.device, args.rate)

@@ -81,3 +81,26 @@ def test_cli_tx_rx_roundtrip(tmp_path):
     got = np.fromfile(out_path, np.uint8)
     assert len(got) >= 188
     np.testing.assert_array_equal(got, ts.reshape(-1)[:len(got)])
+
+
+def test_cli_streaming_mode(tmp_path):
+    from sdr_receiver_dvb_t2_tpu.rx.cli import main as rx_main
+    from sdr_receiver_dvb_t2_tpu.tx.cli import main as tx_main
+    rng = np.random.default_rng(3)
+    ts = rng.integers(0, 256, (120, 188)).astype(np.uint8)
+    ts[:, 0] = 0x47
+    ts[:, 1] &= 0x7F
+    ts_path = str(tmp_path / "in.ts")
+    ts.tofile(ts_path)
+    iq_path = str(tmp_path / "sig.cf32")
+    out_path = str(tmp_path / "out.ts")
+    rc = tx_main([ts_path, iq_path, "--fft", "8k", "--guard", "1/32",
+                  "--pp", "1", "--mod", "16qam", "--rate", "1/2",
+                  "--short-fec", "--blocks", "3", "--n-data", "9",
+                  "--frames", "2"])
+    assert rc == 0
+    rc = rx_main([iq_path, "--out", out_path, "--stream"])
+    assert rc == 0
+    got = np.fromfile(out_path, np.uint8)
+    assert len(got) >= 188
+    np.testing.assert_array_equal(got, ts.reshape(-1)[:len(got)])

@@ -159,3 +159,16 @@ def test_pallas_vmem_bf16_scan_decodes():
     hard = qc.qc_to_bits(tab, np.asarray(ti2), np.asarray(tp2))
     assert jldpc.syndrome_ok(code, hard).all()
     np.testing.assert_array_equal(hard, cw)
+
+
+def test_fused_io_decoder_matches():
+    frame, rate = FECFrame.SHORT, CodeRate.C1_2
+    code, cw, llr = _noisy(frame, rate, 8, snr_scale=3.0)
+    dec = qc.make_decoder_nb_fused_io(frame, rate, iters=8, batch=8,
+                                      interpret=True, dtype=jnp.float32)
+    bits = np.asarray(dec(jnp.asarray(llr.T)))
+    np.testing.assert_array_equal(bits.T, cw)
+    ref = qc.make_decoder_nb(frame, rate, iters=8, batch=8, interpret=True,
+                             variant="vmem", dtype=jnp.float32)
+    bits2 = np.asarray(ref(jnp.asarray(llr.T)))
+    np.testing.assert_array_equal(bits, bits2)

@@ -78,6 +78,22 @@ def main():
         return (jnp.concatenate(outs_r, axis=0),
                 jnp.concatenate(outs_i, axis=0))
 
+    def mxu_head(bodies):
+        from sdr_receiver_dvb_t2_tpu.ops import mxu_fft
+        body = jax.lax.complex(bodies[..., 0], bodies[..., 1])
+        sym = body.reshape(f, p.len_frame, p.symbol_size)[:, :, p.guard_size:]
+        x2 = mxu_fft.fft_stages(sym, p.fft_size)
+        xf = jnp.transpose(x2, (3, 2, 1, 0)).reshape(
+            p.fft_size, p.len_frame, f)
+        s0 = (p.left_nulls - p.fft_size // 2) % p.fft_size
+        car = jnp.concatenate(
+            [xf[s0:], xf[:s0 + p.k_total - p.fft_size]], axis=0)
+        return jnp.real(car), jnp.imag(car)
+
+    def stage_mxu(bodies, inv):
+        xr, xi = mxu_head(bodies)
+        return jnp.sum(xr) + jnp.sum(xi)
+
     def stage_fft(bodies, inv):
         x = fft_part(bodies)
         return jnp.sum(jnp.real(x) + jnp.imag(x))
@@ -103,7 +119,8 @@ def main():
     inv = jnp.float32(1000.0)
     d_bodies = jnp.asarray(body)
 
-    for name, fn in (("fft", stage_fft), ("trans", stage_trans),
+    for name, fn in (("fft", stage_fft), ("mxu", stage_mxu),
+                     ("trans", stage_trans),
                      ("demod", stage_demod),
                      ("cells", stage_cells), ("llrs", stage_llrs)):
         @jax.jit
