@@ -55,6 +55,40 @@ def fft_stages(x, n: int, precision=jax.lax.Precision.HIGH):
                       precision=precision)
 
 
+def fft_stages_planar(xr, xi, n: int,
+                      precision=jax.lax.Precision.HIGH):
+    """Planar-f32 variant: (..., n) real pairs -> (..., k1, k2) real pairs.
+
+    Avoids materializing complex arrays entirely (the head of the fused
+    receive path is bandwidth-bound, not FLOP-bound: the lax.complex pack
+    and the final real/imag split are whole-array passes this skips)."""
+    n1, n2 = _FACTORS[n]
+    w1, w2, tw = _tables(n)
+    w1r = jnp.asarray(np.ascontiguousarray(w1.real))
+    w1i = jnp.asarray(np.ascontiguousarray(w1.imag))
+    w2r = jnp.asarray(np.ascontiguousarray(w2.real))
+    w2i = jnp.asarray(np.ascontiguousarray(w2.imag))
+    twr = jnp.asarray(np.ascontiguousarray(tw.real))
+    twi = jnp.asarray(np.ascontiguousarray(tw.imag))
+    yr = xr.reshape(xr.shape[:-1] + (n1, n2))
+    yi = xi.reshape(xi.shape[:-1] + (n1, n2))
+
+    def mm(a, w):
+        return jnp.einsum("...nm,nk->...km", a, w, precision=precision)
+
+    ar = mm(yr, w1r) - mm(yi, w1i)
+    ai = mm(yr, w1i) + mm(yi, w1r)
+    br = ar * twr - ai * twi
+    bi = ar * twi + ai * twr
+
+    def mm2(a, w):
+        return jnp.einsum("...km,ml->...kl", a, w, precision=precision)
+
+    out_r = mm2(br, w2r) - mm2(bi, w2i)
+    out_i = mm2(br, w2i) + mm2(bi, w2r)
+    return out_r, out_i
+
+
 def fft(x, n: int | None = None, precision=jax.lax.Precision.HIGH):
     """Drop-in jnp.fft.fft replacement over the last axis (supported n)."""
     n = n or x.shape[-1]

@@ -302,26 +302,31 @@ class MultiFramePath:
         from ..ops import mxu_fft
 
         def run(bodies, inv_nvar):
-            body = jax.lax.complex(bodies[..., 0], bodies[..., 1])  # (F, S)
-            sym = body.reshape(f, p.len_frame, p.symbol_size
-                               )[:, :, p.guard_size:]
+            # planar f32 end-to-end: complex arrays would add whole-array
+            # pack/split passes, tile poorly with small trailing dims, and
+            # XLA's complex divide is branch-heavy
+            sym_r = bodies[..., 0].reshape(f, p.len_frame, p.symbol_size
+                                           )[:, :, p.guard_size:]
+            sym_i = bodies[..., 1].reshape(f, p.len_frame, p.symbol_size
+                                           )[:, :, p.guard_size:]
             # OFDM FFT on the MXU (two batched-matmul Cooley-Tukey stages;
             # XLA's VPU FFT was the largest demod stage at 32K) fused with
             # the carrier-major transpose; fftshift + active-carrier slice
             # become two wrapped row slices of the k-major layout
-            x2 = mxu_fft.fft_stages(sym, p.fft_size)   # (F, n_sym, k1, k2)
-            xf = jnp.transpose(x2, (3, 2, 1, 0))       # (k2, k1, n_sym, F)
-            xf = xf.reshape(p.fft_size, p.len_frame, f)
+            x2r, x2i = mxu_fft.fft_stages_planar(
+                sym_r, sym_i, p.fft_size)              # (F, n_sym, k1, k2)
             s0 = (p.left_nulls - p.fft_size // 2) % p.fft_size
-            if s0 + p.k_total <= p.fft_size:
-                car = xf[s0:s0 + p.k_total]
-            else:
-                car = jnp.concatenate(
-                    [xf[s0:], xf[:s0 + p.k_total - p.fft_size]], axis=0)
-            # planar f32 from here on: complex arrays with small trailing
-            # dims tile poorly, and XLA's complex divide is branch-heavy
-            xr = jnp.real(car)                         # (k, n_sym, F)
-            xi = jnp.imag(car)
+
+            def to_carriers(a):
+                v = jnp.transpose(a, (3, 2, 1, 0))     # (k2, k1, n_sym, F)
+                v = v.reshape(p.fft_size, p.len_frame, f)
+                if s0 + p.k_total <= p.fft_size:
+                    return v[s0:s0 + p.k_total]
+                return jnp.concatenate(
+                    [v[s0:], v[:s0 + p.k_total - p.fft_size]], axis=0)
+
+            xr = to_carriers(x2r)                      # (k, n_sym, F)
+            xi = to_carriers(x2i)
             outs_r, outs_i = [], []
             for c in classes:
                 # flatten (nc, F) into one dense lane axis: (nc=10, F) minor

@@ -29,3 +29,17 @@ def test_fft_stages_index_split():
     k = np.arange(n)
     np.testing.assert_allclose(out[k % n1, k // n1], ref, rtol=0, atol=1e-3
                                * np.max(np.abs(ref)))
+
+
+def test_fft_stages_planar_matches_complex():
+    n = 8192
+    rng = np.random.default_rng(3)
+    xr = rng.normal(0, 1, (2, n)).astype(np.float32)
+    xi = rng.normal(0, 1, (2, n)).astype(np.float32)
+    cr, ci = mxu_fft.fft_stages_planar(jnp.asarray(xr), jnp.asarray(xi), n)
+    ref = mxu_fft.fft_stages(jnp.asarray(xr + 1j * xi).astype(jnp.complex64),
+                             n)
+    np.testing.assert_allclose(np.asarray(cr), np.real(np.asarray(ref)),
+                               rtol=0, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(ci), np.imag(np.asarray(ref)),
+                               rtol=0, atol=1e-2)
