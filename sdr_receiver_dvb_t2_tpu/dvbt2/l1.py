@@ -685,12 +685,17 @@ def build_l1(p: T2Params, plps, num_frames: int = 2,
         post_plps.append(L1PostPLP(
             id=cfg.plp_id, plp_cod=int(cfg.rate), plp_mod=int(cfg.constellation),
             plp_rotation=int(cfg.rotated), plp_fec_type=int(cfg.fec_frame),
+            plp_type=cfg.plp_type,
             plp_num_blocks_max=cfg.num_blocks_max,
             frame_interval=cfg.frame_interval,
             time_il_length=cfg.time_il_length, time_il_type=cfg.time_il_type,
             first_frame_idx=cfg.first_frame_idx))
     dyn = L1PostDynamic(plp=[L1PostDynPLP(id=c.plp_id) for c in plps])
-    post = L1Post(num_plp=len(plps), plp=post_plps, dyn=dyn)
+    post = L1Post(num_plp=len(plps), plp=post_plps,
+                  sub_slices_per_frame=max(
+                      [c.sub_slices for c in plps if c.plp_type == 2],
+                      default=1),
+                  dyn=dyn)
     eta = L1_MOD_BITS[l1_post_mod]
     info_size = post.info_bits(repetition=l1_repetition)
     n_post, _ = l1post_fec_geometry(info_size + 32, eta)

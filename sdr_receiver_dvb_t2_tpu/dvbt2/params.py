@@ -403,6 +403,8 @@ class PLPParams:
     time_il_type: int = 0
     frame_interval: int = 1     # I_JUMP
     first_frame_idx: int = 0
+    plp_type: int = 1           # 1 = contiguous slice, 2 = sub-sliced
+    sub_slices: int = 1         # SUB_SLICES_PER_FRAME (type 2 only)
 
     @property
     def fec(self) -> FECParams:

@@ -50,7 +50,10 @@ def params_from_l1(p1_fft: FFTMode, pre: l1mod.L1Pre,
             time_il_length=cfg.time_il_length,
             time_il_type=cfg.time_il_type,
             frame_interval=cfg.frame_interval,
-            first_frame_idx=cfg.first_frame_idx))
+            first_frame_idx=cfg.first_frame_idx,
+            plp_type=cfg.plp_type,
+            sub_slices=(post.sub_slices_per_frame
+                        if cfg.plp_type == 2 else 1)))
     return p, plps
 
 

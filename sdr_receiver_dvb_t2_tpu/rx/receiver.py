@@ -55,7 +55,7 @@ class T2Receiver:
         self.ldpc_decode_fn_factory = ldpc_decode_fn_factory
         self._last_l1post = None
 
-    def receive(self, x: np.ndarray, _sco_pass: bool = True,
+    def receive(self, x: np.ndarray, _sco_pass: int = 2,
                 _ladder: bool = True) -> ReceiveResult:
         stats = ReceiverStats()
         x = np.asarray(x)
@@ -157,10 +157,17 @@ class T2Receiver:
                         sco = 0.0
                 if 2e-6 < abs(sco) < 5e-3:
                     from . import frontend
-                    x2 = frontend.sinc_resample(x, 1.0 + sco)
-                    res = self.receive(x2, _sco_pass=False)
+                    # zero headroom: repeated resampling walks the first
+                    # P1 a few samples earlier each pass; keep it in-buffer
+                    x2 = np.concatenate(
+                        [np.zeros(512, x.dtype),
+                         frontend.sinc_resample(x, 1.0 + sco)])
+                    # a second pass converges the estimator's bias at
+                    # large residuals (the pilot-slope measurement is a
+                    # few % off at ~100 ppm); reported ppm accumulates
+                    res = self.receive(x2, _sco_pass=_sco_pass - 1)
                     res.stats.cfo_hz = stats.cfo_hz
-                    res.stats.sco_ppm = sco * 1e6
+                    res.stats.sco_ppm = sco * 1e6 + res.stats.sco_ppm
                     return res
 
         assembler = bbframe.TSAssembler()
@@ -198,7 +205,9 @@ class T2Receiver:
         residue on the successful branch."""
         from . import frontend
         for trial in (40e-6, -40e-6, 100e-6, -100e-6, 180e-6, -180e-6):
-            xr = frontend.sinc_resample(x, 1.0 + trial)
+            xr = np.concatenate(
+                [np.zeros(512, x.dtype),
+                 frontend.sinc_resample(x, 1.0 + trial)])
             res = self.receive(xr, _ladder=False)
             if res.stats.frames_decoded > 0:
                 res.stats.sco_ppm += trial * 1e6
@@ -287,7 +296,18 @@ class T2Receiver:
             pstat = stats.plp_stats.setdefault(
                 dyn.id, rxdecode.PLPDecodeStats())
             n_cells = dyn.num_blocks * plp.cells_per_fec_block
-            sl = data_cells[dyn.start:dyn.start + n_cells]
+            if plp.plp_type == 2 and plp.sub_slices > 1:
+                # type-2 PLP: gather the round-robin sub-slices back into
+                # one cell stream (the reference's slice switching,
+                # time_deinterleaver.cpp:354-366)
+                ln = n_cells // plp.sub_slices
+                iv = l1post.dyn.sub_slice_interval
+                sl = np.concatenate(
+                    [data_cells[dyn.start + r * iv:
+                                dyn.start + r * iv + ln]
+                     for r in range(plp.sub_slices)])
+            else:
+                sl = data_cells[dyn.start:dyn.start + n_cells]
             fn = (self.ldpc_decode_fn_factory(plp)
                   if self.ldpc_decode_fn_factory else None)
             rxdecode.plp_slice_to_ts(plp, sl, dyn.num_blocks,

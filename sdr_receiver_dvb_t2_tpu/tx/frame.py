@@ -55,6 +55,47 @@ def interleave_plp_frame(plp: PLPParams, cells: np.ndarray) -> np.ndarray:
     return np.concatenate(out) if out else np.zeros(0, np.complex64)
 
 
+def layout_plp_slices(plps, slices):
+    """Order the per-PLP cell slices inside the frame (clause 8.3.6):
+    type-1 PLPs first as contiguous slices, then type-2 PLPs interleaved
+    round-robin in SUB_SLICES rounds (the reference's multi-PLP slice
+    switching, time_deinterleaver.cpp:354-366, consumes this layout).
+
+    Returns (parts in frame order, {plp_id: start_cell},
+             sub_slice_interval, type_2_start)."""
+    t1 = [(c, s) for c, s in zip(plps, slices) if c.plp_type != 2]
+    t2 = [(c, s) for c, s in zip(plps, slices) if c.plp_type == 2]
+    parts: list[np.ndarray] = []
+    starts: dict[int, int] = {}
+    pos = 0
+    for c, s in t1:
+        starts[c.plp_id] = pos
+        parts.append(s)
+        pos += len(s)
+    type_2_start = pos
+    interval = 0
+    if t2:
+        nss = t2[0][0].sub_slices
+        if any(c.sub_slices != nss for c, _ in t2):
+            raise ValueError("type-2 PLPs must share SUB_SLICES_PER_FRAME")
+        lens = []
+        for c, s in t2:
+            if len(s) % nss:
+                raise ValueError(
+                    f"PLP {c.plp_id}: {len(s)} cells not divisible into "
+                    f"{nss} sub-slices")
+            lens.append(len(s) // nss)
+        interval = sum(lens)
+        off = 0
+        for (c, s), ln in zip(t2, lens):
+            starts[c.plp_id] = pos + off
+            off += ln
+        for r in range(nss):
+            for (c, s), ln in zip(t2, lens):
+                parts.append(s[r * ln:(r + 1) * ln])
+    return parts, starts, interval, type_2_start
+
+
 def dummy_cells(n: int) -> np.ndarray:
     """BPSK-modulated BB-PRBS filler for unallocated cells (clause 8.3.6)."""
     if n <= 0:

@@ -77,8 +77,6 @@ class T2Modulator:
         l1posts = []
         for fidx in range(n_frames):
             plp_slices = []
-            start_cell = 0
-            dyn_plps = []
             for a, cfg in zip(self.adapters, self.plps):
                 nb = self.blocks_per_frame(cfg)
                 npkt = a.packets_needed(nb)
@@ -91,19 +89,28 @@ class T2Modulator:
                 bb = np.stack([a.next_frame() for _ in range(nb)])
                 cells = txfec.plp_encode(cfg, bb)
                 plp_slices.append(txframe.interleave_plp_frame(cfg, cells))
-                dyn_plps.append(l1mod.L1PostDynPLP(
-                    id=cfg.plp_id, start=start_cell, num_blocks=nb))
-                start_cell += nb * cfg.cells_per_fec_block
+            plp_slices, starts, ss_interval, t2_start = \
+                txframe.layout_plp_slices(self.plps, plp_slices)
+            dyn_plps = [l1mod.L1PostDynPLP(
+                id=cfg.plp_id, start=starts[cfg.plp_id],
+                num_blocks=self.blocks_per_frame(cfg))
+                for cfg in self.plps]
+            def make_dyn(fi):
+                return l1mod.L1PostDynamic(
+                    frame_idx=fi, plp=dyn_plps,
+                    sub_slice_interval=ss_interval, type_2_start=t2_start)
+
             dyn_next = None
             if self.l1_repetition:
                 # constant scheduling: next frame's dynamic differs only in
                 # frame_idx (clause 7.2.3.1 L1 repetition)
-                dyn_next = l1mod.L1PostDynamic(
-                    frame_idx=(fidx + 1) % max(n_frames, 1), plp=dyn_plps)
+                dyn_next = make_dyn((fidx + 1) % max(n_frames, 1))
             l1post = l1mod.L1Post(
                 num_plp=len(self.plps), plp=l1post_template.plp,
-                dyn=l1mod.L1PostDynamic(frame_idx=fidx, plp=dyn_plps),
-                dyn_next=dyn_next)
+                sub_slices_per_frame=max(
+                    [c.sub_slices for c in self.plps if c.plp_type == 2],
+                    default=1),
+                dyn=make_dyn(fidx), dyn_next=dyn_next)
             l1posts.append(l1post)
             l1_cells = np.concatenate([
                 l1mod.l1pre_encode(l1pre),

@@ -237,6 +237,74 @@ def tr_papr_reduce(p: T2Params, spec: np.ndarray, sym: np.ndarray,
     return out
 
 
+def ace_papr_reduce(p: T2Params, spec: np.ndarray, sym: np.ndarray,
+                    symbol_indices: np.ndarray, target_db: float = 6.5,
+                    gain: float = 1.0, max_ext: float = 0.7,
+                    iters: int = 4) -> np.ndarray:
+    """Active Constellation Extension PAPR reduction (clause 9.6.1).
+
+    Clip-and-filter with the extend-outward projection: clip the
+    time-domain symbol, take the clipping error back to the frequency
+    domain, and keep only the error components that push a cell's real or
+    imaginary part further OUT in its own sign direction on cells already
+    at the outer decision region -- the receiver's LLRs only improve for
+    such moves.  Pilot/dummy/TR cells are never modified (their reference
+    amplitudes are part of the channel estimate).
+
+    Outer-region membership is decided against the per-symbol maximum
+    component magnitude (exact for the uniform single-PLP symbols this
+    modulator emits; conservative otherwise).  The extension is capped at
+    `max_ext` of the nominal component.  Returns corrected time symbols.
+    """
+    n = p.fft_size
+    shifted_of_k = ((np.arange(p.k_total) + p.left_nulls) - n // 2) % n
+
+    def data_bins(l: int) -> np.ndarray:
+        if l < p.n_p2:
+            m = tables.p2_carrier_map(p)
+        elif p.has_fc and l == p.len_frame - 1:
+            m = tables.fc_carrier_map(p)
+        else:
+            dy = tables.SP_PATTERN[p.pilot_pattern][1]
+            m = tables.data_carrier_maps(p)[l % dy]
+        return shifted_of_k[np.nonzero(m == tables.DATA)[0]]
+
+    out = sym.astype(np.complex128).copy()
+    for row, l in enumerate(symbol_indices):
+        x = out[row]
+        x0 = spec[row]
+        bins = data_bins(int(l))             # data cells only: pilots and
+        if len(bins) == 0:                   # reserved tones stay exact
+            continue
+        re0, im0 = np.real(x0[bins]), np.imag(x0[bins])
+        thr_r = 0.95 * np.max(np.abs(re0)) if np.max(np.abs(re0)) else 0.0
+        thr_i = 0.95 * np.max(np.abs(im0)) if np.max(np.abs(im0)) else 0.0
+        rms = np.sqrt(np.mean(np.abs(x) ** 2))
+        vclip = rms * 10.0 ** (target_db / 20.0)
+        for _ in range(iters):
+            mag = np.abs(x)
+            pk = float(mag.max())
+            if pk <= vclip:
+                break
+            xc = np.where(mag > vclip, x * (vclip / np.maximum(mag, 1e-12)),
+                          x)
+            e = np.fft.fft(xc - x)           # clipping-error spectrum
+            eb = e[bins]
+            er, ei = np.real(eb), np.imag(eb)
+            # extend-outward projection per component
+            ok_r = (np.sign(er) == np.sign(re0)) & (np.abs(re0) >= thr_r)
+            ok_i = (np.sign(ei) == np.sign(im0)) & (np.abs(im0) >= thr_i)
+            ext_r = np.where(ok_r, np.clip(gain * er, -max_ext * np.abs(re0),
+                                           max_ext * np.abs(re0)), 0.0)
+            ext_i = np.where(ok_i, np.clip(gain * ei, -max_ext * np.abs(im0),
+                                           max_ext * np.abs(im0)), 0.0)
+            delta = np.zeros(n, np.complex128)
+            delta[bins] = ext_r + 1j * ext_i
+            x = x + np.fft.ifft(delta)
+        out[row] = x
+    return out.astype(np.complex64)
+
+
 def ofdm_modulate(p: T2Params, carriers: np.ndarray,
                   first_symbol: int = 0) -> np.ndarray:
     """(n_sym, k_total) carrier vectors -> (n_sym, fft+guard) samples.
@@ -253,9 +321,11 @@ def ofdm_modulate(p: T2Params, carriers: np.ndarray,
     baseband = (shifted - p.fft_size // 2) % p.fft_size
     spec[:, baseband] = carriers
     sym = np.fft.ifft(spec, axis=1).astype(np.complex64)
+    idx = np.arange(first_symbol, first_symbol + n_sym)
+    if p.papr in (PAPR.ACE, PAPR.BOTH):
+        sym = ace_papr_reduce(p, spec, sym, idx)
     if p.papr in (PAPR.TR, PAPR.BOTH):
-        sym = tr_papr_reduce(p, spec, sym,
-                             np.arange(first_symbol, first_symbol + n_sym))
+        sym = tr_papr_reduce(p, spec, sym, idx)
     sym *= np.float32(p.fft_size / np.sqrt(p.k_total))
     g = p.guard_size
     return np.concatenate([sym[:, -g:], sym], axis=1)

@@ -288,3 +288,66 @@ def test_e2e_l1_repetition_clean_roundtrip():
     assert res.l1post is not None and res.l1post.dyn_next is not None
     flat = ts.reshape(-1)
     np.testing.assert_array_equal(res.ts, flat[:len(res.ts)])
+
+
+def test_e2e_ace_papr_reduction():
+    """ACE (clause 9.6.1): clip-and-filter with extend-outward projection
+    on data cells. Peak power drops and the receiver stays bit-exact (the
+    extension only increases LLR confidence on outer points)."""
+    from sdr_receiver_dvb_t2_tpu.dvbt2.params import PAPR
+    import dataclasses
+    p, plp = small_config(constellation=Constellation.QAM16, rotated=False)
+    p_ace = dataclasses.replace(p, papr=PAPR.ACE)
+    mod = T2Modulator(p_ace, [plp])
+    ts = make_ts(mod.packets_needed(1) + 4, seed=17)
+    out_ace = mod.modulate(ts.reshape(-1), 1)
+    mod0 = T2Modulator(p, [plp])
+    out0 = mod0.modulate(ts.reshape(-1), 1)
+
+    def papr_db(x):
+        return 10 * np.log10(np.max(np.abs(x) ** 2)
+                             / np.mean(np.abs(x) ** 2))
+
+    body = slice(2048, None)
+    assert papr_db(out_ace.samples[body]) < papr_db(out0.samples[body]) - 0.4
+
+    res = T2Receiver().receive(awgn(out_ace.samples, 25, seed=4))
+    assert res.stats.frames_decoded == 1
+    flat = ts.reshape(-1)
+    np.testing.assert_array_equal(res.ts, flat[:len(res.ts)])
+
+
+def test_e2e_type2_plps_sub_sliced():
+    """Type-2 PLPs: each interleaving frame's cells split into SUB_SLICES
+    round-robin sub-slices interleaved with the other type-2 PLPs
+    (clause 8.3.6.3); the receiver re-gathers them via SUB_SLICE_INTERVAL.
+    Mirrors the reference's multi-PLP slice switching
+    (time_deinterleaver.cpp:354-366)."""
+    p = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                 pilot_pattern=PilotPattern.PP1, extended_carrier=False,
+                 n_data=9)
+    plps = [PLPParams(plp_id=0, constellation=Constellation.QAM16,
+                      rate=CodeRate.C1_2, fec_frame=FECFrame.SHORT,
+                      num_blocks_max=1, time_il_length=1),
+            PLPParams(plp_id=1, constellation=Constellation.QPSK,
+                      rate=CodeRate.C1_2, fec_frame=FECFrame.SHORT,
+                      rotated=False, num_blocks_max=1, time_il_length=1,
+                      plp_type=2, sub_slices=3),
+            PLPParams(plp_id=2, constellation=Constellation.QPSK,
+                      rate=CodeRate.C1_2, fec_frame=FECFrame.SHORT,
+                      rotated=False, num_blocks_max=2, time_il_length=1,
+                      plp_type=2, sub_slices=3)]
+    mod = T2Modulator(p, plps)
+    ts = make_ts(mod.packets_needed(2) + 6, seed=23)
+    out = mod.modulate(ts.reshape(-1), 2)
+    assert out.l1post_frames[0].sub_slices_per_frame == 3
+    assert out.l1post_frames[0].dyn.sub_slice_interval > 0
+    flat = ts.reshape(-1, 188)
+    src = {pkt.tobytes() for pkt in flat}
+    for pid in (0, 1, 2):
+        res = T2Receiver(plp_filter=pid).receive(out.samples)
+        assert res.stats.frames_decoded == 2, pid
+        assert len(res.ts) >= 188, pid
+        assert res.stats.ts_errors == 0, pid
+        for pkt in res.ts.reshape(-1, 188):
+            assert pkt.tobytes() in src
