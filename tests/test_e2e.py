@@ -351,3 +351,40 @@ def test_e2e_type2_plps_sub_sliced():
         assert res.stats.ts_errors == 0, pid
         for pkt in res.ts.reshape(-1, 188):
             assert pkt.tobytes() in src
+
+
+@pytest.mark.parametrize("fft_mode,gi,pp,n_data", [
+    (FFTMode.FFT_2K, GuardInterval.GI_1_16, PilotPattern.PP3, 16),
+    (FFTMode.FFT_4K, GuardInterval.GI_1_16, PilotPattern.PP3, 10),
+])
+def test_e2e_2k_4k_fft(fft_mode, gi, pp, n_data):
+    """2K and 4K FFT modes end-to-end (completing 1K..32K coverage)."""
+    p = T2Params(fft_mode=fft_mode, guard=gi, pilot_pattern=pp,
+                 extended_carrier=False, n_data=n_data)
+    plp = PLPParams(constellation=Constellation.QAM16, rate=CodeRate.C1_2,
+                    fec_frame=FECFrame.SHORT, num_blocks_max=2,
+                    time_il_length=1)
+    flat, res = run_loopback(p, plp, n_frames=1)
+    assert res.stats.frames_decoded == 1
+    np.testing.assert_array_equal(res.ts, flat[:len(res.ts)])
+
+
+def test_e2e_siso_multipath_channel():
+    """Frequency-selective SISO channel inside the GI: the pilot-aided
+    one-tap equalizer recovers the TS bit-exact (the reference's
+    operating scenario for terrestrial echoes)."""
+    p, plp = small_config()
+    rng = np.random.default_rng(31)
+
+    def ch(x):
+        taps = np.zeros(40, np.complex64)
+        taps[0] = 1.0
+        taps[7] = 0.35 * np.exp(1.1j)
+        taps[23] = 0.2 * np.exp(-2.3j)
+        y = np.convolve(x, taps)[:len(x)].astype(np.complex64)
+        return awgn(y, 27, seed=6)
+
+    flat, res = run_loopback(p, plp, n_frames=2, channel=ch)
+    assert res.stats.frames_decoded == 2
+    assert res.stats.ts_errors == 0
+    np.testing.assert_array_equal(res.ts, flat[:len(res.ts)])
