@@ -521,7 +521,7 @@ def make_pallas_layered_vmem(frame: FECFrame, rate: CodeRate, iters: int,
             deg = layer_deg[t]
             et = deg + 2
             # ---- pass 1: v2c messages + running two-minimum scan ----
-            min1 = min2 = amin = nneg = None
+            min1 = min2 = sign_all = None
             for j in range(et):
                 if j < deg:
                     g, s = int(entry_g[t, j]), int(entry_s[t, j])
@@ -539,26 +539,29 @@ def make_pallas_layered_vmem(frame: FECFrame, rate: CodeRate, iters: int,
                 ms = m.astype(SD)
                 msgs[j] = ms
                 aj = jnp.abs(ms)
-                neg = (ms < 0).astype(jnp.int32)
+                sj = jnp.where(ms < 0, SD(-1.0), SD(1.0))
                 if j == 0:
                     min1 = aj
                     min2 = jnp.full((360, B), _BIG, SD)
-                    amin = jnp.zeros((360, B), jnp.int32)
-                    nneg = neg
+                    sign_all = sj
                 else:
                     is_new = aj < min1
                     min2 = jnp.where(is_new, min1, jnp.minimum(min2, aj))
                     min1 = jnp.where(is_new, aj, min1)
-                    amin = jnp.where(is_new, j, amin)
-                    nneg = nneg + neg
-            sign_all = (1 - 2 * jax.lax.rem(nneg, 2)).astype(SD)
+                    sign_all = sign_all * sj
+            # offset applied once per layer to both candidate magnitudes
+            mag1 = jnp.maximum(min1 - off, 0.0)
+            mag2 = jnp.maximum(min2 - off, 0.0)
 
             # ---- pass 2: new c2v + additive total write-backs ----
             for j in range(et):
                 mj = msgs[j]
-                loo = jnp.where(amin == j, min2, min1)
+                # leave-one-out without argmin tracking: the minimal edge
+                # (|mj| == min1) takes min2; ties make min2 == min1 so the
+                # result is identical either way
+                loo_mag = jnp.where(jnp.abs(mj) <= min1, mag2, mag1)
                 sgn = jnp.where(mj < 0, -sign_all, sign_all)
-                stored = (sgn * jnp.maximum(loo - off, 0.0)).astype(DT)
+                stored = (sgn * loo_mag).astype(DT)
                 new = stored.astype(jnp.float32)
                 if j < deg:
                     g, s = int(entry_g[t, j]), int(entry_s[t, j])
@@ -681,7 +684,7 @@ def make_decoder_nb_fused_io(frame: FECFrame, rate: CodeRate, iters: int,
         def layer(t):
             deg = layer_deg[t]
             et = deg + 2
-            min1 = min2 = amin = nneg = None
+            min1 = min2 = sign_all = None
             for j in range(et):
                 if j < deg:
                     g, s = int(entry_g[t, j]), int(entry_s[t, j])
@@ -697,24 +700,23 @@ def make_decoder_nb_fused_io(frame: FECFrame, rate: CodeRate, iters: int,
                         m = prev - c2v[t, j].astype(jnp.float32) + mask0
                 msgs[j] = m
                 aj = jnp.abs(m)
-                neg = (m < 0).astype(jnp.int32)
+                sj = jnp.where(m < 0, -1.0, 1.0)
                 if j == 0:
                     min1 = aj
                     min2 = jnp.full((360, B), _BIG, jnp.float32)
-                    amin = jnp.zeros((360, B), jnp.int32)
-                    nneg = neg
+                    sign_all = sj
                 else:
                     is_new = aj < min1
                     min2 = jnp.where(is_new, min1, jnp.minimum(min2, aj))
                     min1 = jnp.where(is_new, aj, min1)
-                    amin = jnp.where(is_new, j, amin)
-                    nneg = nneg + neg
-            sign_all = (1 - 2 * jax.lax.rem(nneg, 2)).astype(jnp.float32)
+                    sign_all = sign_all * sj
+            mag1 = jnp.maximum(min1 - off, 0.0)
+            mag2 = jnp.maximum(min2 - off, 0.0)
             for j in range(et):
                 mj = msgs[j]
-                loo = jnp.where(amin == j, min2, min1)
+                loo_mag = jnp.where(jnp.abs(mj) <= min1, mag2, mag1)
                 sgn = jnp.where(mj < 0, -sign_all, sign_all)
-                stored = (sgn * jnp.maximum(loo - off, 0.0)).astype(DT)
+                stored = (sgn * loo_mag).astype(DT)
                 new = stored.astype(jnp.float32)
                 if j < deg:
                     g, s = int(entry_g[t, j]), int(entry_s[t, j])
