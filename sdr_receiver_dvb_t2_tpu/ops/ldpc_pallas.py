@@ -521,7 +521,7 @@ def make_pallas_layered_vmem(frame: FECFrame, rate: CodeRate, iters: int,
             deg = layer_deg[t]
             et = deg + 2
             # ---- pass 1: v2c messages + running two-minimum scan ----
-            min1 = min2 = sign_all = None
+            min1 = min2 = nneg = None
             for j in range(et):
                 if j < deg:
                     g, s = int(entry_g[t, j]), int(entry_s[t, j])
@@ -539,16 +539,18 @@ def make_pallas_layered_vmem(frame: FECFrame, rate: CodeRate, iters: int,
                 ms = m.astype(SD)
                 msgs[j] = ms
                 aj = jnp.abs(ms)
-                sj = jnp.where(ms < 0, SD(-1.0), SD(1.0))
+                neg = (ms < 0).astype(jnp.int32)
                 if j == 0:
                     min1 = aj
                     min2 = jnp.full((360, B), _BIG, SD)
-                    sign_all = sj
+                    nneg = neg
                 else:
                     is_new = aj < min1
                     min2 = jnp.where(is_new, min1, jnp.minimum(min2, aj))
                     min1 = jnp.where(is_new, aj, min1)
-                    sign_all = sign_all * sj
+                    nneg = nneg + neg
+
+            sign_all = (1 - 2 * jax.lax.rem(nneg, 2)).astype(SD)
             # offset applied once per layer to both candidate magnitudes
             mag1 = jnp.maximum(min1 - off, 0.0)
             mag2 = jnp.maximum(min2 - off, 0.0)
@@ -684,7 +686,7 @@ def make_decoder_nb_fused_io(frame: FECFrame, rate: CodeRate, iters: int,
         def layer(t):
             deg = layer_deg[t]
             et = deg + 2
-            min1 = min2 = sign_all = None
+            min1 = min2 = nneg = None
             for j in range(et):
                 if j < deg:
                     g, s = int(entry_g[t, j]), int(entry_s[t, j])
@@ -700,16 +702,17 @@ def make_decoder_nb_fused_io(frame: FECFrame, rate: CodeRate, iters: int,
                         m = prev - c2v[t, j].astype(jnp.float32) + mask0
                 msgs[j] = m
                 aj = jnp.abs(m)
-                sj = jnp.where(m < 0, -1.0, 1.0)
+                neg = (m < 0).astype(jnp.int32)
                 if j == 0:
                     min1 = aj
                     min2 = jnp.full((360, B), _BIG, jnp.float32)
-                    sign_all = sj
+                    nneg = neg
                 else:
                     is_new = aj < min1
                     min2 = jnp.where(is_new, min1, jnp.minimum(min2, aj))
                     min1 = jnp.where(is_new, aj, min1)
-                    sign_all = sign_all * sj
+                    nneg = nneg + neg
+            sign_all = (1 - 2 * jax.lax.rem(nneg, 2)).astype(jnp.float32)
             mag1 = jnp.maximum(min1 - off, 0.0)
             mag2 = jnp.maximum(min2 - off, 0.0)
             for j in range(et):
