@@ -454,6 +454,253 @@ def qc_syndrome_ok(frame: FECFrame, rate: CodeRate, total_info, total_par):
     return bad == 0
 
 
+def _make_layer_step(tab: QCTables, vti, vtp, c2v, msgs, u_iota, mask0,
+                     off, DT, SD):
+    """Shared statically-unrolled layer body for the VMEM-resident kernels.
+
+    Closes over the kernel refs; `layer(t)` runs one check-layer update of
+    the offset-min-sum layered schedule (reference semantics:
+    LDPC/layered_decoder.hh:83-110) entirely on (360, B) VMEM tiles with
+    static `pltpu.roll` shifts."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    q = tab.q
+    layer_deg = [int(d) for d in tab.layer_deg]
+    entry_g = tab.entry_g
+    entry_s = tab.entry_s
+
+    def layer(t):
+        deg = layer_deg[t]
+        et = deg + 2
+        # ---- pass 1: v2c messages + running two-minimum scan ----
+        min1 = min2 = nneg = None
+        for j in range(et):
+            if j < deg:
+                g, s = int(entry_g[t, j]), int(entry_s[t, j])
+                aligned = pltpu.roll(vti[g], s, axis=0)
+                m = aligned - c2v[t, j].astype(jnp.float32)
+            elif j == deg:
+                m = vtp[t] - c2v[t, j].astype(jnp.float32)
+            else:
+                if t > 0:
+                    m = vtp[t - 1] - c2v[t, j].astype(jnp.float32)
+                else:
+                    prev = pltpu.roll(vtp[q - 1], 1, axis=0)
+                    m = prev - c2v[t, j].astype(jnp.float32) + mask0
+            ms = m.astype(SD)
+            msgs[j] = ms
+            aj = jnp.abs(ms)
+            neg = (ms < 0).astype(jnp.int32)
+            if j == 0:
+                min1 = aj
+                min2 = jnp.full(vti.shape[1:], _BIG, SD)
+                nneg = neg
+            else:
+                is_new = aj < min1
+                min2 = jnp.where(is_new, min1, jnp.minimum(min2, aj))
+                min1 = jnp.where(is_new, aj, min1)
+                nneg = nneg + neg
+
+        sign_all = (1 - 2 * jax.lax.rem(nneg, 2)).astype(SD)
+        # offset applied once per layer to both candidate magnitudes
+        mag1 = jnp.maximum(min1 - off, 0.0)
+        mag2 = jnp.maximum(min2 - off, 0.0)
+
+        # ---- pass 2: new c2v + additive total write-backs ----
+        for j in range(et):
+            mj = msgs[j]
+            # leave-one-out without argmin tracking: the minimal edge
+            # (|mj| == min1) takes min2; ties make min2 == min1 so the
+            # result is identical either way
+            loo_mag = jnp.where(jnp.abs(mj) <= min1, mag2, mag1)
+            sgn = jnp.where(mj < 0, -sign_all, sign_all)
+            stored = (sgn * loo_mag).astype(DT)
+            new = stored.astype(jnp.float32)
+            if j < deg:
+                g, s = int(entry_g[t, j]), int(entry_s[t, j])
+                delta = new - c2v[t, j].astype(jnp.float32)
+                vti[g] = vti[g] + pltpu.roll(delta, (360 - s) % 360,
+                                             axis=0)
+            elif j == deg:
+                vtp[t] = mj.astype(jnp.float32) + new
+            else:
+                prev_new = mj.astype(jnp.float32) + new
+                if t > 0:
+                    vtp[t - 1] = prev_new
+                else:
+                    # aligned slot u maps to par[q-1][u-1]; u=0 is the
+                    # masked non-edge, par[q-1][359] has no consumer
+                    rolled = pltpu.roll(prev_new - mask0, 359, axis=0)
+                    vtp[q - 1] = jnp.where(u_iota == 359, vtp[q - 1],
+                                           rolled)
+            c2v[t, j] = stored
+
+    return layer
+
+
+def _make_syndrome_count(tab: QCTables, vti, vtp, u_iota):
+    """In-kernel parity check over the VMEM totals: returns a () int32 count
+    of failed checks across the whole batch (0 = every codeword clean).
+
+    Same alignment as `qc_syndrome_ok` (the XLA version used between
+    chunked kernel calls), but runs inside the kernel on (360, B) tiles so
+    the early-exit gate costs roughly half a layer pass, not an HBM
+    round-trip.  Reference semantics: LDPC/layered_decoder.hh:65-82."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    q = tab.q
+    layer_deg = [int(d) for d in tab.layer_deg]
+    entry_g = tab.entry_g
+    entry_s = tab.entry_s
+
+    def syndrome_count():
+        bad = jnp.zeros(vti.shape[1:], jnp.int32)
+        for t in range(q):
+            acc = (vtp[t] < 0).astype(jnp.int32)
+            for j in range(layer_deg[t]):
+                g, s = int(entry_g[t, j]), int(entry_s[t, j])
+                acc = acc + pltpu.roll((vti[g] < 0).astype(jnp.int32),
+                                       s, axis=0)
+            if t > 0:
+                acc = acc + (vtp[t - 1] < 0).astype(jnp.int32)
+            else:
+                prev = pltpu.roll((vtp[q - 1] < 0).astype(jnp.int32),
+                                  1, axis=0)
+                # check (0, u=0) has no previous parity edge
+                acc = acc + jnp.where(u_iota == 0, 0, prev)
+            bad = bad + jnp.bitwise_and(acc, 1)
+        return jnp.sum(bad)
+
+    return syndrome_count
+
+
+def make_pallas_layered_vmem_adaptive(frame: FECFrame, rate: CodeRate,
+                                      max_iters: int = 24,
+                                      check_every: int = 2,
+                                      batch: int = 128,
+                                      offset: float = 0.5,
+                                      interpret: bool = False,
+                                      dtype=jnp.bfloat16,
+                                      min_iters: int = 0):
+    """Single-call adaptive layered decoder: the early-exit loop lives INSIDE
+    the kernel, so totals and c2v messages stay VMEM-resident for the whole
+    decode (the chunked `make_adaptive_decoder_nb` pays a full c2v HBM
+    round-trip per chunk — ~166 MB for normal-frame codes at B=128).
+
+    Runs `check_every` layered iterations, computes the full-batch syndrome
+    in-kernel, and stops as soon as every codeword is clean (or at
+    max_iters).  Matches the reference's TRIALS=25 + per-iteration `bad()`
+    semantics (ldpc_decoder.h:62, layered_decoder.hh:65-82).
+
+    Returns fn(total_info, total_par) -> (total_info', total_par',
+    iters_used ()) — same totals layout as `make_pallas_layered_vmem`.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tab = qc_tables(frame, rate)
+    q, degmax, G = tab.q, tab.degmax, tab.n_groups
+    E = degmax + 2
+    B = batch
+    DT = dtype
+    off = float(offset)
+    n_chunks = (max_iters + check_every - 1) // check_every
+
+    def kernel(tinfo_hbm, tpar_hbm, tinfo_out, tpar_out, iters_out,
+               vti, vtp, c2v, msgs, done, sem_i, sem_p):
+        cp_i = pltpu.make_async_copy(tinfo_hbm, vti, sem_i)
+        cp_p = pltpu.make_async_copy(tpar_hbm, vtp, sem_p)
+        cp_i.start(); cp_p.start()
+        u_iota = jax.lax.broadcasted_iota(jnp.int32, (360, B), 0)
+        big = jnp.asarray(_BIG, jnp.float32)
+        mask0 = jnp.where(u_iota == 0, big, jnp.asarray(0.0, jnp.float32))
+        for t in range(q):
+            c2v[t] = jnp.zeros((E, 360, B), DT)
+        done[0] = 0
+        iters_out[0] = max_iters
+        cp_i.wait(); cp_p.wait()
+
+        layer = _make_layer_step(tab, vti, vtp, c2v, msgs, u_iota, mask0,
+                                 off, DT, jnp.float32)
+        syndrome_count = _make_syndrome_count(tab, vti, vtp, u_iota)
+
+        def chunk_body(ci, carry):
+            @pl.when(done[0] == 0)
+            def _():
+                def it_body(_, c):
+                    for t in range(q):
+                        layer(t)
+                    return c
+                jax.lax.fori_loop(0, check_every, it_body, 0)
+                n_bad = syndrome_count()
+                it_now = (ci + 1) * check_every
+
+                @pl.when(jnp.logical_and(n_bad == 0,
+                                         it_now >= min_iters))
+                def _():
+                    done[0] = 1
+                    iters_out[0] = it_now
+            return carry
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        cp_oi = pltpu.make_async_copy(vti, tinfo_out, sem_i)
+        cp_op = pltpu.make_async_copy(vtp, tpar_out, sem_p)
+        cp_oi.start(); cp_op.start()
+        cp_oi.wait(); cp_op.wait()
+
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=(
+            jax.ShapeDtypeStruct((G + 1, 360, B), jnp.float32),
+            jax.ShapeDtypeStruct((q, 360, B), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((G + 1, 360, B), jnp.float32),   # vti
+            pltpu.VMEM((q, 360, B), jnp.float32),       # vtp
+            pltpu.VMEM((q, E, 360, B), DT),             # resident c2v
+            pltpu.VMEM((E, 360, B), jnp.float32),       # msgs
+            pltpu.SMEM((1,), jnp.int32),                # done flag
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def decode(total_info, total_par):
+        ti, tp, it = call(total_info.astype(jnp.float32),
+                          total_par.astype(jnp.float32))
+        return ti, tp, it[0]
+
+    return jax.jit(decode)
+
+
+def make_adaptive_decoder_nb_fused(frame: FECFrame, rate: CodeRate,
+                                   max_iters: int = 24, check_every: int = 2,
+                                   batch: int = 128,
+                                   interpret: bool = False,
+                                   dtype=jnp.bfloat16, min_iters: int = 0):
+    """(N, B) LLR front door for the in-kernel adaptive decoder.
+
+    Returns fn(llrs_t (N,B)) -> (bits (N,B) uint8, iters_used ())."""
+    tab = qc_tables(frame, rate)
+    core = make_pallas_layered_vmem_adaptive(
+        frame, rate, max_iters=max_iters, check_every=check_every,
+        batch=batch, interpret=interpret, dtype=dtype, min_iters=min_iters)
+
+    def decode(llrs_t):
+        ti, tp = llrs_nb_to_qc_jnp(tab, llrs_t.astype(jnp.float32))
+        ti2, tp2, it = core(ti, tp)
+        return qc_to_bits_nb_jnp(tab, ti2, tp2), it
+
+    return jax.jit(decode)
+
+
 def make_pallas_layered_vmem(frame: FECFrame, rate: CodeRate, iters: int,
                              batch: int, offset: float = 0.5,
                              interpret: bool = False, dtype=jnp.bfloat16,
@@ -490,9 +737,6 @@ def make_pallas_layered_vmem(frame: FECFrame, rate: CodeRate, iters: int,
     # logical dimension is replicated"); keep float32 on hardware.
     SD = scan_dtype
     off = float(offset)  # python float: weak type, keeps SD arithmetic
-    layer_deg = [int(d) for d in tab.layer_deg]
-    entry_g = tab.entry_g
-    entry_s = tab.entry_s
 
     def kernel(*refs):
         if carry_c2v:
@@ -517,72 +761,8 @@ def make_pallas_layered_vmem(frame: FECFrame, rate: CodeRate, iters: int,
             cp_c.wait()
         cp_i.wait(); cp_p.wait()
 
-        def layer(t):
-            deg = layer_deg[t]
-            et = deg + 2
-            # ---- pass 1: v2c messages + running two-minimum scan ----
-            min1 = min2 = nneg = None
-            for j in range(et):
-                if j < deg:
-                    g, s = int(entry_g[t, j]), int(entry_s[t, j])
-                    aligned = pltpu.roll(vti[g], s, axis=0)
-                    m = aligned - c2v[t, j].astype(jnp.float32)
-                elif j == deg:
-                    m = vtp[t] - c2v[t, j].astype(jnp.float32)
-                else:
-                    if t > 0:
-                        prev = vtp[t - 1]
-                        m = prev - c2v[t, j].astype(jnp.float32)
-                    else:
-                        prev = pltpu.roll(vtp[q - 1], 1, axis=0)
-                        m = prev - c2v[t, j].astype(jnp.float32) + mask0
-                ms = m.astype(SD)
-                msgs[j] = ms
-                aj = jnp.abs(ms)
-                neg = (ms < 0).astype(jnp.int32)
-                if j == 0:
-                    min1 = aj
-                    min2 = jnp.full((360, B), _BIG, SD)
-                    nneg = neg
-                else:
-                    is_new = aj < min1
-                    min2 = jnp.where(is_new, min1, jnp.minimum(min2, aj))
-                    min1 = jnp.where(is_new, aj, min1)
-                    nneg = nneg + neg
-
-            sign_all = (1 - 2 * jax.lax.rem(nneg, 2)).astype(SD)
-            # offset applied once per layer to both candidate magnitudes
-            mag1 = jnp.maximum(min1 - off, 0.0)
-            mag2 = jnp.maximum(min2 - off, 0.0)
-
-            # ---- pass 2: new c2v + additive total write-backs ----
-            for j in range(et):
-                mj = msgs[j]
-                # leave-one-out without argmin tracking: the minimal edge
-                # (|mj| == min1) takes min2; ties make min2 == min1 so the
-                # result is identical either way
-                loo_mag = jnp.where(jnp.abs(mj) <= min1, mag2, mag1)
-                sgn = jnp.where(mj < 0, -sign_all, sign_all)
-                stored = (sgn * loo_mag).astype(DT)
-                new = stored.astype(jnp.float32)
-                if j < deg:
-                    g, s = int(entry_g[t, j]), int(entry_s[t, j])
-                    delta = new - c2v[t, j].astype(jnp.float32)
-                    vti[g] = vti[g] + pltpu.roll(delta, (360 - s) % 360,
-                                                 axis=0)
-                elif j == deg:
-                    vtp[t] = mj.astype(jnp.float32) + new
-                else:
-                    prev_new = mj.astype(jnp.float32) + new
-                    if t > 0:
-                        vtp[t - 1] = prev_new
-                    else:
-                        # aligned slot u maps to par[q-1][u-1]; u=0 is the
-                        # masked non-edge, par[q-1][359] has no consumer
-                        rolled = pltpu.roll(prev_new - mask0, 359, axis=0)
-                        vtp[q - 1] = jnp.where(u_iota == 359, vtp[q - 1],
-                                               rolled)
-                c2v[t, j] = stored
+        layer = _make_layer_step(tab, vti, vtp, c2v, msgs, u_iota, mask0,
+                                 off, DT, SD)
 
         def body(_, carry):
             for t in range(q):
@@ -657,9 +837,6 @@ def make_decoder_nb_fused_io(frame: FECFrame, rate: CodeRate, iters: int,
     B = batch
     DT = dtype
     off = 0.5
-    layer_deg = [int(d) for d in tab.layer_deg]
-    entry_g = tab.entry_g
-    entry_s = tab.entry_s
     gi_rows = -(-G // E)
     pi_rows = -(-q // E)
     if gi_rows + pi_rows > q:
@@ -683,60 +860,8 @@ def make_decoder_nb_fused_io(frame: FECFrame, rate: CodeRate, iters: int,
         for t in range(q):
             c2v[t] = jnp.zeros((E, 360, B), DT)
 
-        def layer(t):
-            deg = layer_deg[t]
-            et = deg + 2
-            min1 = min2 = nneg = None
-            for j in range(et):
-                if j < deg:
-                    g, s = int(entry_g[t, j]), int(entry_s[t, j])
-                    aligned = pltpu.roll(vti[g], s, axis=0)
-                    m = aligned - c2v[t, j].astype(jnp.float32)
-                elif j == deg:
-                    m = vtp[t] - c2v[t, j].astype(jnp.float32)
-                else:
-                    if t > 0:
-                        m = vtp[t - 1] - c2v[t, j].astype(jnp.float32)
-                    else:
-                        prev = pltpu.roll(vtp[q - 1], 1, axis=0)
-                        m = prev - c2v[t, j].astype(jnp.float32) + mask0
-                msgs[j] = m
-                aj = jnp.abs(m)
-                neg = (m < 0).astype(jnp.int32)
-                if j == 0:
-                    min1 = aj
-                    min2 = jnp.full((360, B), _BIG, jnp.float32)
-                    nneg = neg
-                else:
-                    is_new = aj < min1
-                    min2 = jnp.where(is_new, min1, jnp.minimum(min2, aj))
-                    min1 = jnp.where(is_new, aj, min1)
-                    nneg = nneg + neg
-            sign_all = (1 - 2 * jax.lax.rem(nneg, 2)).astype(jnp.float32)
-            mag1 = jnp.maximum(min1 - off, 0.0)
-            mag2 = jnp.maximum(min2 - off, 0.0)
-            for j in range(et):
-                mj = msgs[j]
-                loo_mag = jnp.where(jnp.abs(mj) <= min1, mag2, mag1)
-                sgn = jnp.where(mj < 0, -sign_all, sign_all)
-                stored = (sgn * loo_mag).astype(DT)
-                new = stored.astype(jnp.float32)
-                if j < deg:
-                    g, s = int(entry_g[t, j]), int(entry_s[t, j])
-                    delta = new - c2v[t, j].astype(jnp.float32)
-                    vti[g] = vti[g] + pltpu.roll(delta, (360 - s) % 360,
-                                                 axis=0)
-                elif j == deg:
-                    vtp[t] = mj + new
-                else:
-                    prev_new = mj + new
-                    if t > 0:
-                        vtp[t - 1] = prev_new
-                    else:
-                        rolled = pltpu.roll(prev_new - mask0, 359, axis=0)
-                        vtp[q - 1] = jnp.where(u_iota == 359, vtp[q - 1],
-                                               rolled)
-                c2v[t, j] = stored
+        layer = _make_layer_step(tab, vti, vtp, c2v, msgs, u_iota, mask0,
+                                 off, DT, jnp.float32)
 
         def body(_, carry):
             for t in range(q):

@@ -147,6 +147,43 @@ def test_adaptive_decoder_early_exit():
     assert int(it2) == 12
 
 
+def test_adaptive_inkernel_decoder():
+    """Single-call adaptive kernel: early exit, iteration count, and
+    bit-exact agreement with the fixed-iteration VMEM kernel schedule."""
+    frame, rate = FECFrame.SHORT, CodeRate.C1_2
+    code, cw, llr = _noisy(frame, rate, 8, snr_scale=4.0)
+    dec = qc.make_adaptive_decoder_nb_fused(
+        frame, rate, max_iters=12, check_every=2, batch=8,
+        interpret=True, dtype=jnp.float32)
+    bits, it = dec(jnp.asarray(llr.T))
+    np.testing.assert_array_equal(np.asarray(bits).T, cw)
+    it = int(it)
+    assert it < 12 and it % 2 == 0  # clean batch exits early
+    # the early-exit schedule is a prefix of the fixed-iteration schedule:
+    # a fixed decode of exactly `it` iterations gives the same bits
+    ref = qc.make_decoder_nb(frame, rate, iters=it, batch=8,
+                             interpret=True, variant="vmem",
+                             dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(bits),
+                                  np.asarray(ref(jnp.asarray(llr.T))))
+    # garbage input runs to max_iters
+    rng = np.random.default_rng(9)
+    garbage = rng.normal(0, 1, llr.T.shape).astype(np.float32)
+    _, it2 = dec(jnp.asarray(garbage))
+    assert int(it2) == 12
+
+
+def test_adaptive_inkernel_min_iters():
+    frame, rate = FECFrame.SHORT, CodeRate.C1_2
+    code, cw, llr = _noisy(frame, rate, 8, snr_scale=6.0)
+    dec = qc.make_adaptive_decoder_nb_fused(
+        frame, rate, max_iters=12, check_every=2, batch=8,
+        interpret=True, dtype=jnp.float32, min_iters=6)
+    bits, it = dec(jnp.asarray(llr.T))
+    np.testing.assert_array_equal(np.asarray(bits).T, cw)
+    assert int(it) >= 6
+
+
 def test_pallas_vmem_bf16_scan_decodes():
     frame, rate = FECFrame.SHORT, CodeRate.C1_2
     code, cw, llr = _noisy(frame, rate, 8, snr_scale=3.0)
