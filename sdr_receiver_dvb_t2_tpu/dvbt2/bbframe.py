@@ -58,6 +58,18 @@ def crc8(data: np.ndarray) -> int:
     return crc
 
 
+def crc8_rows(rows: np.ndarray) -> np.ndarray:
+    """CRC-8 of each row of a (n, m) uint8 array: the per-packet NM CRC
+    check vectorized across packets (m table steps instead of n*m Python
+    iterations)."""
+    tab = _crc8_table()
+    rows = np.asarray(rows, dtype=np.uint8)
+    crc = np.zeros(rows.shape[0], dtype=np.uint8)
+    for j in range(rows.shape[1]):
+        crc = tab[crc ^ rows[:, j]]
+    return crc
+
+
 # --- BB scrambler (clause 5.2.4): PRBS x^15+x^14+1, init 100101010000000 ---
 
 @functools.lru_cache(maxsize=None)
@@ -149,6 +161,28 @@ class BBHeader:
                    isi=get(8, 8) if sis_mis == 0 else 0,
                    upl=get(16, 16), dfl=get(32, 16), sync=get(48, 8),
                    syncd=get(56, 16), hem=hem)
+
+    @classmethod
+    def from_bytes(cls, by: np.ndarray) -> "BBHeader | None":
+        """Parse the 10-byte BB header (all fields are byte-aligned); the
+        fast entry used by `TSAssembler.push_bytes`."""
+        by = np.asarray(by[:10], dtype=np.uint8)
+        received = int(by[9])
+        expect = crc8(by[:9])
+        if received == expect:
+            hem = False
+        elif received == expect ^ 1:
+            hem = True
+        else:
+            return None
+        b0 = int(by[0])
+        sis_mis = (b0 >> 5) & 1
+        return cls(ts_gs=b0 >> 6, sis_mis=sis_mis, ccm_acm=(b0 >> 4) & 1,
+                   issyi=(b0 >> 3) & 1, npd=(b0 >> 2) & 1, ext=b0 & 3,
+                   isi=int(by[1]) if sis_mis == 0 else 0,
+                   upl=(int(by[2]) << 8) | int(by[3]),
+                   dfl=(int(by[4]) << 8) | int(by[5]), sync=int(by[6]),
+                   syncd=(int(by[7]) << 8) | int(by[8]), hem=hem)
 
 
 # --- TX: TS -> BB frames (mode + stream adaptation) ---
@@ -250,8 +284,16 @@ class TSAssembler:
     _lost: bool = True             # not yet locked to a UP boundary
 
     def push(self, frame_bits: np.ndarray) -> None:
-        hdr = BBHeader.from_bits(frame_bits)
-        if hdr is None:
+        self.push_bytes(np.packbits(np.asarray(frame_bits, np.uint8)))
+
+    def push_bytes(self, frame_bytes: np.ndarray) -> None:
+        """Byte-level entry (the device path emits descrambled BB bytes
+        directly, ops/fec_device.make_bb_bytes_nb); the whole-UP drain is
+        vectorized across the frame's packets so the host tail keeps up
+        with the device superstep rate."""
+        by = np.asarray(frame_bytes, dtype=np.uint8)
+        hdr = BBHeader.from_bytes(by)
+        if hdr is None or hdr.dfl % 8 or hdr.dfl // 8 > len(by) - 10:
             self.bad_headers += 1
             self._flush_partial()
             self._lost = True
@@ -259,8 +301,7 @@ class TSAssembler:
         self.hem = hdr.hem
         up = TS_PACKET - (1 if hdr.hem else 0)
         dfl_bytes = hdr.dfl // 8
-        data = np.packbits(
-            frame_bits[BB_HEADER_BITS:BB_HEADER_BITS + hdr.dfl])
+        data = by[10:10 + dfl_bytes]
 
         if hdr.syncd == 0xFFFF:
             expect_next = up - len(self._buf)
@@ -282,25 +323,34 @@ class TSAssembler:
             self._lost = False
         self._buf = np.concatenate([self._buf, data])
 
-        # drain whole UPs
-        n_whole = len(self._buf) // up
-        for i in range(n_whole):
-            self._emit(self._buf[i * up:(i + 1) * up], hdr.hem)
-        self._buf = self._buf[n_whole * up:]
-
-    def _emit(self, up_bytes: np.ndarray, hem: bool) -> None:
-        if hem:
-            pkt = np.concatenate([np.array([TS_SYNC], np.uint8), up_bytes])
+        # drain whole UPs, vectorized over the frame's packets
+        n = len(self._buf) // up
+        if n == 0:
+            return
+        ups = self._buf[:n * up].reshape(n, up)
+        self._buf = self._buf[n * up:]
+        block = np.empty((n, TS_PACKET), np.uint8)
+        block[:, 0] = TS_SYNC
+        if hdr.hem:
+            block[:, 1:] = ups
         else:
-            crc_byte = int(up_bytes[0])
-            payload = up_bytes[1:]
-            if self._prev_crc is not None and crc_byte != self._prev_crc \
-                    and self.packets:
+            crc_bytes = ups[:, 0]
+            payloads = ups[:, 1:]
+            crcs = crc8_rows(payloads)
+            block[:, 1:] = payloads
+            # NM per-packet CRC chain: packet i's replaced-sync byte is the
+            # CRC-8 of packet i-1's payload; a mismatch flags the COVERED
+            # (previous) packet (bb_de_header.cpp:219,237-239)
+            if (self._prev_crc is not None and self.packets
+                    and int(crc_bytes[0]) != self._prev_crc):
                 self.errors += 1
-                self.packets[-1][1] |= 0x80  # TEI on the packet it covers
-            self._prev_crc = crc8(payload)
-            pkt = np.concatenate([np.array([TS_SYNC], np.uint8), payload])
-        self.packets.append(pkt)
+                self.packets[-1][1] |= 0x80
+            bad = np.nonzero(crc_bytes[1:] != crcs[:-1])[0]
+            if len(bad):
+                self.errors += len(bad)
+                block[bad, 1] |= 0x80
+            self._prev_crc = int(crcs[-1])
+        self.packets.extend(block)
 
     def _flush_partial(self) -> None:
         """Emit an interrupted packet 0xF0-padded with TEI set (the reference

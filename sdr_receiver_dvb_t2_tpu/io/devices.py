@@ -108,43 +108,58 @@ class FileDevice(SDRDevice):
 
 
 class SimulatedDevice(SDRDevice):
-    """A transmit waveform behind a simple hardware model: LO offset,
-    sample-clock ppm, analog gain, noise.  Feedback steps the model the
-    way the reference steps real hardware (rx_sdrplay.cpp:158-197)."""
+    """A transmit waveform behind a hardware front-end model: LO offset,
+    sample-clock ppm, analog gain ahead of a quantizing/clipping ADC, and
+    a fixed receiver noise floor.  Feedback steps the model the way real
+    hardware steps mid-stream (rx_sdrplay.cpp:158-197): retunes and gain
+    changes are phase/position-continuous (no stream restart), so closed
+    loops (AGC, retune) can be exercised exactly as against an SDR.
+
+    `snr_db` is the SNR at gain 0 dB (the signal is normalized to unit
+    RMS); the noise floor is absolute, so a cold signal (negative gain)
+    loses SNR and a hot one clips the ADC — the regime that makes the AGC
+    loop load-bearing (the reference's level estimate + gain step,
+    dvbt2_demodulator.cpp:234-249)."""
 
     def __init__(self, samples: np.ndarray, lo_offset_hz: float = 0.0,
                  clock_ppm: float = 0.0, gain_db: float = 0.0,
                  snr_db: float | None = None, seed: int = 0,
-                 sample_rate: float = SAMPLE_RATE):
+                 sample_rate: float = SAMPLE_RATE,
+                 adc_bits: int | None = None,
+                 lo_drift_hz_per_s: float = 0.0):
         self.base = np.asarray(samples, dtype=np.complex64)
         self.lo_offset_hz = lo_offset_hz
+        self.lo_drift_hz_per_s = lo_drift_hz_per_s
         self.clock_ppm = clock_ppm
         self.gain_db = gain_db
         self.snr_db = snr_db
         self.seed = seed
         self.sample_rate = sample_rate
+        self.adc_bits = adc_bits
         self.pos = 0
         self._stream: np.ndarray | None = None
+        self._noise: np.ndarray | None = None
         self.retunes = 0
         self.gain_steps = 0
+
+    # ADC full scale: unit-RMS OFDM has ~10 dB PAPR, so 0 dB gain sits
+    # comfortably; +20 dB clips hard
+    _ADC_FULL_SCALE = 4.0
 
     def _render(self) -> None:
         from ..rx import frontend
         x = self.base
         if self.clock_ppm:
             x = frontend.sinc_resample(x, 1.0 + self.clock_ppm * 1e-6)
-        if self.lo_offset_hz:
-            n = np.arange(len(x))
-            x = x * np.exp(2j * np.pi * self.lo_offset_hz * n
-                           / self.sample_rate)
-        x = x * np.float32(10.0 ** (self.gain_db / 20.0))
+        rms = float(np.sqrt(np.mean(np.abs(x) ** 2)))
+        self._stream = (x / max(rms, 1e-30)).astype(np.complex64)
         if self.snr_db is not None:
             rng = np.random.default_rng(self.seed)
-            power = float(np.mean(np.abs(x) ** 2))
-            nv = power / (10.0 ** (self.snr_db / 10.0))
-            x = x + (rng.normal(0, np.sqrt(nv / 2), len(x))
-                     + 1j * rng.normal(0, np.sqrt(nv / 2), len(x)))
-        self._stream = x.astype(np.complex64)
+            nv = 10.0 ** (-self.snr_db / 10.0)
+            n = len(self._stream)
+            self._noise = (rng.normal(0, np.sqrt(nv / 2), n)
+                           + 1j * rng.normal(0, np.sqrt(nv / 2), n)
+                           ).astype(np.complex64)
 
     def init(self, frequency_hz: float, gain_db: float = 0.0) -> None:
         self.pos = 0
@@ -155,26 +170,35 @@ class SimulatedDevice(SDRDevice):
             self._render()
         if self.pos >= len(self._stream):
             return None
-        x = self._stream[self.pos:self.pos + n]
-        self.pos += len(x)
-        return x
+        lo, hi = self.pos, min(self.pos + n, len(self._stream))
+        self.pos = hi
+        x = self._stream[lo:hi] * np.float32(10.0 ** (self.gain_db / 20.0))
+        if self.lo_offset_hz or self.lo_drift_hz_per_s:
+            t = np.arange(lo, hi) / self.sample_rate
+            # drifting LO: phase = 2*pi*(f0*t + drift*t^2/2)
+            ph = 2 * np.pi * (self.lo_offset_hz * t
+                              + 0.5 * self.lo_drift_hz_per_s * t * t)
+            x = x * np.exp(1j * ph)
+        if self._noise is not None:
+            x = x + self._noise[lo:hi]
+        if self.adc_bits is not None:
+            fs = self._ADC_FULL_SCALE
+            q = (2 ** (self.adc_bits - 1) - 1) / fs
+            x = (np.round(np.clip(np.real(x), -fs, fs) * q)
+                 + 1j * np.round(np.clip(np.imag(x), -fs, fs) * q)) / q
+        return x.astype(np.complex64)
 
     def apply(self, est: SignalEstimate) -> None:
-        changed = False
         if est.change_frequency:
-            # retune the LO: the offset seen at baseband shrinks
+            # retune the LO: the offset seen at baseband shrinks; the
+            # stream keeps running (phase-continuous, indexed by pos)
             self.lo_offset_hz -= est.coarse_freq_offset
             self.retunes += 1
-            changed = True
         if est.change_gain:
             self.gain_db += est.gain_offset
             self.gain_steps += 1
-            changed = True
         if est.reset:
-            changed = True
-        if changed:
             self.pos = 0
-            self._render()
 
 
 def _vendor_device(name: str, libnames: list[str]):
@@ -212,58 +236,430 @@ DEVICES = {"file": FileDevice, "sim": SimulatedDevice,
 @dataclass
 class StreamStats:
     blocks: int = 0
+    raw_samples: int = 0
     retune_requests: int = 0
+    gain_steps: int = 0
+    gain_db_applied: float = 0.0
+    level_db: float = 0.0
+    reacquisitions: int = 0
+    overruns: int = 0
     frames_decoded: int = 0
+    frames_skipped: int = 0
     ts_bytes: int = 0
+    ts_packets: int = 0
+    ts_errors: int = 0
+    l1_failures: int = 0
+    cfo_hz: float = 0.0           # total front-end frequency correction
+    sco_ppm: float = 0.0          # total sample-clock correction
     snr_db: list = field(default_factory=list)
+    metrics: object = None        # utils.metrics.Metrics
+
+
+class _DirectSource:
+    """Synchronous block reader (no thread)."""
+
+    def __init__(self, dev: SDRDevice, block_len: int):
+        self.dev = dev
+        self.block_len = block_len
+        self.overruns = 0
+
+    def read(self):
+        return self.dev.read_block(self.block_len)
+
+    def close(self):
+        pass
+
+
+class _RingSource:
+    """Reader thread pushing device blocks into the native SPSC IQRing:
+    the reference's elastic device-thread buffering (rx_sdrplay.cpp:230-279)
+    with the try_lock/grow-blocks scheme replaced by the lock-free ring.
+    The producer BLOCKS (bounded retry) when the consumer falls behind
+    instead of dropping, mirroring the reference's wait-condition
+    backpressure; `overruns` counts ring-full stalls."""
+
+    def __init__(self, dev: SDRDevice, block_len: int, depth: int = 8):
+        import threading
+        from ..native import IQRing
+        self.dev = dev
+        self.block_len = block_len
+        self.ring = IQRing(depth * block_len)
+        self.overruns = 0
+        self._eof = threading.Event()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+
+    def _produce(self):
+        import time as _time
+        while not self._stop.is_set():
+            blk = self.dev.read_block(self.block_len)
+            if blk is None:
+                break
+            while len(blk) and not self._stop.is_set():
+                took = self.ring.push(blk)
+                if took < len(blk):
+                    self.overruns += 1
+                    _time.sleep(0.001)
+                blk = blk[took:]
+        self._eof.set()
+
+    def read(self):
+        import time as _time
+        while True:
+            got = self.ring.pop(self.block_len)
+            if len(got):
+                return got
+            if self._eof.is_set():
+                got = self.ring.pop(self.block_len)
+                return got if len(got) else None
+            _time.sleep(0.001)
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=2.0)
+        self.ring.close()
 
 
 class StreamingReceiver:
-    """Blockwise closed-loop receive: device blocks -> elastic buffer ->
-    acquire/decode -> TS sink, demodulator feedback applied between
-    blocks (the reference's device<->demod control plane,
-    rx_sdrplay.cpp:230-279, collapsed around the batched receiver)."""
+    """Continuously-running closed-loop receive.
+
+    raw device blocks -> elastic ingest (optionally the native SPSC ring on
+    a reader thread) -> phase/position-continuous correction
+    (rx.frontend.CorrectorChain: CFO NCO + SCO resampler) -> persistent
+    lock: acquisition runs once, then leftover samples and the full lock
+    state (mode, L1, frame grid, CFO/SCO) carry across block boundaries, so
+    frames straddling a block boundary decode — the property the
+    reference's always-on pipeline has (rx_sdrplay.cpp:199-291) and a
+    block-per-call design lacks.  Per frame the tracking loop measures the
+    frame's own P1 (residual CFO -> PI frequency loop, whole-sample timing
+    drift -> grid retiming, correlation quality -> lock detector), and the
+    AGC loop estimates input level and steps hardware gain
+    (dvbt2_demodulator.cpp:234-249, rx_sdrplay.cpp:179-197).  Lock loss
+    (consecutive tracking failures) or a hardware retune re-enters
+    acquisition, like the reference's reset state machine
+    (dvbt2_demodulator.cpp:418-425)."""
+
+    RETUNE_THRESHOLD_HZ = 20e3
+    AGC_TARGET_DB = 0.0           # unit RMS at the corrector input
+    AGC_DEADBAND_DB = 3.0
+    AGC_MAX_STEP_DB = 12.0
+    P1_QUALITY_MIN = 0.12
+    P1_SEARCH = 32
+    MAX_FAILS = 3
+    SCO_LADDER = (40e-6, -40e-6, 100e-6, -100e-6, 180e-6, -180e-6)
 
     def __init__(self, device: SDRDevice, receiver=None,
-                 block_frames: int = 4, max_retunes: int = 3):
+                 block_seconds: float = 0.6, max_retunes: int = 3,
+                 agc: bool = True, use_ring: bool = False,
+                 checkpoint_path: str | None = None,
+                 checkpoint_every: int = 64,
+                 acq_seconds: float = 0.55):
         from ..rx.receiver import T2Receiver
         self.device = device
         self.receiver = receiver or T2Receiver()
-        self.block_frames = block_frames
+        self.block_seconds = block_seconds
         self.max_retunes = max_retunes
+        self.agc = agc
+        self.use_ring = use_ring
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = checkpoint_every
+        self.acq_seconds = acq_seconds
 
-    RETUNE_THRESHOLD_HZ = 20e3
+    def _acq_need(self) -> int:
+        # default: P1 + >=2 frames of the largest mode (SCO measurement)
+        return int(SAMPLE_RATE * self.acq_seconds)
 
-    def run(self, ts_sink=None, max_blocks: int | None = None
-            ) -> StreamStats:
-        stats = StreamStats()
+    def run(self, ts_sink=None, max_blocks: int | None = None,
+            resume: str | None = None) -> StreamStats:
+        from ..rx import frontend, p1_detect as rxp1
+        from ..rx import receiver as rxr
+        from ..dvbt2 import bbframe
+        from ..utils.loops import ExponentialAverager, PILoopFilter, PIState
+        from ..utils.metrics import Metrics
+
+        st = StreamStats()
+        st.metrics = Metrics()
         dev = self.device
         dev.start()
-        # acquisition block: enough for P1 + a few frames at any mode
-        acq_len = int(dev.sample_rate * 0.6)
-        buf = dev.read_block(acq_len)
+        assembler = bbframe.TSAssembler()
+        rxstats = rxr.ReceiverStats()
+        chain = frontend.CorrectorChain(in_rate=dev.sample_rate)
+        base_ratio = chain.ratio
+        block_len = max(4096, int(dev.sample_rate * self.block_seconds))
+        if self.use_ring:
+            try:
+                src = _RingSource(dev, block_len)
+            except Exception:
+                src = _DirectSource(dev, block_len)
+        else:
+            src = _DirectSource(dev, block_len)
+        pending = np.zeros(0, np.complex64)
+        lock = None
         retunes = 0
-        while buf is not None:
-            if max_blocks is not None and stats.blocks >= max_blocks:
-                break
-            stats.blocks += 1
-            res = self.receiver.receive(buf)
-            stats.frames_decoded += res.stats.frames_decoded
-            stats.snr_db.extend(res.stats.snr_db)
-            if len(res.ts) and ts_sink is not None:
-                ts_sink(res.ts)
-            stats.ts_bytes += len(res.ts)
-            if (abs(res.stats.cfo_hz) > self.RETUNE_THRESHOLD_HZ
-                    and retunes < self.max_retunes):
-                # a digital NCO absorbs the offset within a block, but the
-                # reference centers the hardware LO whenever the coarse
-                # offset is large (rx_sdrplay.cpp:163-176) -- same here so
-                # subsequent blocks sit mid-passband
-                est = SignalEstimate(coarse_freq_offset=res.stats.cfo_hz,
-                                     change_frequency=True)
-                dev.apply(est)
+        pending_retune = 0.0
+        total_retuned = 0.0
+        emitted = 0          # packets already flushed to the sink
+        consumed = 0         # corrected samples dropped by compaction
+        lvl = ExponentialAverager(alpha=0.5)
+        lvl_state = None
+        cfo_pi = PILoopFilter(bandwidth=0.35)
+        cfo_state = PIState()
+        cfo_prev = 0.0
+        last_ckpt_frames = 0
+        if resume is not None:
+            self._resume(resume, dev, chain, assembler, st)
+        eof = False
+
+        def flush_ts():
+            nonlocal emitted
+            if ts_sink is not None and len(assembler.packets) > emitted:
+                ts_sink(np.concatenate(assembler.packets[emitted:]))
+            emitted = len(assembler.packets)
+
+        def track_and_decode(final: bool):
+            """Decode every complete frame in `pending`; returns True while
+            the lock holds."""
+            nonlocal pending, cfo_state, cfo_prev
+            p = lock.params
+            fsamp = p.frame_samples
+            margin = 0 if final else rxp1.P1_LEN + 64
+            while lock.frame_start + fsamp + margin <= len(pending):
+                start = lock.frame_start
+                with st.metrics.stage("track"):
+                    m = rxp1.measure_p1(pending, start,
+                                        search=self.P1_SEARCH)
+                if m is None or m.quality < self.P1_QUALITY_MIN:
+                    lock.fail_streak += 1
+                    st.frames_skipped += 1
+                    lock.frame_start = start + fsamp
+                    if lock.fail_streak >= self.MAX_FAILS:
+                        return False
+                    continue
+                if m.offset:
+                    # whole-sample grid drift measured against the frame's
+                    # own P1 (the reference's timing loop actuation)
+                    start += m.offset
+                    lock.frame_start = start
+                if start + fsamp + margin > len(pending):
+                    if final and 0 <= len(pending) - fsamp \
+                            and start - (len(pending) - fsamp) \
+                            <= self.P1_SEARCH:
+                        # capture ends a few samples short of the retimed
+                        # grid: start the FFT window early — the guard
+                        # interval absorbs it (cyclic-prefix tolerance)
+                        start = len(pending) - fsamp
+                    else:
+                        break
+                cfo_state, out = cfo_pi.step(cfo_state, m.cfo_hz)
+                df = out - cfo_prev
+                if abs(df) > 0.5:
+                    cfo_prev = out
+                    seg = pending[start:]
+                    n = np.arange(len(seg))
+                    pending[start:] = (seg * np.exp(
+                        -2j * np.pi * df * n / SAMPLE_RATE)
+                    ).astype(np.complex64)
+                    chain.add_frequency(df, len(pending) - start)
+                with st.metrics.stage("decode", items=fsamp):
+                    ok = self.receiver._decode_frame(
+                        pending, start, p, lock.plps, lock.l1pre, None,
+                        assembler, rxstats)
+                if ok:
+                    lock.fail_streak = 0
+                else:
+                    lock.fail_streak += 1
+                    st.frames_skipped += 1
+                    if lock.fail_streak >= self.MAX_FAILS:
+                        lock.frame_start = start + fsamp
+                        return False
+                lock.frame_start = start + fsamp
+            return True
+
+        while True:
+            limit = max_blocks is not None and st.blocks >= max_blocks
+            raw = None if (limit or eof) else src.read()
+            if raw is None:
+                eof = True
+            else:
+                st.blocks += 1
+                st.raw_samples += len(raw)
+                lvl_state = self._agc(raw, st, lvl, lvl_state)
+                with st.metrics.stage("frontend", items=len(raw)):
+                    out = chain.process(raw)
+                pending = out if len(pending) == 0 \
+                    else np.concatenate([pending, out])
+            if lock is None:
+                if len(pending) >= self._acq_need() \
+                        or (eof and len(pending) > 8192):
+                    with st.metrics.stage("acquire"):
+                        lock, pending = self._try_lock(pending, chain, st)
+                    if lock is not None:
+                        st.snr_db.append(lock.snr_db)
+                        cfo_state = PIState()
+                        cfo_prev = 0.0
+                        if (abs(chain.freq_hz) > self.RETUNE_THRESHOLD_HZ
+                                and retunes < self.max_retunes):
+                            pending_retune = chain.freq_hz
+                    elif len(pending) > 2 * self._acq_need():
+                        # still hunting: slide the window (unlocked samples
+                        # are discarded, as in the reference's P1 hunt)
+                        pending = pending[-self._acq_need():]
+                if lock is None:
+                    if eof:
+                        break
+                    continue
+            alive = track_and_decode(final=eof)
+            flush_ts()
+            # compact: keep a small lookback for the next P1 measurement
+            keep_from = max(0, lock.frame_start - 64)
+            if keep_from:
+                consumed += keep_from
+                pending = pending[keep_from:]
+                lock.frame_start -= keep_from
+            if not alive:
+                lock = None
+                st.reacquisitions += 1
+            elif pending_retune:
+                # center the hardware LO on the digital correction
+                # (rx_sdrplay.cpp:163-176); samples captured before the
+                # retune are dropped and the lock re-acquires, like the
+                # reference's reset-after-retune
+                dev.apply(SignalEstimate(coarse_freq_offset=pending_retune,
+                                         change_frequency=True))
+                chain.add_frequency(-pending_retune, 0)
+                total_retuned += pending_retune
+                st.retune_requests += 1
                 retunes += 1
-                stats.retune_requests += 1
-            buf = dev.read_block(acq_len)
+                pending_retune = 0.0
+                pending = pending[:0]
+                lock = None
+            if (self.checkpoint_path and lock is not None
+                    and rxstats.frames_decoded - last_ckpt_frames
+                    >= self.checkpoint_every):
+                self._checkpoint(consumed + lock.frame_start, chain,
+                                 base_ratio, assembler, rxstats)
+                last_ckpt_frames = rxstats.frames_decoded
+            if eof:
+                break
+        src.close()
         dev.stop()
-        return stats
+        st.overruns = getattr(src, "overruns", 0)
+        st.frames_decoded = rxstats.frames_decoded
+        st.l1_failures = rxstats.l1_failures
+        st.snr_db.extend(rxstats.snr_db)
+        st.ts_errors = assembler.errors
+        st.ts_packets = len(assembler.packets)
+        st.ts_bytes = len(assembler.packets) * 188
+        st.cfo_hz = chain.freq_hz + total_retuned
+        st.sco_ppm = (chain.ratio / base_ratio - 1.0) * 1e6
+        st.metrics.gauge("snr_db", float(np.mean(st.snr_db))
+                         if st.snr_db else float("nan"))
+        st.metrics.gauge("cfo_hz", st.cfo_hz)
+        st.metrics.gauge("sco_ppm", st.sco_ppm)
+        st.metrics.gauge("gain_db", st.gain_db_applied)
+        flush_ts()
+        return st
+
+    # -- AGC loop (level estimate -> hardware gain step) --------------------
+
+    def _agc(self, raw, st, lvl, lvl_state):
+        level = float(np.sqrt(np.mean(np.abs(raw) ** 2)))
+        lvl_state, sm = lvl.step(lvl_state if lvl_state is not None
+                                 else level, level)
+        st.level_db = 20.0 * np.log10(max(abs(sm), 1e-12))
+        if self.agc:
+            err = self.AGC_TARGET_DB - st.level_db
+            if abs(err) > self.AGC_DEADBAND_DB:
+                step = float(np.clip(err, -self.AGC_MAX_STEP_DB,
+                                     self.AGC_MAX_STEP_DB))
+                self.device.apply(SignalEstimate(
+                    gain_offset=step, change_gain=True,
+                    signal_level=float(sm)))
+                st.gain_steps += 1
+                st.gain_db_applied += step
+        return lvl_state
+
+    # -- acquisition --------------------------------------------------------
+
+    def _try_lock(self, pending, chain, st):
+        """Acquire on the corrected pending buffer; applies measured CFO
+        in place (phase-exact splice via CorrectorChain.add_frequency) and
+        SCO via a rebased resampler stage, re-acquiring until residuals
+        vanish.  Returns (LockState | None, pending)."""
+        from ..rx import frontend
+
+        ls = self.receiver.acquire(pending)
+        if ls is None:
+            # large sample-clock offsets break even hard-decision L1: walk
+            # the trial ladder (receive()'s _sco_ladder, streaming form)
+            for trial in self.SCO_LADDER:
+                xr = frontend.sinc_resample(pending, 1.0 + trial)
+                if len(xr) < 8192:
+                    break
+                if self.receiver.acquire(xr) is not None:
+                    pending = chain.rebase_ratio(pending, 1.0 + trial)
+                    ls = self.receiver.acquire(pending)
+                    break
+            if ls is None:
+                return None, pending
+        for _ in range(3):
+            if abs(ls.cfo_hz) > 1e-3:
+                n = np.arange(len(pending))
+                pending = (pending * np.exp(
+                    -2j * np.pi * ls.cfo_hz * n / SAMPLE_RATE)
+                ).astype(np.complex64)
+                chain.add_frequency(ls.cfo_hz, len(pending))
+                ls.cfo_hz = 0.0
+            if 2e-6 < abs(ls.sco) < 5e-3:
+                pending = chain.rebase_ratio(pending, 1.0 + ls.sco)
+                ls2 = self.receiver.acquire(pending)
+                if ls2 is None:
+                    return None, pending
+                ls = ls2
+                continue
+            break
+        return ls, pending
+
+    # -- checkpoint/resume ---------------------------------------------------
+
+    def _checkpoint(self, next_frame_abs, chain, base_ratio, assembler,
+                    rxstats):
+        from ..utils.checkpoint import StreamCheckpoint
+        # corrected-output index -> raw-device index: each output sample
+        # consumed `chain.ratio` raw input samples
+        StreamCheckpoint(
+            sample_offset=int(round(next_frame_abs * chain.ratio)),
+            cfo_hz=float(chain.freq_hz),
+            sco_ppm=float((chain.ratio / base_ratio - 1.0) * 1e6),
+            ts_buf=[int(b) for b in assembler._buf],
+            ts_prev_crc=assembler._prev_crc,
+            ts_lost=bool(assembler._lost),
+            frames_decoded=int(rxstats.frames_decoded),
+            ts_packets=len(assembler.packets),
+        ).save(self.checkpoint_path)
+
+    def _resume(self, path, dev, chain, assembler, st):
+        """Seek the device to the checkpointed frame boundary, restore the
+        corrector and TS-reassembly state, and let acquisition re-lock at
+        (exactly) the next undecoded frame, so the recovered TS continues
+        the interrupted one without duplicate or lost packets."""
+        from ..utils.checkpoint import StreamCheckpoint, restore_assembler
+        ck = StreamCheckpoint.load(path)
+        skip = ck.sample_offset
+        if hasattr(dev, "pos"):
+            dev.pos = skip
+        else:
+            left = skip
+            while left > 0:
+                blk = dev.read_block(min(left, 1 << 20))
+                if blk is None or len(blk) == 0:
+                    break
+                left -= len(blk)
+        if ck.cfo_hz:
+            chain.add_frequency(ck.cfo_hz, 0)
+        if abs(ck.sco_ppm) > 1e-3:
+            chain.stages[0].ratio *= (1.0 + ck.sco_ppm * 1e-6)
+            chain.stages[0]._resampling = True
+        restore_assembler(ck, assembler)
+        return 0

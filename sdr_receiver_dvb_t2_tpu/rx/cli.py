@@ -65,9 +65,23 @@ def main(argv=None):
     ap.add_argument("--jax-ldpc", action="store_true",
                     help="use the batched JAX/TPU LDPC decoder")
     ap.add_argument("--stream", action="store_true",
-                    help="blockwise streaming receive through the device "
-                         "layer (closed-loop retune/AGC feedback; input "
-                         "may be sdr:NAME for a live front-end)")
+                    help="continuous streaming receive through the device "
+                         "layer: persistent lock across blocks, closed-loop "
+                         "retune/AGC/CFO/SCO feedback (input may be "
+                         "sdr:NAME for a live front-end)")
+    ap.add_argument("--device-path", action="store_true",
+                    help="run the streaming bulk path on the TPU "
+                         "(DeviceT2Receiver: fused demod + Pallas LDPC)")
+    ap.add_argument("--ring", action="store_true",
+                    help="ingest through the native SPSC ring on a reader "
+                         "thread (elastic buffering)")
+    ap.add_argument("--no-agc", action="store_true",
+                    help="disable the AGC gain loop")
+    ap.add_argument("--checkpoint", default=None, metavar="PATH",
+                    help="write streaming resume checkpoints to PATH")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume streaming from --checkpoint PATH")
+    ap.add_argument("--max-blocks", type=int, default=None)
     args = ap.parse_args(argv)
 
     if args.stream or args.input.startswith("sdr:"):
@@ -78,14 +92,30 @@ def main(argv=None):
             dev = devices.FileDevice(args.input, args.format)
         dev.init(frequency_hz=0.0)
         sink = ts_io.open_sink(args.out)
+        if args.device_path:
+            from .device_receiver import DeviceT2Receiver
+            rx = DeviceT2Receiver(plp_filter=args.plp)
+        else:
+            rx = T2Receiver(plp_filter=args.plp)
         sr = devices.StreamingReceiver(
-            dev, T2Receiver(plp_filter=args.plp))
-        st = sr.run(ts_sink=sink.write)
+            dev, rx, agc=not args.no_agc, use_ring=args.ring,
+            checkpoint_path=args.checkpoint)
+        st = sr.run(ts_sink=sink.write, max_blocks=args.max_blocks,
+                    resume=args.checkpoint if args.resume else None)
         sink.close()
         snr = float(np.mean(st.snr_db)) if st.snr_db else float("nan")
         print(f"blocks={st.blocks} frames={st.frames_decoded} "
-              f"retunes={st.retune_requests} ts_bytes={st.ts_bytes} "
-              f"snr={snr:.1f} dB", file=sys.stderr)
+              f"(skipped {st.frames_skipped}, reacq {st.reacquisitions}) "
+              f"retunes={st.retune_requests} gain_steps={st.gain_steps} "
+              f"ts_bytes={st.ts_bytes} ts_errors={st.ts_errors} "
+              f"cfo={st.cfo_hz:.1f} Hz sco={st.sco_ppm:.1f} ppm "
+              f"snr={snr:.1f} dB overruns={st.overruns}", file=sys.stderr)
+        if args.stats_json:
+            d = st.metrics.as_dict()
+            d["frames"] = st.frames_decoded
+            d["ts_packets"] = st.ts_packets
+            d["ts_errors"] = st.ts_errors
+            print(json.dumps(d))
         return 0 if st.frames_decoded > 0 else 1
 
     x = iqio.read_iq(args.input, args.format)

@@ -96,6 +96,23 @@ def farrow_resample(x: np.ndarray, ratio: float,
     return (c0 + c1 * mu + c2 * mu2 + c3 * mu3).astype(np.complex64)
 
 
+def _sinc_interp(x: np.ndarray, pos0: float, ratio: float, n_out: int,
+                 taps: int) -> np.ndarray:
+    """Windowed-sinc interpolation core: output k reads x around position
+    pos0 + k*ratio + taps/2 (so the first taps/2 samples are left context)."""
+    half = taps // 2
+    t = np.arange(n_out) * ratio + pos0 + half
+    base = np.floor(t).astype(np.int64)
+    mu = (t - base).astype(np.float64)
+    out = np.zeros(n_out, dtype=np.complex128)
+    k = np.arange(-half + 1, half + 1)  # taps offsets
+    for kj in k:
+        d = kj - mu
+        w = np.sinc(d) * np.cos(np.pi * d / taps) ** 2  # cosine^2 window
+        out += x[base + kj] * w
+    return out.astype(np.complex64)
+
+
 def sinc_resample(x: np.ndarray, ratio: float, taps: int = 24,
                   frac0: float = 0.0) -> np.ndarray:
     """High-quality arbitrary resampler: windowed-sinc interpolation.
@@ -106,18 +123,146 @@ def sinc_resample(x: np.ndarray, ratio: float, taps: int = 24,
     flat past 0.9 Nyquist; use it for sample-clock-offset correction where
     the signal is already at (nearly) the elementary rate (|ratio-1| small).
     """
-    half = taps // 2
     n_out = int((len(x) - taps) / ratio)
-    t = np.arange(n_out) * ratio + frac0 + half
-    base = np.floor(t).astype(np.int64)
-    mu = (t - base).astype(np.float64)
-    out = np.zeros(n_out, dtype=np.complex128)
-    k = np.arange(-half + 1, half + 1)  # taps offsets
-    for j, kj in enumerate(k):
-        d = kj - mu
-        w = np.sinc(d) * np.cos(np.pi * d / taps) ** 2  # cosine^2 window
-        out += x[base + kj] * w
-    return out.astype(np.complex64)
+    return _sinc_interp(x, frac0, ratio, n_out, taps)
+
+
+class StreamCorrector:
+    """Phase/position-continuous per-block NCO + sample-clock corrector for
+    the streaming receiver: the recorded-block feed-forward corrections of
+    `T2Receiver.receive` restructured as a stateful stream operator, the
+    framework's equivalent of the reference's always-running NCO + Farrow
+    resampler (dvbt2_demodulator.cpp:194-221) whose loop inputs arrive
+    between blocks instead of between samples.
+
+      - resampling: windowed-sinc interpolation with a taps-length halo
+        carried across blocks, so the fractional read position is continuous
+        no matter where block boundaries fall;
+      - NCO: derotation by the accumulated `freq_hz` with a running phase on
+        the *output* sample index, so frequency updates never introduce a
+        phase step inside a symbol.
+
+    Feedback entry points: `add_frequency(df, applied_samples)` (CFO loop;
+    `applied_samples` says how many recent output samples the caller already
+    corrected in place, keeping the splice phase-exact) and `scale_ratio`
+    (SCO loop).  Blocks already emitted are NOT retroactively fixed --
+    callers may re-feed a pending buffer through `process` after changing
+    settings; state stays continuous for subsequent blocks.
+    """
+
+    def __init__(self, fs: float = SAMPLE_RATE, taps: int = 24):
+        self.fs = fs
+        self.taps = taps
+        self.freq_hz = 0.0
+        self.ratio = 1.0                 # input samples per output sample
+        self._dphi = 0.0                 # NCO phase step per output sample
+        self._phase = 0.0                # NCO phase of the next output sample
+        self._halo = np.zeros(0, np.complex64)
+        self._pos = 0.0                  # fractional read position in halo
+        self._resampling = False
+
+    def add_frequency(self, df_hz: float, applied_samples: int = 0) -> None:
+        """Steer the NCO by df.  When the caller has already derotated its
+        last `applied_samples` output samples in place (indexed from that
+        correction's own zero), advance the phase so the next output sample
+        continues that ramp exactly."""
+        self.freq_hz += df_hz
+        self._dphi = 2.0 * np.pi * self.freq_hz / self.fs
+        self._phase = float(np.mod(
+            self._phase + 2.0 * np.pi * df_hz / self.fs * applied_samples,
+            2.0 * np.pi))
+
+    def scale_ratio(self, factor: float) -> None:
+        """Multiply the resample ratio (e.g. 1 + sco)."""
+        self.ratio *= factor
+        if abs(self.ratio - 1.0) > 1e-12:
+            self._resampling = True
+
+    def process(self, block: np.ndarray) -> np.ndarray:
+        """Correct one block; returns the output samples ready so far (the
+        resampler holds back a taps-length tail until the next block)."""
+        x = np.asarray(block, dtype=np.complex64)
+        if self._resampling or len(self._halo):
+            buf = np.concatenate([self._halo, x])
+            n_out = int((len(buf) - self.taps - self._pos) / self.ratio)
+            if n_out <= 0:
+                self._halo = buf
+                return np.zeros(0, np.complex64)
+            y = _sinc_interp(buf, self._pos, self.ratio, n_out, self.taps)
+            adv = self._pos + n_out * self.ratio
+            drop = int(np.floor(adv))
+            self._halo = buf[drop:]
+            self._pos = adv - drop
+        else:
+            y = x
+        if self.freq_hz or self._phase:
+            ph = self._phase + self._dphi * np.arange(len(y))
+            y = (y * np.exp(-1j * ph)).astype(np.complex64)
+            self._phase = float(np.mod(self._phase + self._dphi * len(y),
+                                       2.0 * np.pi))
+        return y
+
+
+class CorrectorChain:
+    """Composable StreamCorrector stages for the streaming receiver.
+
+    Stage 0 owns device-rate -> elementary-rate conversion and the CFO NCO;
+    re-lock SCO corrections append a stage whose resampler halo is seeded
+    from the caller's pending buffer (`rebase_ratio`), so the corrected
+    output stream is sample-exact across the correction splice — the
+    streaming analogue of `T2Receiver.receive` resampling a whole recorded
+    block and re-acquiring."""
+
+    def __init__(self, in_rate: float = SAMPLE_RATE,
+                 out_rate: float = SAMPLE_RATE, taps: int = 24):
+        s = StreamCorrector(fs=out_rate, taps=taps)
+        if abs(in_rate - out_rate) > 1e-6:
+            s.ratio = in_rate / out_rate
+            s._resampling = True
+        self.stages = [s]
+        self.taps = taps
+        self.fs = out_rate
+
+    @property
+    def freq_hz(self) -> float:
+        return sum(s.freq_hz for s in self.stages)
+
+    @property
+    def ratio(self) -> float:
+        r = 1.0
+        for s in self.stages:
+            r *= s.ratio
+        return r
+
+    def process(self, block: np.ndarray) -> np.ndarray:
+        for s in self.stages:
+            block = s.process(block)
+        return block
+
+    def add_frequency(self, df_hz: float, applied_samples: int = 0) -> None:
+        self.stages[-1].add_frequency(df_hz, applied_samples)
+
+    def rebase_ratio(self, pending: np.ndarray, factor: float) -> np.ndarray:
+        """Append a resampler stage correcting a newly-measured SCO; returns
+        `pending` resampled by it.  The new stage's halo is seeded with
+        pending's tail at the exact fractional position, so the next
+        `process` output continues the resampled stream seamlessly."""
+        tail = StreamCorrector(fs=self.fs, taps=self.taps)
+        tail.ratio = factor
+        tail._resampling = True
+        pending = np.asarray(pending, np.complex64)
+        n_out = int((len(pending) - self.taps) / factor)
+        if n_out <= 0:
+            tail._halo = pending
+            self.stages.append(tail)
+            return np.zeros(0, np.complex64)
+        out = _sinc_interp(pending, 0.0, factor, n_out, self.taps)
+        adv = n_out * factor
+        drop = int(np.floor(adv))
+        tail._halo = pending[drop:]
+        tail._pos = adv - drop
+        self.stages.append(tail)
+        return out
 
 
 # --- FIR decimator ---

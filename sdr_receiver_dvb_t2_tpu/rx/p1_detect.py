@@ -176,6 +176,44 @@ def decode_p1(x: np.ndarray, start: int, peak_metric: complex
         s1=s1, s2=s2, s2_field2=s2 & 1, correlation=float(np.abs(peak_metric)))
 
 
+@dataclass
+class P1Measure:
+    cfo_hz: float      # fractional CFO at this P1
+    offset: int        # whole-sample timing error (actual - expected)
+    quality: float     # normalized correlation (~1 clean, ~0 no P1)
+
+
+def measure_p1(x: np.ndarray, start: int, search: int = 32
+               ) -> P1Measure | None:
+    """Tracking-phase P1 measurement at a KNOWN frame grid position.
+
+    Once locked, every frame starts with a P1 at a predicted index; this
+    correlates only a 2*P1_LEN window around it and returns the residual
+    fractional CFO (the per-frame input of the streaming CFO loop — the
+    recorded-block analogue of the reference's frequency PI loop,
+    dvbt2_demodulator.cpp:321-330), the whole-sample timing drift, and a
+    power-normalized peak quality used as the lock detector (the
+    reference's begin/end hysteresis, p1_symbol.cpp:92-172)."""
+    lo = max(0, start - search - 4)
+    hi = min(len(x), start + 2 * P1_LEN + search)
+    seg = x[lo:hi]
+    if len(seg) < 2 * P1_LEN:
+        return None
+    mag, metric = p1_correlate(seg)
+    expect = (start - lo) + 1565
+    w0, w1 = expect - search, expect + search + 1
+    if w0 < 0 or w1 > len(mag):
+        return None
+    peak = w0 + int(np.argmax(mag[w0:w1]))
+    pwr = float(np.mean(np.abs(seg[expect - 1565:expect + P1_B]) ** 2))
+    norm = (pwr * P1_C) * (pwr * P1_B)
+    quality = float(mag[peak]) / max(norm, 1e-30)
+    struct = np.exp(-2j * np.pi * P1_C / P1_A)
+    cfo = float(np.angle(metric[peak] * struct)) / (2 * np.pi) \
+        * SAMPLE_RATE / P1_A
+    return P1Measure(cfo_hz=cfo, offset=peak - expect, quality=quality)
+
+
 def p1_candidate_peaks(mag: np.ndarray, threshold_ratio: float = 0.1,
                        max_candidates: int = 16) -> list[int]:
     """Plateau-clustered candidate peak indices, earliest first.

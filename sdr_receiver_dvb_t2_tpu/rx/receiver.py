@@ -35,6 +35,23 @@ class ReceiverStats:
 
 
 @dataclass
+class LockState:
+    """Acquisition result for a streaming consumer: the transmission mode
+    plus the residual corrections measured on (not yet applied to) the
+    acquisition buffer.  The streaming loop applies cfo/sco through its
+    StreamCorrector and then tracks per frame."""
+    params: T2Params
+    plps: list
+    l1pre: l1mod.L1Pre
+    l1post: l1mod.L1Post
+    frame_start: int      # index of the first frame's P1 in the buffer seen
+    cfo_hz: float         # residual CFO measured on that buffer
+    sco: float            # residual fractional sample-clock offset
+    snr_db: float
+    fail_streak: int = 0  # consecutive tracking failures (unlock gate)
+
+
+@dataclass
 class ReceiveResult:
     ts: np.ndarray
     stats: ReceiverStats
@@ -73,23 +90,8 @@ class T2Receiver:
         # GI is unknown before L1-pre; like the reference we try GI candidates
         # (set_guard_interval_by_brute_force) but can validate instantly on
         # the recorded block via the L1-pre CRC.
-        params = None
-        l1pre = None
-        from ..dvbt2.params import GuardInterval
-        for gi in (GuardInterval.GI_1_128, GuardInterval.GI_1_32,
-                   GuardInterval.GI_1_16, GuardInterval.GI_19_256,
-                   GuardInterval.GI_1_8, GuardInterval.GI_19_128,
-                   GuardInterval.GI_1_4):
-            for ext in (True, False):
-                for pp in range(8):
-                    cand = self._try_l1pre(x, p1, gi, ext, pp)
-                    if cand is not None:
-                        params, l1pre = cand
-                        break
-                if params is not None:
-                    break
-            if params is not None:
-                break
+        scan = self._scan_mode(x, p1)
+        params, l1pre = scan if scan is not None else (None, None)
         if params is None:
             # acquisition failed outright: a large sample-clock offset can
             # smear the carriers enough to break even hard-decision L1.
@@ -135,40 +137,21 @@ class T2Receiver:
         # dvbt2_demodulator.cpp:430-439) -- we measure feed-forward and
         # resample the whole block once, then re-acquire.
         if _sco_pass:
-            nominal = params.frame_samples
-            if p1.start + 2 * nominal <= len(x):
-                # pilot-slope timing of frame 1 vs frame 0: the drift per
-                # frame is the sample-clock offset (sub-sample precision,
-                # unlike P1 peak positions)
-                car1 = rxdemod.extract_carriers(
-                    params, x, p1.start + nominal + rxp1.P1_LEN)
-                t1 = rxdemod.equalize_frame(params, car1).timing_offset
-                sco = (t1 - dres.timing_offset) / nominal
-                if p1.start + 3 * nominal <= len(x):
-                    # a corrupted frame gives a garbage slope; demand two
-                    # consistent frame-gap estimates before resampling the
-                    # whole capture
-                    car2 = rxdemod.extract_carriers(
-                        params, x, p1.start + 2 * nominal + rxp1.P1_LEN)
-                    t2 = rxdemod.equalize_frame(params, car2).timing_offset
-                    sco_b = (t2 - t1) / nominal
-                    if not (abs(sco_b - sco) <
-                            0.3 * max(abs(sco), abs(sco_b))):
-                        sco = 0.0
-                if 2e-6 < abs(sco) < 5e-3:
-                    from . import frontend
-                    # zero headroom: repeated resampling walks the first
-                    # P1 a few samples earlier each pass; keep it in-buffer
-                    x2 = np.concatenate(
-                        [np.zeros(512, x.dtype),
-                         frontend.sinc_resample(x, 1.0 + sco)])
-                    # a second pass converges the estimator's bias at
-                    # large residuals (the pilot-slope measurement is a
-                    # few % off at ~100 ppm); reported ppm accumulates
-                    res = self.receive(x2, _sco_pass=_sco_pass - 1)
-                    res.stats.cfo_hz = stats.cfo_hz
-                    res.stats.sco_ppm = sco * 1e6 + res.stats.sco_ppm
-                    return res
+            sco = self._measure_sco(x, p1.start, params, dres.timing_offset)
+            if 2e-6 < abs(sco) < 5e-3:
+                from . import frontend
+                # zero headroom: repeated resampling walks the first
+                # P1 a few samples earlier each pass; keep it in-buffer
+                x2 = np.concatenate(
+                    [np.zeros(512, x.dtype),
+                     frontend.sinc_resample(x, 1.0 + sco)])
+                # a second pass converges the estimator's bias at
+                # large residuals (the pilot-slope measurement is a
+                # few % off at ~100 ppm); reported ppm accumulates
+                res = self.receive(x2, _sco_pass=_sco_pass - 1)
+                res.stats.cfo_hz = stats.cfo_hz
+                res.stats.sco_ppm = sco * 1e6 + res.stats.sco_ppm
+                return res
 
         assembler = bbframe.TSAssembler()
         frame_start = p1.start
@@ -197,6 +180,85 @@ class T2Receiver:
         stats.ts_packets = len(assembler.packets)
         return ReceiveResult(ts=assembler.ts_bytes(), stats=stats,
                              params=params, l1pre=l1pre, l1post=l1post)
+
+    def _scan_mode(self, x, p1):
+        """GI/PP/ext brute-force scan gated by the L1-pre CRC (the
+        reference's set_guard_interval_by_brute_force,
+        dvbt2_demodulator.cpp:481-545).  Returns (params, l1pre) or None."""
+        from ..dvbt2.params import GuardInterval
+        for gi in (GuardInterval.GI_1_128, GuardInterval.GI_1_32,
+                   GuardInterval.GI_1_16, GuardInterval.GI_19_256,
+                   GuardInterval.GI_1_8, GuardInterval.GI_19_128,
+                   GuardInterval.GI_1_4):
+            for ext in (True, False):
+                for pp in range(8):
+                    cand = self._try_l1pre(x, p1, gi, ext, pp)
+                    if cand is not None:
+                        return cand
+        return None
+
+    def _measure_sco(self, x, p1_start, params, t0) -> float:
+        """Sample-clock offset from the pilot-slope timing drift between
+        consecutive frames (sub-sample precision); 0.0 when the buffer is
+        too short or two gap estimates disagree (corrupted frame guard)."""
+        nominal = params.frame_samples
+        if p1_start + 2 * nominal > len(x):
+            return 0.0
+        car1 = rxdemod.extract_carriers(
+            params, x, p1_start + nominal + rxp1.P1_LEN)
+        t1 = rxdemod.equalize_frame(params, car1).timing_offset
+        sco = (t1 - t0) / nominal
+        if p1_start + 3 * nominal <= len(x):
+            # a corrupted frame gives a garbage slope; demand two
+            # consistent frame-gap estimates before acting on it
+            car2 = rxdemod.extract_carriers(
+                params, x, p1_start + 2 * nominal + rxp1.P1_LEN)
+            t2 = rxdemod.equalize_frame(params, car2).timing_offset
+            sco_b = (t2 - t1) / nominal
+            if not (abs(sco_b - sco) < 0.3 * max(abs(sco), abs(sco_b))):
+                return 0.0
+        return float(sco)
+
+    def acquire(self, x: np.ndarray) -> "LockState | None":
+        """Acquisition WITHOUT decoding: P1 search -> mode scan -> L1 parse
+        -> SCO measurement, reporting the residual corrections instead of
+        applying them.  The streaming consumer (io.devices.StreamingReceiver)
+        owns the correction state (NCO phase, resampler position) so locks
+        survive block boundaries; `receive` stays the one-shot whole-buffer
+        entry point."""
+        x = np.asarray(x)
+        p1 = rxp1.acquire_p1(x)
+        if p1 is None:
+            return None
+        cfo = p1.fractional_cfo_hz \
+            + p1.integer_cfo_carriers * SAMPLE_RATE / rxp1.P1_A
+        if abs(cfo) > 1e-3:
+            n = np.arange(len(x))
+            x = x * np.exp(-2j * np.pi * cfo * n / SAMPLE_RATE)
+        scan = self._scan_mode(x, p1)
+        if scan is None:
+            return None
+        params, l1pre = scan
+        if p1.start + params.frame_samples > len(x):
+            return None
+        carriers = rxdemod.extract_carriers(params, x,
+                                            p1.start + rxp1.P1_LEN)
+        dres = rxdemod.equalize_frame(params, carriers)
+        l1_cells = dres.frame_cells[l1mod.L1_PRE_CELLS:
+                                    l1mod.L1_PRE_CELLS + l1pre.l1_post_size]
+        l1post = l1mod.l1post_decode_hard(l1_cells, l1pre)
+        if l1post is None:
+            nvar = 10.0 ** (-min(dres.snr_db, 35.0) / 10.0)
+            l1post = l1mod.l1post_decode_soft(l1_cells, l1pre, nvar=nvar)
+        if l1post is None:
+            return None
+        params, plps = rxdecode.params_from_l1(p1.fft_mode, l1pre, l1post)
+        sco = self._measure_sco(x, p1.start, params, dres.timing_offset)
+        self._last_l1post = l1post
+        return LockState(params=params, plps=plps, l1pre=l1pre,
+                         l1post=l1post, frame_start=int(p1.start),
+                         cfo_hz=float(cfo), sco=float(sco),
+                         snr_db=float(dres.snr_db))
 
     def _sco_ladder(self, x):
         """Trial resample ratios for large sample-clock offsets (the

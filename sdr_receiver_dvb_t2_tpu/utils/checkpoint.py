@@ -32,6 +32,33 @@ class ReceiverCheckpoint:
             return cls(**json.load(f))
 
 
+@dataclass
+class StreamCheckpoint:
+    """Streaming-receiver resume point (io.devices.StreamingReceiver): the
+    RAW-device sample offset of the next undecoded frame's P1 plus the
+    corrector and TS-reassembly state.  On resume the receiver seeks there
+    and re-acquires; because the offset lands exactly on a frame boundary,
+    the reassembled TS continues the interrupted one without duplicate or
+    missing packets (verified by tests/test_devices.py)."""
+    sample_offset: int                 # raw device samples before next frame
+    cfo_hz: float                      # total NCO correction at save time
+    sco_ppm: float                     # total resampler correction
+    ts_buf: list                       # TSAssembler._buf bytes
+    ts_prev_crc: int | None
+    ts_lost: bool
+    frames_decoded: int
+    ts_packets: int = 0   # packets already emitted at save time
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(asdict(self), f)
+
+    @classmethod
+    def load(cls, path: str) -> "StreamCheckpoint":
+        with open(path) as f:
+            return cls(**json.load(f))
+
+
 def capture_state(frame_start: int, stats, p1, l1pre,
                   assembler) -> ReceiverCheckpoint:
     return ReceiverCheckpoint(

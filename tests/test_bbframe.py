@@ -130,3 +130,40 @@ def test_nm_crc_error_sets_tei():
     assert rx.errors >= 1
     flagged = [p for p in rx.packets if p[1] & 0x80]
     assert len(flagged) >= 1
+
+
+def test_crc8_rows_matches_scalar():
+    rng = np.random.default_rng(7)
+    rows = rng.integers(0, 256, (5, 187)).astype(np.uint8)
+    vec = bb.crc8_rows(rows)
+    for i, row in enumerate(rows):
+        assert int(vec[i]) == bb.crc8(row)
+
+
+@pytest.mark.parametrize("hem", [False, True])
+def test_push_bytes_matches_push(hem):
+    """The vectorized byte-level drain is byte-identical to the bit path,
+    including NM CRC-chain TEI flagging across frame boundaries."""
+    kbch = 3072
+    ts = make_ts(40, seed=3)
+    frames = bb.ts_to_bbframes(ts.reshape(-1), kbch, 6, hem=hem)
+    # corrupt one payload byte mid-stream so the NM CRC chain fires
+    frames_bad = frames.copy()
+    frames_bad[2, 800:808] ^= 1
+    a = bb.TSAssembler()
+    b = bb.TSAssembler()
+    for f in frames_bad:
+        a.push(f)
+        b.push_bytes(np.packbits(f))
+    np.testing.assert_array_equal(a.ts_bytes(), b.ts_bytes())
+    assert a.errors == b.errors
+    assert a.resyncs == b.resyncs
+
+
+def test_header_from_bytes_matches_from_bits():
+    hdr = bb.BBHeader(hem=False, dfl=2992, syncd=376, sync=bb.TS_SYNC,
+                      upl=188 * 8)
+    bits = hdr.to_bits()
+    h1 = bb.BBHeader.from_bits(bits)
+    h2 = bb.BBHeader.from_bytes(np.packbits(bits))
+    assert h1 == h2

@@ -1,0 +1,211 @@
+"""Round-2 streaming pipeline tests: persistent lock across block
+boundaries (zero frame loss), closed AGC loop, drifting-LO CFO tracking,
+streaming SCO correction, checkpoint/resume TS continuity, and the native
+ring ingest path.
+
+Reference behaviors matched: the always-running device loop with elastic
+buffering (rx_sdrplay.cpp:199-291), the AGC level loop
+(dvbt2_demodulator.cpp:234-249), the frequency PI loop
+(dvbt2_demodulator.cpp:321-330), and the reset/reacquire state machine
+(dvbt2_demodulator.cpp:418-425)."""
+import numpy as np
+import pytest
+
+from sdr_receiver_dvb_t2_tpu.dvbt2.params import (
+    CodeRate, Constellation, FECFrame, FFTMode, GuardInterval, PilotPattern,
+    PLPParams, T2Params)
+from sdr_receiver_dvb_t2_tpu.io import devices
+from sdr_receiver_dvb_t2_tpu.tx.modulator import T2Modulator
+
+
+def _waveform(n_frames=6, seed=5):
+    p = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                 pilot_pattern=PilotPattern.PP1, extended_carrier=False,
+                 n_data=9)
+    plp = PLPParams(constellation=Constellation.QAM16, rate=CodeRate.C1_2,
+                    fec_frame=FECFrame.SHORT, num_blocks_max=3,
+                    time_il_length=1)
+    mod = T2Modulator(p, [plp])
+    rng = np.random.default_rng(seed)
+    ts = rng.integers(0, 256, (mod.packets_needed(n_frames) + 4, 188)
+                      ).astype(np.uint8)
+    ts[:, 0] = 0x47
+    ts[:, 1] &= 0x7F
+    out = mod.modulate(ts.reshape(-1), n_frames)
+    return ts.reshape(-1), out.samples, p
+
+
+def _stream(dev, **kw):
+    got = []
+    kw.setdefault("acq_seconds", 0.025)
+    kw.setdefault("block_seconds", 0.007)
+    sr = devices.StreamingReceiver(dev, **kw)
+    st = sr.run(ts_sink=got.append)
+    ts = np.concatenate(got) if got else np.zeros(0, np.uint8)
+    return st, ts
+
+
+def test_stream_no_block_boundary_loss():
+    """Frames straddling block boundaries decode: the lock (frame grid,
+    CFO, L1) and leftover samples persist across blocks."""
+    flat, samples, p = _waveform(6)
+    n_blocks_expected = len(samples) / (devices.SAMPLE_RATE * 0.007)
+    assert n_blocks_expected > 5  # boundaries fall inside frames
+    dev = devices.SimulatedDevice(samples, snr_db=32)
+    st, ts = _stream(dev)
+    assert st.frames_decoded == 6
+    assert st.frames_skipped == 0
+    assert st.reacquisitions == 0
+    assert st.ts_errors == 0
+    np.testing.assert_array_equal(ts, flat[:len(ts)])
+    assert len(ts) >= 30 * 188
+
+
+def test_stream_agc_converges_from_cold():
+    """-40 dB input behind an 8-bit ADC is buried in quantization noise;
+    the AGC loop must step hardware gain up and the receiver then lock and
+    decode, with no manual steps (VERDICT item 5)."""
+    flat, samples, p = _waveform(8)
+    dev = devices.SimulatedDevice(samples, gain_db=-40.0, snr_db=28,
+                                  adc_bits=8)
+    st, ts = _stream(dev, block_seconds=0.005)
+    assert st.gain_steps >= 3
+    assert abs(st.level_db) < 4.0          # converged to target
+    assert st.frames_decoded >= 3
+    # decoded TS must be a contiguous slice of the transmitted stream
+    assert len(ts) >= 10 * 188
+    pos = bytes(flat).find(bytes(ts[:4 * 188]))
+    assert pos >= 0 and pos % 188 == 0
+    np.testing.assert_array_equal(ts, flat[pos:pos + len(ts)])
+
+
+def test_stream_agc_converges_from_hot():
+    """+24 dB input clips the ADC; AGC steps gain down until decodable."""
+    flat, samples, p = _waveform(8)
+    dev = devices.SimulatedDevice(samples, gain_db=24.0, snr_db=28,
+                                  adc_bits=8)
+    st, ts = _stream(dev, block_seconds=0.005)
+    assert st.gain_steps >= 2
+    assert st.frames_decoded >= 3
+    assert len(ts) >= 10 * 188
+    pos = bytes(flat).find(bytes(ts[:4 * 188]))
+    assert pos >= 0 and pos % 188 == 0
+    np.testing.assert_array_equal(ts, flat[pos:pos + len(ts)])
+
+
+def test_stream_agc_required():
+    """Sanity: without AGC the cold capture must NOT decode (otherwise the
+    convergence test proves nothing)."""
+    flat, samples, p = _waveform(4)
+    dev = devices.SimulatedDevice(samples, gain_db=-40.0, snr_db=28,
+                                  adc_bits=8)
+    st, ts = _stream(dev, block_seconds=0.005, agc=False)
+    assert st.frames_decoded == 0
+
+
+def test_stream_drifting_lo_tracked():
+    """A linearly drifting LO (0 -> ~500 Hz across the capture, more than
+    half the 8K carrier spacing) is tracked by the per-frame P1 frequency
+    PI loop; all frames stay bit-exact (VERDICT item 6)."""
+    flat, samples, p = _waveform(8)
+    dur = len(samples) / devices.SAMPLE_RATE
+    drift = 500.0 / dur
+    dev = devices.SimulatedDevice(samples, lo_drift_hz_per_s=drift,
+                                  snr_db=30)
+    st, ts = _stream(dev)
+    assert st.frames_decoded == 8
+    assert st.frames_skipped == 0
+    assert st.ts_errors == 0
+    np.testing.assert_array_equal(ts, flat[:len(ts)])
+    # the corrector should have accumulated a large fraction of the drift
+    assert st.cfo_hz > 250.0
+
+
+def test_stream_sco_corrected():
+    """A 60 ppm sample-clock offset triggers the streaming resampler
+    (CorrectorChain.rebase_ratio); decode stays bit-exact and the measured
+    correction lands near the truth."""
+    flat, samples, p = _waveform(6)
+    dev = devices.SimulatedDevice(samples, clock_ppm=60.0, snr_db=32)
+    st, ts = _stream(dev)
+    assert st.frames_decoded >= 5
+    assert st.ts_errors == 0
+    np.testing.assert_array_equal(ts, flat[:len(ts)])
+    assert 25.0 < abs(st.sco_ppm) < 100.0
+
+
+def test_stream_checkpoint_resume(tmp_path):
+    """Interrupt a streaming run, resume from its checkpoint with a fresh
+    receiver: the concatenated TS equals the uninterrupted run's TS
+    (exact continuity, no duplicate or lost packets)."""
+    from sdr_receiver_dvb_t2_tpu.utils.checkpoint import StreamCheckpoint
+    flat, samples, p = _waveform(8)
+    ck_path = str(tmp_path / "stream.ck")
+
+    # uninterrupted reference run
+    dev0 = devices.SimulatedDevice(samples, snr_db=32)
+    st0, ts_full = _stream(dev0)
+    assert st0.frames_decoded == 8
+
+    # interrupted run: stop after 5 blocks, checkpoint every 2 frames
+    dev1 = devices.SimulatedDevice(samples, snr_db=32)
+    got1 = []
+    sr1 = devices.StreamingReceiver(dev1, acq_seconds=0.025,
+                                    block_seconds=0.007,
+                                    checkpoint_path=ck_path,
+                                    checkpoint_every=2)
+    st1 = sr1.run(ts_sink=got1.append, max_blocks=5)
+    ck = StreamCheckpoint.load(ck_path)
+    assert ck.frames_decoded >= 2
+
+    # resume with a brand-new receiver on a fresh device
+    dev2 = devices.SimulatedDevice(samples, snr_db=32)
+    got2 = []
+    sr2 = devices.StreamingReceiver(dev2, acq_seconds=0.025,
+                                    block_seconds=0.007)
+    st2 = sr2.run(ts_sink=got2.append, resume=ck_path)
+    assert st2.frames_decoded >= 1
+
+    ts1 = (np.concatenate(got1) if got1 else np.zeros(0, np.uint8)
+           )[:ck.ts_packets * 188]
+    ts2 = np.concatenate(got2) if got2 else np.zeros(0, np.uint8)
+    joined = np.concatenate([ts1, ts2])
+    np.testing.assert_array_equal(joined, ts_full[:len(joined)])
+    assert len(joined) >= len(ts_full) - 2 * 188
+
+
+def test_stream_ring_ingest():
+    """The native SPSC ring + reader thread path produces the same TS as
+    the direct path (elastic ingest actually wired, VERDICT weak #6)."""
+    from sdr_receiver_dvb_t2_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("native ingest library unavailable")
+    flat, samples, p = _waveform(6)
+    dev = devices.SimulatedDevice(samples, snr_db=32)
+    st, ts = _stream(dev, use_ring=True)
+    assert st.frames_decoded == 6
+    np.testing.assert_array_equal(ts, flat[:len(ts)])
+
+
+def test_stream_reacquires_after_corruption():
+    """A burst of interference mid-capture breaks tracking; the receiver
+    unlocks, re-acquires, and continues decoding (the reference's reset
+    path, dvbt2_demodulator.cpp:418-425)."""
+    flat, samples, p = _waveform(8)
+    x = np.array(samples)
+    # obliterate frames 3-4 with noise
+    fs0 = p.frame_samples
+    rng = np.random.default_rng(9)
+    burst = slice(3 * fs0, 5 * fs0)
+    n = burst.stop - burst.start
+    sig = float(np.sqrt(np.mean(np.abs(x) ** 2)))
+    x[burst] = sig * (rng.normal(0, 0.7, n) + 1j * rng.normal(0, 0.7, n)
+                      ).astype(np.complex64)
+    dev = devices.SimulatedDevice(x, snr_db=30)
+    st, ts = _stream(dev, agc=False)
+    # frames before and after the burst decode
+    assert st.frames_decoded >= 5
+    assert st.frames_skipped + st.reacquisitions >= 1
+    assert len(ts) >= 15 * 188
+    pos = bytes(flat).find(bytes(ts[:2 * 188]))
+    assert pos == 0  # stream starts at the first packet
