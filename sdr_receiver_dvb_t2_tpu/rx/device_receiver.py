@@ -1,27 +1,36 @@
 """DeviceT2Receiver: the high-level receiver running its bulk path on the
 TPU (fused carrier-major demod + separable LLR + Pallas QC-layered LDPC),
-with acquisition, L1 parsing, BCH and TS reassembly on host.
+with acquisition, L1 parsing and TS reassembly on host.
 
 Same auto-discovery contract as rx.receiver.T2Receiver; the device path is
 keyed by (mode, PLP, num_blocks) and compiled once per configuration.  When
 a frame's num_blocks doesn't match a 128-lane Pallas batch the decoder falls
 back to the XLA flooding decoder for that frame.
+
+Host tail (VERDICT r1 item 8): the BCH gate is ONE batched GEMM against the
+remainder matrix (ops.fec_device.bch_check_host) over all codewords;
+Berlekamp-Massey/Chien runs only on the rare dirty codeword.  Descramble +
+byte packing are vectorized and the TS assembler consumes bytes
+(TSAssembler.push_bytes), so no per-bit Python survives at rate.
 """
 from __future__ import annotations
 
 import numpy as np
 
-from ..dvbt2 import bch, bbframe, ldpc as ldpcmod
+from ..dvbt2 import bbframe
 from ..dvbt2.params import PLPParams, T2Params
+from ..ops import fec_device
 from . import decode as rxdecode
 from . import fusedpath
 from .receiver import T2Receiver
 
 
 class DeviceT2Receiver(T2Receiver):
-    def __init__(self, plp_filter: int | None = None, ldpc_iters: int = 12):
+    def __init__(self, plp_filter: int | None = None,
+                 ldpc_max_iters: int = 24, adaptive: bool = True):
         super().__init__(plp_filter=plp_filter)
-        self.ldpc_iters = ldpc_iters
+        self.ldpc_max_iters = ldpc_max_iters
+        self.adaptive = adaptive
         self._paths: dict = {}
         self._decoders: dict = {}
 
@@ -38,22 +47,33 @@ class DeviceT2Receiver(T2Receiver):
     def _get_decoder(self, plp: PLPParams, batch: int):
         from ..ops import ldpc_pallas as qldpc
         from ..ops import ldpc as jldpc
+        from ..dvbt2 import ldpc as ldpcmod
         key = (plp.fec_frame, plp.rate, batch)
         if key not in self._decoders:
             if batch % 128 == 0:
-                self._decoders[key] = ("nb", qldpc.make_decoder_nb(
-                    plp.fec_frame, plp.rate, iters=self.ldpc_iters,
-                    batch=batch))
+                if self.adaptive:
+                    # early-exit layered decode, the reference's TRIALS=25
+                    # + bad() semantics (ldpc_decoder.h:62,
+                    # layered_decoder.hh:65-82)
+                    self._decoders[key] = (
+                        "nb_adaptive", qldpc.make_adaptive_decoder_nb_fused(
+                            plp.fec_frame, plp.rate,
+                            max_iters=self.ldpc_max_iters,
+                            check_every=2, batch=batch))
+                else:
+                    self._decoders[key] = ("nb", qldpc.make_decoder_nb(
+                        plp.fec_frame, plp.rate,
+                        iters=max(10, self.ldpc_max_iters // 2),
+                        batch=batch))
             else:
                 code = ldpcmod.get_code(plp.fec_frame, plp.rate)
                 self._decoders[key] = ("flood", jldpc.make_decoder(
-                    code, iters=2 * self.ldpc_iters, dtype="bfloat16"))
+                    code, iters=self.ldpc_max_iters, dtype="bfloat16"))
         return self._decoders[key]
 
     def _decode_frame(self, x, frame_start, params, plps, l1pre,
                       l1post_cached, assembler, stats) -> bool:
         import jax.numpy as jnp
-        from . import demod as rxdemod
         from . import p1_detect as rxp1
         from ..dvbt2 import l1 as l1mod
 
@@ -69,20 +89,34 @@ class DeviceT2Receiver(T2Receiver):
         l1_size = l1mod.L1_PRE_CELLS + l1pre.l1_post_size
         head2 = np.asarray(flat2[demod.layout[:l1_size]])
         head = head2[:, 0] + 1j * head2[:, 1]
+        # per-frame timing from the frame's own P1 (whole-sample grid
+        # drift, feeds the SCO retiming in receive()'s frame loop)
+        m = rxp1.measure_p1(np.asarray(x), frame_start)
+        stats.timing_offset.append(float(m.offset) if m is not None else 0.0)
+        snr_seen = None
         if l1post_cached is not None:
             l1post = l1post_cached
         else:
             l1post = l1mod.l1post_decode_hard(
                 head[l1mod.L1_PRE_CELLS:l1_size], l1pre)
             if l1post is None:
+                # soft fallback using the L1 LDPC parity the reference
+                # discards; nvar from the L1 cells' own EVM
+                nvar_l1 = rxdecode.estimate_noise_var_l1(
+                    head[l1mod.L1_PRE_CELLS:l1_size], l1pre)
+                l1post = l1mod.l1post_decode_soft(
+                    head[l1mod.L1_PRE_CELLS:l1_size], l1pre, nvar=nvar_l1)
+            if l1post is None:
                 stats.l1_failures += 1
                 l1post = self._last_l1post
                 if l1post is None:
+                    stats.snr_db.append(0.0)
                     return False
+                if l1post.dyn_next is not None:
+                    import dataclasses as _dc
+                    l1post = _dc.replace(l1post, dyn=l1post.dyn_next)
             else:
                 self._last_l1post = l1post
-        stats.snr_db.append(30.0)  # device path: SNR from demapper EVM below
-        stats.timing_offset.append(0.0)
 
         for plp, dyn in zip(plps, l1post.dyn.plp):
             if self.plp_filter is not None and dyn.id != self.plp_filter:
@@ -99,23 +133,28 @@ class DeviceT2Receiver(T2Receiver):
             pc = np.asarray(flat2[probe_idx])
             nvar = rxdecode.estimate_noise_var(
                 plp, pc[:, 0] + 1j * pc[:, 1])
+            if snr_seen is None:
+                # constellation power is normalized to 1, so the EVM-based
+                # noise estimate IS the inverse SNR (the reference's blind
+                # estimate, llr_demapper.cpp:184-196)
+                snr_seen = -10.0 * np.log10(max(nvar, 1e-12))
             llrs_t = path._fn(flat2, jnp.float32(1.0 / max(nvar, 1e-4)))
             kind, dec = self._get_decoder(plp, dyn.num_blocks)
-            if kind == "nb":
+            if kind == "nb_adaptive":
+                bits_t, iters = dec(llrs_t)
+                bits = np.asarray(bits_t).T
+                pstat.ldpc_iters.append(int(iters))
+            elif kind == "nb":
                 bits = np.asarray(dec(llrs_t)).T
             else:
                 bits = np.asarray(dec(jnp.transpose(llrs_t)))
             fec = plp.fec
-            bb = []
-            for row in bits:
-                fixed, nfix = bch.decode(plp.fec_frame, row[:fec.n_bch],
-                                         fec.t_bch)
-                if nfix < 0:
-                    pstat.bch_failures += 1
-                else:
-                    pstat.bch_corrected += nfix
-                bb.append(fixed[:fec.k_bch])
-            for frame_bits in bbframe.scramble(np.stack(bb)):
-                assembler.push(frame_bits)
+            bb = fec_device.bch_correct_batch(plp, bits[:, :fec.n_bch],
+                                              pstat)
+            frames_bytes = np.packbits(bbframe.scramble(bb), axis=1)
+            for row in frames_bytes:
+                assembler.push_bytes(row)
+        stats.snr_db.append(float(snr_seen) if snr_seen is not None
+                            else 30.0)
         stats.frames_decoded += 1
         return True

@@ -38,12 +38,14 @@ from .jaxdemod import _interp_stencil
 
 
 class _Class:
-    def __init__(self, sym_cols, pilot_rows, inv_ref, stencil, comp_rows):
+    def __init__(self, sym_cols, pilot_rows, inv_ref, stencil, comp_rows,
+                 miso=None):
         self.sym_cols = sym_cols        # (nc,) symbol indices
         self.pilot_rows = pilot_rows    # (np_c,)
         self.inv_ref = inv_ref          # (np_c, nc) float32, 1/ref
         self.stencil = stencil          # (il, ir, w): row indices + weight
         self.comp_rows = comp_rows      # (n_data_c,) data+FI composed rows
+        self.miso = miso                # dict, see FusedFrameDemod.__init__
         # classes are arithmetic progressions of symbol indices by
         # construction (P2 parity / l mod dy / FC) -> expressible as a
         # strided slice, which is much cheaper than a middle-axis gather
@@ -55,6 +57,82 @@ class _Class:
             self.start + self.step * np.arange(self.count))
 
 
+def _eq_class_planar(c: _Class, xcr, xci, rep: int):
+    """Equalize + frequency-deinterleave one symbol class, planar f32.
+
+    xcr/xci: (k_total, nc*rep) carrier-major rows (rep = frames folded into
+    the lane axis).  Returns (out_r, out_i) of (n_data_c, nc*rep) rows in
+    frequency-deinterleaved (plain-cell) order.
+
+    SISO: pilot row-gather -> two-gather linear interpolation -> one-tap
+    equalize -> composed data+FI row gather.
+    MISO: the received pilots carry ref*(h1+h2) on non-inverted positions
+    and ref*(h1-h2) on the TX2-inverted subset (clause 9.2 inversions);
+    interpolating each subset gives the sum and difference channels, hence
+    h1/h2 per carrier, and adjacent data carriers form clause-9.1 Alamouti
+    pairs solved exactly as a 2x2 system (zero-forcing) — the planar batch
+    form of rx.demod.equalize_frame_miso, which the reference lacks
+    entirely (SISO-only, README.md:17-23)."""
+    iref = np.repeat(c.inv_ref, rep, axis=1) if rep > 1 else c.inv_ref
+    epr = xcr[c.pilot_rows] * iref          # row gather: (np_c, lanes)
+    epi = xci[c.pilot_rows] * iref
+    if c.miso is None:
+        il, ir, w = c.stencil               # w: (k, 1)
+        chr_ = epr[il] * (1.0 - w) + epr[ir] * w
+        chi_ = epi[il] * (1.0 - w) + epi[ir] * w
+        inv = 1.0 / (chr_ * chr_ + chi_ * chi_)
+        eqr = (xcr * chr_ + xci * chi_) * inv
+        eqi = (xci * chr_ - xcr * chi_) * inv
+        return eqr[c.comp_rows], eqi[c.comp_rows]
+    mi = c.miso
+    # sum / difference channels from the two pilot subsets
+    (il_s, ir_s, w_s), (il_d, ir_d, w_d) = mi["stencil_s"], mi["stencil_d"]
+    es_r, es_i = epr[mi["sel_s"]], epi[mi["sel_s"]]
+    ed_r, ed_i = epr[mi["sel_d"]], epi[mi["sel_d"]]
+    hs_r = es_r[il_s] * (1.0 - w_s) + es_r[ir_s] * w_s
+    hs_i = es_i[il_s] * (1.0 - w_s) + es_i[ir_s] * w_s
+    hd_r = ed_r[il_d] * (1.0 - w_d) + ed_r[ir_d] * w_d
+    hd_i = ed_i[il_d] * (1.0 - w_d) + ed_i[ir_d] * w_d
+    h1r, h1i = 0.5 * (hs_r + hd_r), 0.5 * (hs_i + hd_i)
+    h2r, h2i = 0.5 * (hs_r - hd_r), 0.5 * (hs_i - hd_i)
+    dp = mi["data_rows"]
+    r_r, r_i = xcr[dp], xci[dp]             # (n_data_c, lanes)
+    h1r_d, h1i_d = h1r[dp], h1i[dp]
+    h2r_d, h2i_d = h2r[dp], h2i[dp]
+    # Alamouti pairs on adjacent data carriers:
+    #   r0 = h1_0 e0 - h2_0 e1*,   r1 = h1_1 e1 + h2_1 e0*
+    r0r, r0i = r_r[0::2], r_i[0::2]
+    r1r, r1i = r_r[1::2], r_i[1::2]
+    a_r, a_i = h1r_d[0::2], h1i_d[0::2]     # h1_0
+    b_r, b_i = h2r_d[0::2], h2i_d[0::2]     # h2_0
+    c_r, c_i = h1r_d[1::2], h1i_d[1::2]     # h1_1
+    d_r, d_i = h2r_d[1::2], h2i_d[1::2]     # h2_1
+
+    def cmul(ar, ai, br, bi):
+        return ar * br - ai * bi, ar * bi + ai * br
+
+    # det = h1_0 * conj(h1_1) + h2_0 * conj(h2_1)
+    t0r, t0i = cmul(a_r, a_i, c_r, -c_i)
+    t1r, t1i = cmul(b_r, b_i, d_r, -d_i)
+    det_r, det_i = t0r + t1r, t0i + t1i
+    inv_d2 = 1.0 / jnp.maximum(det_r * det_r + det_i * det_i, 1e-24)
+    # e0 = (conj(h1_1) * r0 + h2_0 * conj(r1)) / det
+    n0r, n0i = cmul(c_r, -c_i, r0r, r0i)
+    m0r, m0i = cmul(b_r, b_i, r1r, -r1i)
+    n0r, n0i = n0r + m0r, n0i + m0i
+    e0r, e0i = cmul(n0r, n0i, det_r * inv_d2, -det_i * inv_d2)
+    # e1 = conj((-conj(h2_1) * r0 + h1_0 * conj(r1)) / det)
+    n1r, n1i = cmul(-d_r, d_i, r0r, r0i)
+    m1r, m1i = cmul(a_r, a_i, r1r, -r1i)
+    n1r, n1i = n1r + m1r, n1i + m1i
+    e1r, e1i = cmul(n1r, n1i, det_r * inv_d2, -det_i * inv_d2)
+    e1i = -e1i
+    out_r = jnp.stack([e0r, e1r], axis=1).reshape(r_r.shape)
+    out_i = jnp.stack([e0i, e1i], axis=1).reshape(r_i.shape)
+    fi = mi["fi_gather"]
+    return out_r[fi], out_i[fi]
+
+
 class FusedFrameDemod:
     """Carrier-major demod: (len_frame*symbol_size, 2) -> per-class data-cell
     blocks plus the host-side `layout` map (frame cell index -> flat
@@ -62,7 +140,13 @@ class FusedFrameDemod:
 
     def __init__(self, p: T2Params):
         self.p = p
-        tabs = npdemod.pilot_tables(p)
+        if p.miso:
+            import dataclasses as _dc
+            tabs = npdemod.pilot_tables(_dc.replace(p, miso_group=0))
+            tabs2 = npdemod.pilot_tables(_dc.replace(p, miso_group=1))
+        else:
+            tabs = npdemod.pilot_tables(p)
+            tabs2 = None
         n_plain = p.n_data - (1 if p.has_fc else 0)
         dy = tables.SP_PATTERN[p.pilot_pattern][1]
         # build classes: P2 split by parity, data by l%dy, FC alone
@@ -101,6 +185,30 @@ class FusedFrameDemod:
             # plain cell i of any symbol in the class comes from carrier
             # data_pos[rx_gather[i]]
             comp = t0["data_pos"][t0["rx_gather"]]
+            miso = None
+            if p.miso:
+                # TX2 pilot-inversion subset is a function of the carrier
+                # map alone, identical for every symbol of a class (the
+                # clause-9.2 rule depends on k and l%dy only)
+                ref2 = tabs2[rows[0]]["pilot_ref"]
+                inverted = np.real(ref2 * np.conj(t0["pilot_ref"])) < 0
+                for r in rows[1:]:
+                    inv_r = np.real(tabs2[r]["pilot_ref"]
+                                    * np.conj(tabs[r]["pilot_ref"])) < 0
+                    assert np.array_equal(inv_r, inverted)
+                sel_s = np.nonzero(~inverted)[0].astype(np.int32)
+                sel_d = np.nonzero(inverted)[0].astype(np.int32)
+                ils, irs, ws = _interp_stencil(pilot_rows[~inverted],
+                                               p.k_total)
+                ild, ird, wd = _interp_stencil(pilot_rows[inverted],
+                                               p.k_total)
+                assert n_data_c % 2 == 0, "Alamouti pairs need even cells"
+                miso = dict(
+                    sel_s=sel_s, sel_d=sel_d,
+                    stencil_s=(ils, irs, ws.reshape(-1, 1)),
+                    stencil_d=(ild, ird, wd.reshape(-1, 1)),
+                    data_rows=t0["data_pos"].astype(np.int32),
+                    fi_gather=t0["rx_gather"].astype(np.int32))
             for ci, r in enumerate(rows):
                 # frame cell (sym r, plain index i) sits at class flat
                 # position flat_off + i*nc + ci
@@ -109,7 +217,7 @@ class FusedFrameDemod:
                                             + np.arange(n_data_c) * nc + ci)
             self.classes.append(_Class(
                 np.array(rows, np.int32), pilot_rows.astype(np.int32),
-                inv_ref, stencil, comp.astype(np.int32)))
+                inv_ref, stencil, comp.astype(np.int32), miso=miso))
             flat_off += n_data_c * nc
         self.layout = layout
         self.total_cells = total
@@ -124,19 +232,16 @@ class FusedFrameDemod:
             sym = body.reshape(p.len_frame, p.symbol_size)[:, p.guard_size:]
             spec = jnp.fft.fftshift(jnp.fft.fft(sym, axis=1), axes=1)
             car = spec[:, p.left_nulls:p.left_nulls + p.k_total]
-            x = car.T                                    # (k_total, n_sym)
-            outs = []
+            xr = jnp.real(car).T                         # (k_total, n_sym)
+            xi = jnp.imag(car).T
+            outs_r, outs_i = [], []
             for c in classes:
-                xc = x[:, c.sym_cols]                    # (k, nc)
-                pr = xc[c.pilot_rows, :]                 # row gather
-                est_p = pr * c.inv_ref
-                il, ir, w = c.stencil
-                # interpolation: two row gathers + FMA
-                ch = est_p[il, :] * (1.0 - w) + est_p[ir, :] * w
-                eq = xc / ch
-                outs.append(eq[c.comp_rows, :].reshape(-1))
-            flat = jnp.concatenate(outs)
-            return jnp.stack([jnp.real(flat), jnp.imag(flat)], axis=-1)
+                er, ei = _eq_class_planar(c, xr[:, c.sym_cols],
+                                          xi[:, c.sym_cols], 1)
+                outs_r.append(er.reshape(-1))
+                outs_i.append(ei.reshape(-1))
+            return jnp.stack([jnp.concatenate(outs_r),
+                              jnp.concatenate(outs_i)], axis=-1)
 
         return run
 
@@ -241,17 +346,29 @@ class MultiFramePath:
 
     fn(bodies (F, len_frame*symbol_size, 2), inv_nvar)
       -> (n_ldpc, nb, F) LLRs; feed lanes per frame to the Pallas decoder.
+
+    With emit_l1 / emit_evm the call returns a tuple
+    (llrs[, l1_cells (l1_size, F, 2)][, evm (F,)]): the L1 region for host
+    per-frame signalling parse and the mean min-distance EVM (the blind
+    noise/SNR estimate, llr_demapper.cpp:184-196) feeding the next
+    superstep's inv_nvar — what the streaming device path consumes.
     """
 
     def __init__(self, p: T2Params, plp: PLPParams, num_blocks: int,
-                 n_frames: int, llr_dtype=jnp.float32):
+                 n_frames: int, llr_dtype=jnp.float32,
+                 emit_l1: bool = False, emit_evm: bool = False):
         self.p = p
         self.plp = plp
         self.num_blocks = num_blocks
         self.n_frames = n_frames
         self.llr_dtype = llr_dtype
+        self.emit_l1 = emit_l1
+        self.emit_evm = emit_evm
         self.demod = get_fused_demod(p)
         self.single = get_fused_plp_path(p, plp, num_blocks)
+        from ..dvbt2 import l1 as l1mod
+        pre, _ = l1mod.build_l1(p, [plp])
+        self.l1_size = l1mod.L1_PRE_CELLS + pre.l1_post_size
         self._fn = jax.jit(self._build())
 
     def _build(self):
@@ -296,8 +413,16 @@ class MultiFramePath:
                         acc0[b] = d if acc0[b] is None \
                             else jnp.minimum(acc0[b], d)
             inv_t = inv_nvar.astype(llr_dtype)
-            return jnp.stack([(acc1[b] - acc0[b]) * inv_t
+            llrs = jnp.stack([(acc1[b] - acc0[b]) * inv_t
                               for b in range(half)], axis=0)
+            # bit-0 partitions ALL levels: its two accumulators together
+            # hold the unconditional min distance (per-axis EVM), free here
+            mind = jnp.minimum(acc0[0], acc1[0])
+            return llrs, mind
+
+        emit_l1 = self.emit_l1
+        emit_evm = self.emit_evm
+        l1_rows = self.demod.layout[:self.l1_size].astype(np.int32)
 
         from ..ops import mxu_fft
 
@@ -336,18 +461,9 @@ class MultiFramePath:
                 sl = lambda a: jax.lax.slice_in_dim(
                     a, c.start, c.start + c.step * (c.count - 1) + 1,
                     c.step, axis=1).reshape(-1, nw)  # (k, nc*F)
-                xcr, xci = sl(xr), sl(xi)
-                iref = np.repeat(c.inv_ref, f, axis=1)   # (np_c, nc*F)
-                epr = xcr[c.pilot_rows] * iref     # row gather
-                epi = xci[c.pilot_rows] * iref
-                il, ir, w = c.stencil              # w: (k, 1)
-                chr_ = epr[il] * (1.0 - w) + epr[ir] * w
-                chi_ = epi[il] * (1.0 - w) + epi[ir] * w
-                inv = 1.0 / (chr_ * chr_ + chi_ * chi_)
-                eqr = (xcr * chr_ + xci * chi_) * inv
-                eqi = (xci * chr_ - xcr * chi_) * inv
-                outs_r.append(eqr[c.comp_rows].reshape(-1, f))
-                outs_i.append(eqi[c.comp_rows].reshape(-1, f))
+                eqr, eqi = _eq_class_planar(c, sl(xr), sl(xi), f)
+                outs_r.append(eqr.reshape(-1, f))
+                outs_i.append(eqi.reshape(-1, f))
             fr = jnp.concatenate(outs_r, axis=0)   # (total, F)
             fi_ = jnp.concatenate(outs_i, axis=0)
             re = fr[comp_cm].reshape(cpf, nb, f)   # planar row gathers
@@ -356,13 +472,23 @@ class MultiFramePath:
                 im = jnp.roll(im, -1, axis=0)      # cyclic Q-delay per block
                 re, im = (re * rot_re - im * rot_im,
                           re * rot_im + im * rot_re)
-            li = axis_llrs(re, inv_nvar)           # (half, cpf, nb, F) bf16
-            lq = axis_llrs(im, inv_nvar)
+            li, mi_ = axis_llrs(re, inv_nvar)      # (half, cpf, nb, F) bf16
+            lq, mq_ = axis_llrs(im, inv_nvar)
             v = jnp.stack([li, lq], axis=1)        # (half, 2, cpf, nb, F)
             # cell-word bit order y0(I),y1(Q),y2(I)...: (nb, F) stays minor
             v = jnp.transpose(v, (2, 0, 1, 3, 4))  # (cpf, half, 2, nb, F)
             v = v.reshape(cpf * m, nb, f)
-            return v[bit_inv]                      # row gather (n_ldpc,nb,F)
+            out = v[bit_inv]                       # row gather (n_ldpc,nb,F)
+            if not (emit_l1 or emit_evm):
+                return out
+            res = [out]
+            if emit_l1:
+                res.append(jnp.stack([fr[l1_rows], fi_[l1_rows]], axis=-1))
+            if emit_evm:
+                evm = (jnp.mean(mi_.astype(jnp.float32), axis=(0, 1))
+                       + jnp.mean(mq_.astype(jnp.float32), axis=(0, 1)))
+                res.append(evm)                    # (F,)
+            return tuple(res)
 
         return run
 

@@ -35,12 +35,13 @@ def small_config(constellation=Constellation.QAM16, rate=CodeRate.C1_2,
     return p, plp
 
 
-def run_loopback(p, plp, n_frames=2, channel=None, hem=False, seed=0):
+def run_loopback(p, plp, n_frames=2, channel=None, hem=False, seed=0,
+                 receiver=None):
     mod = T2Modulator(p, [plp], hem=hem)
     ts = make_ts(mod.packets_needed(n_frames) + 4, seed=seed)
     out = mod.modulate(ts.reshape(-1), n_frames)
     y = out.samples if channel is None else channel(out.samples)
-    res = T2Receiver().receive(y)
+    res = (receiver or T2Receiver()).receive(y)
     return ts.reshape(-1), res
 
 

@@ -125,3 +125,31 @@ def test_fused_demod_1k_multi_p2_and_fc():
     flat2 = np.asarray(fd._fn(jnp.asarray(body2)))
     flat = flat2[:, 0] + 1j * flat2[:, 1]
     np.testing.assert_allclose(flat[fd.layout], oracle, atol=1e-3)
+
+
+def test_multiframe_emit_l1_and_evm():
+    """emit_l1/emit_evm variants: LLRs unchanged, L1 cells match the
+    single-frame demod layout head, EVM tracks the injected noise power."""
+    p, plp, out = _setup()
+    rng = np.random.default_rng(3)
+    nv = 10.0 ** (-25 / 10.0)  # 25 dB AWGN
+    y = out.samples + (rng.normal(0, np.sqrt(nv / 2), len(out.samples))
+                       + 1j * rng.normal(0, np.sqrt(nv / 2),
+                                         len(out.samples)))
+    body = y[2048:2048 + p.len_frame * p.symbol_size]
+    body2 = np.stack([np.real(body), np.imag(body)], -1).astype(np.float32)
+    bodies = jnp.asarray(body2[None])
+    base = fp.MultiFramePath(p, plp, 3, 1)
+    mf = fp.MultiFramePath(p, plp, 3, 1, emit_l1=True, emit_evm=True)
+    llrs0 = np.asarray(base(bodies, jnp.float32(100.0)))
+    llrs, l1c, evm = mf(bodies, jnp.float32(100.0))
+    np.testing.assert_allclose(np.asarray(llrs), llrs0, rtol=1e-5)
+    # L1 region equals the single-frame fused demod head
+    fd = fp.get_fused_demod(p)
+    flat2 = np.asarray(fd._fn(jnp.asarray(body2)))
+    head = flat2[fd.layout[:mf.l1_size]]
+    got = np.asarray(l1c)[:, 0, :]
+    np.testing.assert_allclose(got, head, atol=1e-4)
+    # EVM ~ noise variance scaled by the cell normalization (~1): within 3x
+    ev = float(np.asarray(evm)[0])
+    assert nv / 3 < ev < nv * 3

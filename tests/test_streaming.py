@@ -209,3 +209,16 @@ def test_stream_reacquires_after_corruption():
     assert len(ts) >= 15 * 188
     pos = bytes(flat).find(bytes(ts[:2 * 188]))
     assert pos == 0  # stream starts at the first packet
+
+
+def test_stream_device_receiver_path():
+    """The streaming loop with DeviceT2Receiver substituted (the CLI's
+    --stream --device-path route): persistent lock + fused demod + batched
+    FEC tail, TS bit-exact with zero boundary loss."""
+    from sdr_receiver_dvb_t2_tpu.rx.device_receiver import DeviceT2Receiver
+    flat, samples, p = _waveform(6)
+    dev = devices.SimulatedDevice(samples, snr_db=32)
+    st, ts = _stream(dev, receiver=DeviceT2Receiver())
+    assert st.frames_decoded == 6
+    assert st.frames_skipped == 0
+    np.testing.assert_array_equal(ts, flat[:len(ts)])
