@@ -65,6 +65,9 @@ def get_lib():
                                 ctypes.POINTER(ctypes.c_uint8),
                                 ctypes.c_int64]
     lib.udp_ts_close.argtypes = [ctypes.c_void_p]
+    lib.crc8_rows.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8)]
     _lib = lib
     return lib
 
@@ -126,6 +129,20 @@ class IQRing:
         if self._h:
             self._lib.ring_destroy(self._h)
             self._h = None
+
+
+def crc8_rows(rows) -> "np.ndarray | None":
+    """Native per-row CRC-8 (0xD5) of an (n, m) uint8 matrix; None when
+    the library is unavailable (caller falls back to NumPy)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    n, m = rows.shape
+    out = np.empty(n, dtype=np.uint8)
+    lib.crc8_rows(rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                  n, m, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
 
 
 def read_ci16(path: str, max_samples: int = 1 << 62,

@@ -149,6 +149,53 @@ int64_t ring_pop(Ring* r, float* out, int64_t n) {
 }
 
 // ---------------------------------------------------------------------------
+// CRC-8 (poly 0xD5 MSB-first, init 0) over each row of an (n, m) byte
+// matrix: the NM-mode per-packet CRC chain of the TS reassembler
+// (bb_de_header.cpp:166-335).  One table walk per byte; at DVB-T2 rates
+// this is the host tail's hot loop.
+// ---------------------------------------------------------------------------
+
+static const uint8_t* crc8_table() {
+    static uint8_t tab[256];
+    static bool init = false;
+    if (!init) {
+        for (int i = 0; i < 256; ++i) {
+            uint8_t crc = 0;
+            for (int j = 7; j >= 0; --j) {
+                int bit = (i >> j) & 1;
+                if (bit ^ (crc >> 7)) crc = static_cast<uint8_t>((crc << 1) ^ 0xD5);
+                else crc = static_cast<uint8_t>(crc << 1);
+            }
+            tab[i] = crc;
+        }
+        init = true;
+    }
+    return tab;
+}
+
+void crc8_rows(const uint8_t* rows, int64_t n, int64_t m, uint8_t* out) {
+    const uint8_t* tab = crc8_table();
+    int64_t i = 0;
+    // 8 rows in flight: the table walk is a serial dependency chain per
+    // row, so interleaving 8 independent chains keeps the load ports busy
+    for (; i + 8 <= n; i += 8) {
+        const uint8_t* r[8];
+        uint8_t c[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+        for (int k = 0; k < 8; ++k) r[k] = rows + (i + k) * m;
+        for (int64_t j = 0; j < m; ++j) {
+            for (int k = 0; k < 8; ++k) c[k] = tab[c[k] ^ r[k][j]];
+        }
+        for (int k = 0; k < 8; ++k) out[i + k] = c[k];
+    }
+    for (; i < n; ++i) {
+        const uint8_t* r = rows + i * m;
+        uint8_t crc = 0;
+        for (int64_t j = 0; j < m; ++j) crc = tab[crc ^ r[j]];
+        out[i] = crc;
+    }
+}
+
+// ---------------------------------------------------------------------------
 // File reader: bulk int16 capture -> float32 buffer (mmap-free, streamed)
 // ---------------------------------------------------------------------------
 

@@ -667,8 +667,11 @@ def make_pallas_layered_vmem_adaptive(frame: FECFrame, rate: CodeRate,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
+        # the in-kernel syndrome pass adds int32 temporaries on top of the
+        # resident c2v: the normal-frame codes need ~106 MB scoped VMEM,
+        # within the chip's 128 MB but above the compiler's 100 MB default
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=116 * 1024 * 1024),
         interpret=interpret,
     )
 

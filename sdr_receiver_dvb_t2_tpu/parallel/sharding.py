@@ -94,17 +94,78 @@ def sharded_receive_step(p: T2Params, plp: PLPParams, num_blocks: int,
                    out_shardings=(cw_shard, rep))
 
 
+def sharded_fused_step(p: T2Params, plp: PLPParams, num_blocks: int,
+                       frames_per_device: int, mesh: Mesh,
+                       ldpc_iters: int = 4):
+    """Multi-chip step over the PRODUCTION fused path (rx.fusedpath
+    MultiFramePath — the pipeline bench.py measures), via shard_map.
+
+    Frames are the natural data-parallel unit (each carries its own P1 +
+    pilots; the serial sync feedback of the reference is already broken by
+    per-frame estimation), so the WHOLE mesh is one data axis for them:
+    every device runs the full local demod+LLR+LDPC superstep on its own
+    frames — zero cross-device traffic in steady state, exactly how a
+    multi-host deployment divides a long capture into time blocks.  The
+    replicated global stats are a psum XLA lowers onto ICI.
+
+    fn(bodies (n_dev*F, len_frame*symbol_size, 2) sharded over the mesh,
+       inv_nvar ())
+      -> (bits (n_dev*F, nb, n_ldpc) uint8 same sharding,
+          stats (2,) replicated [total ones, total codewords])
+    """
+    from jax import shard_map
+    from ..rx import fusedpath
+
+    mf = fusedpath.MultiFramePath(p, plp, num_blocks, frames_per_device)
+    code = ldpcmod.get_code(plp.fec_frame, plp.rate)
+    decode = jldpc._build_decoder(code, ldpc_iters, 0.5, jnp.float32)
+    axes = tuple(mesh.axis_names)
+
+    def local(bodies, inv_nvar):
+        llrs = mf._fn(bodies, inv_nvar)            # (N, nb, F) local
+        lf = jnp.transpose(llrs, (2, 1, 0))        # (F, nb, N)
+        f, nb, n = lf.shape
+        bits = decode(lf.reshape(f * nb, n).astype(jnp.float32))
+        stats = jnp.stack([jnp.sum(bits, dtype=jnp.float32),
+                           jnp.asarray(f * nb, jnp.float32)])
+        stats = jax.lax.psum(stats, axes)          # ICI all-reduce
+        return bits.reshape(f, nb, n), stats
+
+    # check_vma off: the decoder's scan carries start as replicated zero
+    # constants and become device-varying after one iteration, which the
+    # varying-manual-axes checker rejects; the computation is per-device
+    # data parallel by construction
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(axes, None, None), P()),
+                   out_specs=(P(axes, None, None), P()),
+                   check_vma=False)
+    return jax.jit(fn)
+
+
 def dryrun(p: T2Params, plp: PLPParams, num_blocks: int,
            n_devices: int) -> None:
-    """Compile + execute one sharded step on tiny shapes (driver hook)."""
+    """Compile + execute one sharded step on tiny shapes (driver hook).
+
+    Exercises BOTH sharded programs: the fused production path
+    (shard_map over the whole mesh) and the v1 resharding step (frames
+    over `time`, codeword batch all-to-all over the full mesh)."""
     mesh = make_mesh(n_devices)
     total = mesh.devices.size
-    step = sharded_receive_step(p, plp, num_blocks, mesh, ldpc_iters=2)
-    f = total  # one frame per device
     rng = np.random.default_rng(0)
-    bodies = rng.normal(size=(f, p.len_frame * p.symbol_size, 2)
+
+    # 1. fused production path, one frame per device
+    fstep = sharded_fused_step(p, plp, num_blocks, frames_per_device=1,
+                               mesh=mesh, ldpc_iters=2)
+    bodies = rng.normal(size=(total, p.len_frame * p.symbol_size, 2)
                         ).astype(np.float32)
+    fbits, fstats = fstep(jnp.asarray(bodies), jnp.float32(1.0))
+    jax.block_until_ready((fbits, fstats))
+    assert fbits.shape == (total, num_blocks, plp.fec.n_ldpc)
+    assert int(fstats[1]) == total * num_blocks
+
+    # 2. v1 step (cross-mesh codeword reshard collective)
+    step = sharded_receive_step(p, plp, num_blocks, mesh, ldpc_iters=2)
     bits, stats = step(jnp.asarray(bodies), jnp.float32(1.0))
     jax.block_until_ready((bits, stats))
-    assert bits.shape == (f * num_blocks, plp.fec.n_ldpc)
-    assert int(stats[1]) == f * num_blocks
+    assert bits.shape == (total * num_blocks, plp.fec.n_ldpc)
+    assert int(stats[1]) == total * num_blocks

@@ -82,7 +82,21 @@ def main(argv=None):
     ap.add_argument("--resume", action="store_true",
                     help="resume streaming from --checkpoint PATH")
     ap.add_argument("--max-blocks", type=int, default=None)
+    ap.add_argument("--platform", choices=["auto", "cpu"], default="auto",
+                    help="force the JAX backend (the image's sitecustomize "
+                         "pins JAX_PLATFORMS to the tunneled TPU; --platform "
+                         "cpu overrides it for host-only runs)")
     args = ap.parse_args(argv)
+
+    if args.platform == "cpu" or args.device_path:
+        import jax
+        if args.platform == "cpu":
+            jax.config.update("jax_platforms", "cpu")
+        # persistent compile cache: the tunneled-TPU first compile takes
+        # minutes; cache hits cut subsequent runs to seconds
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.stream or args.input.startswith("sdr:"):
         from ..io import devices

@@ -152,8 +152,7 @@ class DeviceT2Receiver(T2Receiver):
             bb = fec_device.bch_correct_batch(plp, bits[:, :fec.n_bch],
                                               pstat)
             frames_bytes = np.packbits(bbframe.scramble(bb), axis=1)
-            for row in frames_bytes:
-                assembler.push_bytes(row)
+            assembler.push_frames(frames_bytes)
         stats.snr_db.append(float(snr_seen) if snr_seen is not None
                             else 30.0)
         stats.frames_decoded += 1

@@ -167,3 +167,54 @@ def test_header_from_bytes_matches_from_bits():
     h1 = bb.BBHeader.from_bits(bits)
     h2 = bb.BBHeader.from_bytes(np.packbits(bits))
     assert h1 == h2
+
+
+@pytest.mark.parametrize("hem", [False, True])
+def test_push_frames_matches_per_frame(hem):
+    """Whole-T2-frame batched drain == per-BB-frame path, byte for byte,
+    including across multiple batches (state carries)."""
+    kbch = 3072
+    ts = make_ts(120, seed=12)
+    frames = bb.ts_to_bbframes(ts.reshape(-1), kbch, 18, hem=hem)
+    rows = np.packbits(frames, axis=1)
+    a = bb.TSAssembler()
+    b = bb.TSAssembler()
+    for r in rows:
+        a.push_bytes(r)
+    for i in range(0, 18, 6):
+        b.push_frames(rows[i:i + 6])
+    np.testing.assert_array_equal(a.ts_bytes(), b.ts_bytes())
+    assert (a.errors, a.resyncs, a.bad_headers) == \
+        (b.errors, b.resyncs, b.bad_headers)
+
+
+def test_push_frames_falls_back_on_corruption():
+    """A corrupted header mid-batch routes through the per-frame path and
+    still matches it exactly."""
+    kbch = 3072
+    ts = make_ts(80, seed=13)
+    frames = bb.ts_to_bbframes(ts.reshape(-1), kbch, 12, hem=False)
+    rows = np.packbits(frames, axis=1)
+    rows[5, :10] ^= 0xFF  # destroy one header
+    rows[8, 200] ^= 0x10  # payload corruption (CRC chain error)
+    a = bb.TSAssembler()
+    b = bb.TSAssembler()
+    for r in rows:
+        a.push_bytes(r)
+    b.push_frames(rows)
+    np.testing.assert_array_equal(a.ts_bytes(), b.ts_bytes())
+    assert a.errors == b.errors and a.bad_headers == b.bad_headers
+
+
+def test_crc8_rows_native_matches_numpy():
+    from sdr_receiver_dvb_t2_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(4)
+    rows = rng.integers(0, 256, (200, 187)).astype(np.uint8)
+    nat = native.crc8_rows(rows)
+    tab = bb._crc8_table()
+    crc = np.zeros(rows.shape[0], dtype=np.uint8)
+    for j in range(rows.shape[1]):
+        crc = tab[crc ^ rows[:, j]]
+    np.testing.assert_array_equal(nat, crc)
