@@ -271,18 +271,26 @@ def main():
 
     msps, x_rt = measure(0.0, "clean")
 
-    # host tail: batched TS reassembly of one frame's BB bytes (native
-    # CRC kernel + one vectorized drain); must stay under the device
-    # superstep so overlapping it costs nothing
+    # host tail: batched TS reassembly at rate (native CRC kernel + one
+    # vectorized drain per T2 frame); must stay under the device superstep
+    # so overlapping it costs nothing.  Measured on a CONTINUOUS stream
+    # (SYNCD chain intact, the steady state).
+    n_tail = 6
+    need = n_tail * num_blocks * (fec.k_bch - 80) // 8 // 188 + 200
+    ts_tail = rng.integers(0, 256, (need, 188)).astype(np.uint8)
+    ts_tail[:, 0] = 0x47
+    fr_tail = bbframe.ts_to_bbframes(ts_tail.reshape(-1), fec.k_bch,
+                                     n_tail * num_blocks, hem=False)
+    rows_tail = np.packbits(fr_tail, axis=1).reshape(n_tail, num_blocks, -1)
     asm = bbframe.TSAssembler()
-    asm.push_frames(bb_bytes_exp)  # warm (builds tables/lib)
-    reps = 5
+    asm.push_frames(rows_tail[0])  # warm + lock
     th0 = time.time()
-    for _ in range(reps):
-        asm.push_frames(bb_bytes_exp)
-    host_ms = (time.time() - th0) * 1e3 / reps
+    for i in range(1, n_tail):
+        asm.push_frames(rows_tail[i])
+    host_ms = (time.time() - th0) * 1e3 / (n_tail - 1)
     print(f"host TS tail: {host_ms:.2f} ms/frame "
-          f"({len(asm.ts_bytes())} TS bytes)", file=sys.stderr)
+          f"({len(asm.ts_bytes())} TS bytes, {asm.errors} errors)",
+          file=sys.stderr)
 
     if args.snr > 0:
         noisy_ok, noisy_ts_ok, noisy_iters = gate(args.snr, f"{args.snr:g}dB")

@@ -417,9 +417,10 @@ class StreamingReceiver:
                 ts_sink(np.concatenate(assembler.packets[emitted:]))
             emitted = len(assembler.packets)
 
-        def track_and_decode(final: bool):
-            """Decode every complete frame in `pending`; returns True while
-            the lock holds."""
+        def track_one(final: bool):
+            """Track the next frame on the grid: P1 quality gate, whole-
+            sample retiming, CFO PI update.  Returns the frame start, or
+            None (skipped / insufficient samples / lock dead)."""
             nonlocal pending, cfo_state, cfo_prev
             p = lock.params
             fsamp = p.frame_samples
@@ -434,7 +435,7 @@ class StreamingReceiver:
                     st.frames_skipped += 1
                     lock.frame_start = start + fsamp
                     if lock.fail_streak >= self.MAX_FAILS:
-                        return False
+                        return None
                     continue
                 if m.offset:
                     # whole-sample grid drift measured against the frame's
@@ -450,7 +451,7 @@ class StreamingReceiver:
                         # interval absorbs it (cyclic-prefix tolerance)
                         start = len(pending) - fsamp
                     else:
-                        break
+                        return None
                 cfo_state, out = cfo_pi.step(cfo_state, m.cfo_hz)
                 df = out - cfo_prev
                 if abs(df) > 0.5:
@@ -461,20 +462,59 @@ class StreamingReceiver:
                         -2j * np.pi * df * n / SAMPLE_RATE)
                     ).astype(np.complex64)
                     chain.add_frequency(df, len(pending) - start)
-                with st.metrics.stage("decode", items=fsamp):
-                    ok = self.receiver._decode_frame(
-                        pending, start, p, lock.plps, lock.l1pre, None,
-                        assembler, rxstats)
-                if ok:
-                    lock.fail_streak = 0
-                else:
-                    lock.fail_streak += 1
-                    st.frames_skipped += 1
-                    if lock.fail_streak >= self.MAX_FAILS:
-                        lock.frame_start = start + fsamp
-                        return False
-                lock.frame_start = start + fsamp
-            return True
+                return start
+            return None
+
+        def track_and_decode(final: bool):
+            """Decode every complete frame in `pending`; returns True while
+            the lock holds.  When the receiver exposes decode_frames_batch
+            (DeviceT2Receiver), consecutive tracked frames are decoded as
+            ONE F-frame superstep — the bench's MultiFramePath shape inside
+            the streaming loop."""
+            p = lock.params
+            fsamp = p.frame_samples
+            batch_n = getattr(self.receiver, "stream_batch", 0) \
+                if hasattr(self.receiver, "decode_frames_batch") else 0
+            while True:
+                want = batch_n if batch_n >= 2 else 1
+                if (want >= 2 and not final
+                        and lock.frame_start + want * fsamp
+                        + rxp1.P1_LEN + 64 > len(pending)):
+                    # batch mode trades latency for the F-frame superstep:
+                    # wait until a full batch of samples is buffered
+                    return lock.fail_streak < self.MAX_FAILS
+                starts = []
+                while len(starts) < want:
+                    fs_ = track_one(final)
+                    if fs_ is None:
+                        break
+                    starts.append(fs_)
+                    lock.frame_start = fs_ + fsamp
+                if not starts:
+                    return lock.fail_streak < self.MAX_FAILS
+                done = 0
+                if len(starts) == want and want >= 2:
+                    with st.metrics.stage("decode_batch",
+                                          items=len(starts) * fsamp):
+                        done = self.receiver.decode_frames_batch(
+                            pending, starts, p, lock.plps, lock.l1pre,
+                            assembler, rxstats)
+                    if done:
+                        lock.fail_streak = 0
+                for fs_ in starts[done:]:
+                    with st.metrics.stage("decode", items=fsamp):
+                        ok = self.receiver._decode_frame(
+                            pending, fs_, p, lock.plps, lock.l1pre, None,
+                            assembler, rxstats)
+                    if ok:
+                        lock.fail_streak = 0
+                    else:
+                        lock.fail_streak += 1
+                        st.frames_skipped += 1
+                        if lock.fail_streak >= self.MAX_FAILS:
+                            return False
+                if lock.fail_streak >= self.MAX_FAILS:
+                    return False
 
         while True:
             limit = max_blocks is not None and st.blocks >= max_blocks

@@ -27,12 +27,20 @@ from .receiver import T2Receiver
 
 class DeviceT2Receiver(T2Receiver):
     def __init__(self, plp_filter: int | None = None,
-                 ldpc_max_iters: int = 24, adaptive: bool = True):
+                 ldpc_max_iters: int = 24, adaptive: bool = True,
+                 stream_batch: int = 4):
         super().__init__(plp_filter=plp_filter)
         self.ldpc_max_iters = ldpc_max_iters
         self.adaptive = adaptive
+        # F-frame superstep size for the streaming loop (the bench's F=96
+        # shape scaled to test captures); the streaming receiver calls
+        # decode_frames_batch whenever this many tracked frames are pending
+        self.stream_batch = stream_batch
+        self.batch_supersteps = 0
         self._paths: dict = {}
+        self._mf_paths: dict = {}
         self._decoders: dict = {}
+        self._nvar: float | None = None
 
     def _get_path(self, params: T2Params, plp: PLPParams, num_blocks: int,
                   l1_cells: int, start_cell: int):
@@ -70,6 +78,94 @@ class DeviceT2Receiver(T2Receiver):
                 self._decoders[key] = ("flood", jldpc.make_decoder(
                     code, iters=self.ldpc_max_iters, dtype="bfloat16"))
         return self._decoders[key]
+
+    def _get_mf_path(self, params, plp, num_blocks, n_frames, l1_cells,
+                     start_cell):
+        key = (params, plp, num_blocks, n_frames, l1_cells, start_cell)
+        if key not in self._mf_paths:
+            import jax.numpy as jnp
+            self._mf_paths[key] = fusedpath.MultiFramePath(
+                params, plp, num_blocks, n_frames, llr_dtype=jnp.bfloat16,
+                emit_l1=True, emit_evm=True,
+                plp_start_cell=start_cell, l1_cells=l1_cells)
+        return self._mf_paths[key]
+
+    def decode_frames_batch(self, x, frame_starts, params, plps, l1pre,
+                            assembler, stats) -> int:
+        """Decode len(frame_starts) frames in ONE MultiFramePath superstep
+        (the F-frame batched pipeline bench.py measures, wired into the
+        streaming loop).  Assumes the last seen L1-dynamic (CCM single-PLP
+        steady state); each frame's actual L1 is parsed from the superstep's
+        emitted L1 cells and any frame whose dynamic differs is re-decoded
+        through the per-frame path.  Returns frames decoded.
+
+        The noise variance driving the LLR scale comes from the PREVIOUS
+        superstep's device-computed EVM (emit_evm) — the streaming analogue
+        of the reference's per-block SNR update (llr_demapper.cpp:184-196).
+        """
+        import jax.numpy as jnp
+        from . import p1_detect as rxp1
+        from ..dvbt2 import l1 as l1mod
+
+        n = len(frame_starts)
+        l1post = self._last_l1post
+        if (l1post is None or self._nvar is None or len(plps) != 1
+                or len(l1post.dyn.plp) != 1
+                or l1post.dyn.plp[0].num_blocks == 0):
+            return 0   # steady state not established: per-frame path
+        plp = plps[0]
+        dyn = l1post.dyn.plp[0]
+        if self.plp_filter is not None and dyn.id != self.plp_filter:
+            return 0
+        l1_size = l1mod.L1_PRE_CELLS + l1pre.l1_post_size
+        mf = self._get_mf_path(params, plp, dyn.num_blocks, n,
+                               l1_size, dyn.start)
+        blen = params.len_frame * params.symbol_size
+        bodies = np.empty((n, blen, 2), np.float32)
+        for i, fs in enumerate(frame_starts):
+            b = x[fs + rxp1.P1_LEN:fs + rxp1.P1_LEN + blen]
+            bodies[i, :, 0] = np.real(b)
+            bodies[i, :, 1] = np.imag(b)
+        inv = jnp.float32(1.0 / max(self._nvar, 1e-4))
+        llrs, l1c, evm = mf._fn(jnp.asarray(bodies), inv)
+        l1c = np.asarray(l1c)
+        evm = np.asarray(evm)
+        self._nvar = float(np.mean(evm))
+        pstat = stats.plp_stats.setdefault(dyn.id,
+                                           rxdecode.PLPDecodeStats())
+        kind, dec = self._get_decoder(plp, dyn.num_blocks)
+        fec = plp.fec
+        lf = jnp.transpose(llrs, (2, 0, 1))     # (F, N, nb)
+        for i in range(n):
+            head = l1c[l1mod.L1_PRE_CELLS:l1_size, i, 0] \
+                + 1j * l1c[l1mod.L1_PRE_CELLS:l1_size, i, 1]
+            l1p_i = l1mod.l1post_decode_hard(head, l1pre)
+            if l1p_i is None or l1p_i.dyn.plp[0].start != dyn.start \
+                    or l1p_i.dyn.plp[0].num_blocks != dyn.num_blocks:
+                # scheduling changed (or L1 corrupt): exact per-frame path
+                ok = self._decode_frame(x, frame_starts[i], params, plps,
+                                        l1pre, None, assembler, stats)
+                if not ok:
+                    return i
+                continue
+            self._last_l1post = l1p_i
+            if kind == "nb_adaptive":
+                bits_t, iters = dec(lf[i])
+                bits = np.asarray(bits_t).T
+                pstat.ldpc_iters.append(int(iters))
+            elif kind == "nb":
+                bits = np.asarray(dec(lf[i])).T
+            else:
+                bits = np.asarray(dec(jnp.transpose(lf[i])))
+            bb = fec_device.bch_correct_batch(plp, bits[:, :fec.n_bch],
+                                              pstat)
+            assembler.push_frames(np.packbits(bbframe.scramble(bb), axis=1))
+            stats.snr_db.append(float(-10.0 * np.log10(
+                max(float(evm[i]), 1e-12))))
+            stats.timing_offset.append(0.0)
+            stats.frames_decoded += 1
+        self.batch_supersteps += 1
+        return n
 
     def _decode_frame(self, x, frame_start, params, plps, l1pre,
                       l1post_cached, assembler, stats) -> bool:
@@ -133,6 +229,7 @@ class DeviceT2Receiver(T2Receiver):
             pc = np.asarray(flat2[probe_idx])
             nvar = rxdecode.estimate_noise_var(
                 plp, pc[:, 0] + 1j * pc[:, 1])
+            self._nvar = nvar      # seeds the batched superstep's LLR scale
             if snr_seen is None:
                 # constellation power is normalized to 1, so the EVM-based
                 # noise estimate IS the inverse SNR (the reference's blind

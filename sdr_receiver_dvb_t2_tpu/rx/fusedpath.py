@@ -356,7 +356,8 @@ class MultiFramePath:
 
     def __init__(self, p: T2Params, plp: PLPParams, num_blocks: int,
                  n_frames: int, llr_dtype=jnp.float32,
-                 emit_l1: bool = False, emit_evm: bool = False):
+                 emit_l1: bool = False, emit_evm: bool = False,
+                 plp_start_cell: int = 0, l1_cells: int | None = None):
         self.p = p
         self.plp = plp
         self.num_blocks = num_blocks
@@ -365,10 +366,18 @@ class MultiFramePath:
         self.emit_l1 = emit_l1
         self.emit_evm = emit_evm
         self.demod = get_fused_demod(p)
-        self.single = get_fused_plp_path(p, plp, num_blocks)
-        from ..dvbt2 import l1 as l1mod
-        pre, _ = l1mod.build_l1(p, [plp])
-        self.l1_size = l1mod.L1_PRE_CELLS + pre.l1_post_size
+        if plp_start_cell == 0 and l1_cells is None:
+            self.single = get_fused_plp_path(p, plp, num_blocks)
+        else:
+            self.single = FusedPLPPath(p, plp, num_blocks, self.demod,
+                                       plp_start_cell=plp_start_cell,
+                                       l1_cells=l1_cells)
+        if l1_cells is not None:
+            self.l1_size = l1_cells
+        else:
+            from ..dvbt2 import l1 as l1mod
+            pre, _ = l1mod.build_l1(p, [plp])
+            self.l1_size = l1mod.L1_PRE_CELLS + pre.l1_post_size
         self._fn = jax.jit(self._build())
 
     def _build(self):

@@ -214,11 +214,15 @@ def test_stream_reacquires_after_corruption():
 def test_stream_device_receiver_path():
     """The streaming loop with DeviceT2Receiver substituted (the CLI's
     --stream --device-path route): persistent lock + fused demod + batched
-    FEC tail, TS bit-exact with zero boundary loss."""
+    FEC tail, TS bit-exact with zero boundary loss.  After the first
+    (nvar-seeding) frames, decoding runs as F-frame MultiFramePath
+    supersteps — the bench pipeline inside the streaming loop."""
     from sdr_receiver_dvb_t2_tpu.rx.device_receiver import DeviceT2Receiver
-    flat, samples, p = _waveform(6)
+    flat, samples, p = _waveform(8)
     dev = devices.SimulatedDevice(samples, snr_db=32)
-    st, ts = _stream(dev, receiver=DeviceT2Receiver())
-    assert st.frames_decoded == 6
+    rx = DeviceT2Receiver(stream_batch=3)
+    st, ts = _stream(dev, receiver=rx)
+    assert st.frames_decoded == 8
     assert st.frames_skipped == 0
+    assert rx.batch_supersteps >= 1
     np.testing.assert_array_equal(ts, flat[:len(ts)])
