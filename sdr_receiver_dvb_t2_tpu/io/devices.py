@@ -252,7 +252,9 @@ class StreamStats:
     cfo_hz: float = 0.0           # total front-end frequency correction
     sco_ppm: float = 0.0          # total sample-clock correction
     snr_db: list = field(default_factory=list)
+    timing: list = field(default_factory=list)
     metrics: object = None        # utils.metrics.Metrics
+    debug: dict | None = None     # one captured frame for stage plots
 
 
 class _DirectSource:
@@ -371,7 +373,8 @@ class StreamingReceiver:
         return int(SAMPLE_RATE * self.acq_seconds)
 
     def run(self, ts_sink=None, max_blocks: int | None = None,
-            resume: str | None = None) -> StreamStats:
+            resume: str | None = None,
+            capture_debug: bool = False) -> StreamStats:
         from ..rx import frontend, p1_detect as rxp1
         from ..rx import receiver as rxr
         from ..dvbt2 import bbframe
@@ -538,6 +541,13 @@ class StreamingReceiver:
                         st.snr_db.append(lock.snr_db)
                         cfo_state = PIState()
                         cfo_prev = 0.0
+                        if capture_debug and st.debug is None:
+                            fs0 = lock.frame_start
+                            st.debug = dict(
+                                frame=np.array(pending[
+                                    fs0:fs0 + lock.params.frame_samples]),
+                                params=lock.params, plps=lock.plps,
+                                l1pre=lock.l1pre)
                         if (abs(chain.freq_hz) > self.RETUNE_THRESHOLD_HZ
                                 and retunes < self.max_retunes):
                             pending_retune = chain.freq_hz
@@ -588,6 +598,7 @@ class StreamingReceiver:
         st.frames_decoded = rxstats.frames_decoded
         st.l1_failures = rxstats.l1_failures
         st.snr_db.extend(rxstats.snr_db)
+        st.timing.extend(rxstats.timing_offset)
         st.ts_errors = assembler.errors
         st.ts_packets = len(assembler.packets)
         st.ts_bytes = len(assembler.packets) * 188

@@ -115,8 +115,15 @@ def main(argv=None):
             dev, rx, agc=not args.no_agc, use_ring=args.ring,
             checkpoint_path=args.checkpoint)
         st = sr.run(ts_sink=sink.write, max_blocks=args.max_blocks,
-                    resume=args.checkpoint if args.resume else None)
+                    resume=args.checkpoint if args.resume else None,
+                    capture_debug=args.plots is not None)
         sink.close()
+        if args.plots and st.debug is not None:
+            from ..utils import plots
+            files = plots.stage_plots(st.debug, st.snr_db, st.timing,
+                                      args.plots)
+            print(f"stage plots -> {args.plots}/ ({len(files)} files)",
+                  file=sys.stderr)
         snr = float(np.mean(st.snr_db)) if st.snr_db else float("nan")
         print(f"blocks={st.blocks} frames={st.frames_decoded} "
               f"(skipped {st.frames_skipped}, reacq {st.reacquisitions}) "

@@ -73,11 +73,20 @@ def _eq_class_planar(c: _Class, xcr, xci, rep: int):
     pairs solved exactly as a 2x2 system (zero-forcing) — the planar batch
     form of rx.demod.equalize_frame_miso, which the reference lacks
     entirely (SISO-only, README.md:17-23)."""
-    iref = np.repeat(c.inv_ref, rep, axis=1) if rep > 1 else c.inv_ref
+    dt = xcr.dtype
+
+    def cst(a):
+        # numpy constants are strongly typed f32 and would promote the
+        # whole chain; pin them to the compute dtype (bf16 demod halves
+        # the HBM traffic of every elementwise stage here)
+        return jnp.asarray(a, dtype=dt)
+
+    iref = cst(np.repeat(c.inv_ref, rep, axis=1) if rep > 1 else c.inv_ref)
     epr = xcr[c.pilot_rows] * iref          # row gather: (np_c, lanes)
     epi = xci[c.pilot_rows] * iref
     if c.miso is None:
         il, ir, w = c.stencil               # w: (k, 1)
+        w = cst(w)
         chr_ = epr[il] * (1.0 - w) + epr[ir] * w
         chi_ = epi[il] * (1.0 - w) + epi[ir] * w
         inv = 1.0 / (chr_ * chr_ + chi_ * chi_)
@@ -87,6 +96,7 @@ def _eq_class_planar(c: _Class, xcr, xci, rep: int):
     mi = c.miso
     # sum / difference channels from the two pilot subsets
     (il_s, ir_s, w_s), (il_d, ir_d, w_d) = mi["stencil_s"], mi["stencil_d"]
+    w_s, w_d = cst(w_s), cst(w_d)
     es_r, es_i = epr[mi["sel_s"]], epi[mi["sel_s"]]
     ed_r, ed_i = epr[mi["sel_d"]], epi[mi["sel_d"]]
     hs_r = es_r[il_s] * (1.0 - w_s) + es_r[ir_s] * w_s
@@ -357,12 +367,17 @@ class MultiFramePath:
     def __init__(self, p: T2Params, plp: PLPParams, num_blocks: int,
                  n_frames: int, llr_dtype=jnp.float32,
                  emit_l1: bool = False, emit_evm: bool = False,
-                 plp_start_cell: int = 0, l1_cells: int | None = None):
+                 plp_start_cell: int = 0, l1_cells: int | None = None,
+                 demod_dtype=None):
         self.p = p
         self.plp = plp
         self.num_blocks = num_blocks
         self.n_frames = n_frames
         self.llr_dtype = llr_dtype
+        # demod compute/storage dtype: bf16 halves the HBM traffic of the
+        # (bandwidth-bound) FFT/equalizer stages; quantization sits at
+        # ~-40 dB EVM, under the FEC margin at every operating point
+        self.demod_dtype = demod_dtype or llr_dtype
         self.emit_l1 = emit_l1
         self.emit_evm = emit_evm
         self.demod = get_fused_demod(p)
@@ -394,15 +409,16 @@ class MultiFramePath:
         comp_cm = self.single.comp.reshape(nb, cpf).T.reshape(-1)
         bit_inv = self.single.bit_inv
         llr_dtype = self.llr_dtype
-        rot_re = np.float32(np.real(self.single.rot))
-        rot_im = np.float32(np.imag(self.single.rot))
+        # python-float constants keep weak typing so bf16 stays bf16
+        rot_re = float(np.real(self.single.rot))
+        rot_im = float(np.imag(self.single.rot))
+        dd = self.demod_dtype
         from ..dvbt2.tables import NORM_FACTOR, _gray_levels
-        levels = (_gray_levels(m) * NORM_FACTOR[plp.constellation]
-                  ).astype(np.float32)
+        levels = [float(v) for v in
+                  _gray_levels(m) * NORM_FACTOR[plp.constellation]]
         words = np.arange(len(levels))
         axis_masks = np.stack(
             [(words >> (half - 1 - b)) & 1 for b in range(half)]).astype(bool)
-        inf = np.float32(1e30)
 
         def axis_llrs(xax, inv_nvar):
             # explicit level loop: never materializes a (2^half, ...)
@@ -448,7 +464,7 @@ class MultiFramePath:
             # the carrier-major transpose; fftshift + active-carrier slice
             # become two wrapped row slices of the k-major layout
             x2r, x2i = mxu_fft.fft_stages_planar(
-                sym_r, sym_i, p.fft_size)              # (F, n_sym, k1, k2)
+                sym_r, sym_i, p.fft_size, dtype=dd)    # (F, n_sym, k1, k2)
             s0 = (p.left_nulls - p.fft_size // 2) % p.fft_size
 
             def to_carriers(a):

@@ -91,37 +91,6 @@ def p1_correlate(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return np.abs(metric), metric
 
 
-def detect_p1(x: np.ndarray, threshold_ratio: float = 0.6
-              ) -> tuple[int, complex] | None:
-    """Find the EARLIEST strong P1 in `x` (a capture holds one P1 per frame;
-    taking the global argmax would lock to an arbitrary frame).
-
-    Returns (start_of_C, peak_metric)."""
-    mag, metric = p1_correlate(x)
-    if len(mag) == 0:
-        return None
-    gmax = float(mag.max())
-    if gmax <= 0:
-        return None
-    above = np.nonzero(mag >= threshold_ratio * gmax)[0]
-    # local argmax inside the first plateau
-    first = above[0]
-    window = mag[first:first + P1_LEN]
-    peak = first + int(np.argmax(window))
-    # peak index corresponds to sample start+1565 of the P1
-    start = peak - 1565
-    if start < 0 or start + P1_LEN > len(x):
-        # fall back to a later peak fully inside the buffer
-        later = above[above - 1565 >= 0]
-        if len(later) == 0:
-            return None
-        peak = int(later[0] + np.argmax(mag[later[0]:later[0] + P1_LEN]))
-        start = peak - 1565
-        if start < 0 or start + P1_LEN > len(x):
-            return None
-    return start, metric[peak]
-
-
 def decode_p1(x: np.ndarray, start: int, peak_metric: complex
               ) -> P1Result | None:
     """Decode the P1 at `start` (start of C part)."""

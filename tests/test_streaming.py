@@ -226,3 +226,24 @@ def test_stream_device_receiver_path():
     assert st.frames_skipped == 0
     assert rx.batch_supersteps >= 1
     np.testing.assert_array_equal(ts, flat[:len(ts)])
+
+
+def test_stream_stage_plots(tmp_path):
+    """--plots from a streaming run: per-stage views generated from the
+    DEVICE demod of a captured frame (reference GUI parity,
+    main_window.cpp:393-441)."""
+    import os
+    pytest.importorskip("matplotlib")
+    from sdr_receiver_dvb_t2_tpu.utils import plots as plotmod
+    flat, samples, p = _waveform(4)
+    dev = devices.SimulatedDevice(samples, snr_db=30)
+    got = []
+    sr = devices.StreamingReceiver(dev, acq_seconds=0.025,
+                                   block_seconds=0.007)
+    st = sr.run(ts_sink=got.append, capture_debug=True)
+    assert st.debug is not None
+    files = plotmod.stage_plots(st.debug, st.snr_db, st.timing,
+                                str(tmp_path))
+    assert len(files) >= 6
+    for f in files:
+        assert os.path.getsize(f) > 5000
