@@ -82,6 +82,9 @@ def main(argv=None):
     ap.add_argument("--resume", action="store_true",
                     help="resume streaming from --checkpoint PATH")
     ap.add_argument("--max-blocks", type=int, default=None)
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="write a jax.profiler device trace of the run "
+                         "(view with xprof/tensorboard)")
     ap.add_argument("--platform", choices=["auto", "cpu"], default="auto",
                     help="force the JAX backend (the image's sitecustomize "
                          "pins JAX_PLATFORMS to the tunneled TPU; --platform "
@@ -114,9 +117,17 @@ def main(argv=None):
         sr = devices.StreamingReceiver(
             dev, rx, agc=not args.no_agc, use_ring=args.ring,
             checkpoint_path=args.checkpoint)
-        st = sr.run(ts_sink=sink.write, max_blocks=args.max_blocks,
-                    resume=args.checkpoint if args.resume else None,
-                    capture_debug=args.plots is not None)
+        if args.trace:
+            import contextlib
+            from ..utils.metrics import device_trace
+            tracer = device_trace(args.trace)
+        else:
+            import contextlib
+            tracer = contextlib.nullcontext()
+        with tracer:
+            st = sr.run(ts_sink=sink.write, max_blocks=args.max_blocks,
+                        resume=args.checkpoint if args.resume else None,
+                        capture_debug=args.plots is not None)
         sink.close()
         if args.plots and st.debug is not None:
             from ..utils import plots

@@ -247,3 +247,21 @@ def test_stream_stage_plots(tmp_path):
     assert len(files) >= 6
     for f in files:
         assert os.path.getsize(f) > 5000
+
+
+def test_stream_device_rate_conversion():
+    """A 10 Msps capture (the AirSpy front end's rate) streams through the
+    CorrectorChain's rate-conversion stage to the 9.142857 Msps elementary
+    rate and decodes bit-exact — the reference's filter_decimator/Farrow
+    front-end job (rx_airspy.cpp:77-83) inside the streaming loop."""
+    from sdr_receiver_dvb_t2_tpu.rx import frontend
+    flat, samples, p = _waveform(6)
+    # resample the elementary-rate waveform UP to the 10 Msps device rate
+    dev_rate = 10.0e6
+    up = frontend.sinc_resample(samples, devices.SAMPLE_RATE / dev_rate,
+                                taps=32)
+    dev = devices.SimulatedDevice(up, snr_db=32, sample_rate=dev_rate)
+    st, ts = _stream(dev)
+    assert st.frames_decoded >= 5
+    assert st.ts_errors == 0
+    np.testing.assert_array_equal(ts, flat[:len(ts)])
