@@ -341,27 +341,8 @@ class TSAssembler:
                               rows[:, 10:10 + dflb].reshape(-1)])
         self.hem = hem
         n = len(buf) // up
-        ups = buf[:n * up].reshape(n, up)
+        self._drain_ups(buf[:n * up].reshape(n, up), hem)
         self._buf = buf[n * up:]
-        block = np.empty((n, TS_PACKET), np.uint8)
-        block[:, 0] = TS_SYNC
-        if hem:
-            block[:, 1:] = ups
-        else:
-            crc_bytes = ups[:, 0]
-            payloads = ups[:, 1:]
-            pcrcs = crc8_rows(payloads)
-            block[:, 1:] = payloads
-            if (self._prev_crc is not None and self.packets
-                    and int(crc_bytes[0]) != self._prev_crc):
-                self.errors += 1
-                self.packets[-1][1] |= 0x80
-            bad = np.nonzero(crc_bytes[1:] != pcrcs[:-1])[0]
-            if len(bad):
-                self.errors += len(bad)
-                block[bad, 1] |= 0x80
-            self._prev_crc = int(pcrcs[-1])
-        self.packets.extend(block)
 
     def push_bytes(self, frame_bytes: np.ndarray) -> None:
         """Byte-level entry (the device path emits descrambled BB bytes
@@ -404,20 +385,26 @@ class TSAssembler:
         n = len(self._buf) // up
         if n == 0:
             return
-        ups = self._buf[:n * up].reshape(n, up)
+        self._drain_ups(self._buf[:n * up].reshape(n, up), hdr.hem)
         self._buf = self._buf[n * up:]
+
+    def _drain_ups(self, ups: np.ndarray, hem: bool) -> None:
+        """Emit whole user packets, vectorized.  NM per-packet CRC chain:
+        packet i's replaced-sync byte is the CRC-8 of packet i-1's payload;
+        a mismatch flags the COVERED (previous) packet
+        (bb_de_header.cpp:219,237-239)."""
+        n = ups.shape[0]
+        if n == 0:
+            return
         block = np.empty((n, TS_PACKET), np.uint8)
         block[:, 0] = TS_SYNC
-        if hdr.hem:
+        if hem:
             block[:, 1:] = ups
         else:
             crc_bytes = ups[:, 0]
             payloads = ups[:, 1:]
             crcs = crc8_rows(payloads)
             block[:, 1:] = payloads
-            # NM per-packet CRC chain: packet i's replaced-sync byte is the
-            # CRC-8 of packet i-1's payload; a mismatch flags the COVERED
-            # (previous) packet (bb_de_header.cpp:219,237-239)
             if (self._prev_crc is not None and self.packets
                     and int(crc_bytes[0]) != self._prev_crc):
                 self.errors += 1

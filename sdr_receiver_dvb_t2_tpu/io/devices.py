@@ -320,6 +320,10 @@ class _RingSource:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=2.0)
+        if self._thread.is_alive():
+            # a stalled vendor read may still hold the ring: leak it
+            # rather than free memory under a live producer
+            return
         self.ring.close()
 
 
@@ -390,6 +394,10 @@ class StreamingReceiver:
         chain = frontend.CorrectorChain(in_rate=dev.sample_rate)
         base_ratio = chain.ratio
         block_len = max(4096, int(dev.sample_rate * self.block_seconds))
+        resume_base = 0   # raw device samples consumed before this run
+        if resume is not None:
+            # seek BEFORE any reader thread starts pulling from the device
+            resume_base = self._resume(resume, dev, chain, assembler, st)
         if self.use_ring:
             try:
                 src = _RingSource(dev, block_len)
@@ -410,15 +418,17 @@ class StreamingReceiver:
         cfo_state = PIState()
         cfo_prev = 0.0
         last_ckpt_frames = 0
-        if resume is not None:
-            self._resume(resume, dev, chain, assembler, st)
         eof = False
 
-        def flush_ts():
+        def flush_ts(final_flush: bool = False):
             nonlocal emitted
-            if ts_sink is not None and len(assembler.packets) > emitted:
-                ts_sink(np.concatenate(assembler.packets[emitted:]))
-            emitted = len(assembler.packets)
+            # hold back the newest packet: its NM transport-error flag is
+            # only known once the NEXT packet's CRC byte arrives, and a
+            # flushed copy could no longer be amended
+            avail = len(assembler.packets) - (0 if final_flush else 1)
+            if ts_sink is not None and avail > emitted:
+                ts_sink(np.concatenate(assembler.packets[emitted:avail]))
+                emitted = avail
 
         def track_one(final: bool):
             """Track the next frame on the grid: P1 quality gate, whole-
@@ -503,7 +513,15 @@ class StreamingReceiver:
                             pending, starts, p, lock.plps, lock.l1pre,
                             assembler, rxstats)
                     if done:
-                        lock.fail_streak = 0
+                        fails = getattr(self.receiver,
+                                        "last_batch_failures", 0)
+                        if fails:
+                            lock.fail_streak += fails
+                            st.frames_skipped += fails
+                            if lock.fail_streak >= self.MAX_FAILS:
+                                return False
+                        else:
+                            lock.fail_streak = 0
                 for fs_ in starts[done:]:
                     with st.metrics.stage("decode", items=fsamp):
                         ok = self.receiver._decode_frame(
@@ -554,6 +572,7 @@ class StreamingReceiver:
                     elif len(pending) > 2 * self._acq_need():
                         # still hunting: slide the window (unlocked samples
                         # are discarded, as in the reference's P1 hunt)
+                        consumed += len(pending) - self._acq_need()
                         pending = pending[-self._acq_need():]
                 if lock is None:
                     if eof:
@@ -582,13 +601,14 @@ class StreamingReceiver:
                 st.retune_requests += 1
                 retunes += 1
                 pending_retune = 0.0
+                consumed += len(pending)
                 pending = pending[:0]
                 lock = None
             if (self.checkpoint_path and lock is not None
                     and rxstats.frames_decoded - last_ckpt_frames
                     >= self.checkpoint_every):
                 self._checkpoint(consumed + lock.frame_start, chain,
-                                 base_ratio, assembler, rxstats)
+                                 resume_base, assembler, rxstats)
                 last_ckpt_frames = rxstats.frames_decoded
             if eof:
                 break
@@ -609,7 +629,7 @@ class StreamingReceiver:
         st.metrics.gauge("cfo_hz", st.cfo_hz)
         st.metrics.gauge("sco_ppm", st.sco_ppm)
         st.metrics.gauge("gain_db", st.gain_db_applied)
-        flush_ts()
+        flush_ts(final_flush=True)
         return st
 
     # -- AGC loop (level estimate -> hardware gain step) --------------------
@@ -674,15 +694,19 @@ class StreamingReceiver:
 
     # -- checkpoint/resume ---------------------------------------------------
 
-    def _checkpoint(self, next_frame_abs, chain, base_ratio, assembler,
+    def _checkpoint(self, next_frame_abs, chain, resume_base, assembler,
                     rxstats):
         from ..utils.checkpoint import StreamCheckpoint
         # corrected-output index -> raw-device index: each output sample
-        # consumed `chain.ratio` raw input samples
+        # consumed `chain.ratio` raw input samples; resume_base keeps the
+        # offset absolute across resumed runs
         StreamCheckpoint(
-            sample_offset=int(round(next_frame_abs * chain.ratio)),
+            sample_offset=resume_base
+            + int(round(next_frame_abs * chain.ratio)),
             cfo_hz=float(chain.freq_hz),
-            sco_ppm=float((chain.ratio / base_ratio - 1.0) * 1e6),
+            sco_ppm=float((chain.ratio
+                           / (self.device.sample_rate / SAMPLE_RATE) - 1.0)
+                          * 1e6),
             ts_buf=[int(b) for b in assembler._buf],
             ts_prev_crc=assembler._prev_crc,
             ts_lost=bool(assembler._lost),
@@ -713,4 +737,4 @@ class StreamingReceiver:
             chain.stages[0].ratio *= (1.0 + ck.sco_ppm * 1e-6)
             chain.stages[0]._resampling = True
         restore_assembler(ck, assembler)
-        return 0
+        return int(ck.sample_offset)

@@ -97,8 +97,11 @@ def main(argv=None):
             jax.config.update("jax_platforms", "cpu")
         # persistent compile cache: the tunneled-TPU first compile takes
         # minutes; cache hits cut subsequent runs to seconds
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache")
+        import os
+        cache = os.environ.get(
+            "T2RX_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "t2rx_jax"))
+        jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.stream or args.input.startswith("sdr:"):

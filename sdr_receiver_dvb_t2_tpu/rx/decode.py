@@ -109,32 +109,30 @@ def estimate_noise_var(plp: PLPParams, cells: np.ndarray) -> float:
     (the reference's approach, llr_demapper.cpp:184-196): mean squared
     distance to the nearest constellation point.
 
-    Rotated constellations are measured against the axis MARGINALS of the
-    rotated cloud (min dI^2 + min dQ^2): correct even when the cells still
-    carry the cyclic Q-delay (the device path probes cells before the
-    time/cell deinterleave, where a cell's I and Q belong to different
-    symbols)."""
+    Requires properly PAIRED I/Q (post time/cell deinterleave for rotated
+    constellations — the cyclic Q-delay must be removed first).  The device
+    path, whose probe cells are pre-deinterleave, estimates from the L1
+    cells instead (`estimate_noise_var_l1`: unrotated, no Q-delay)."""
     pts = tables.constellation_points(plp.constellation)
+    if plp.rotated:
+        phi = tables.ROTATION_ANGLE[plp.constellation]
+        cells = cells * np.exp(-1j * phi).astype(np.complex64)
     flat = cells.reshape(-1)
     if len(flat) > 4096:  # subsample: variance estimate doesn't need all
         flat = flat[:: len(flat) // 4096]
-    if plp.rotated:
-        phi = tables.ROTATION_ANGLE[plp.constellation]
-        rpts = pts * np.exp(1j * phi)
-        li = np.unique(np.round(np.real(rpts), 6))
-        lq = np.unique(np.round(np.imag(rpts), 6))
-        di = (np.real(flat)[:, None] - li[None, :]) ** 2
-        dq = (np.imag(flat)[:, None] - lq[None, :]) ** 2
-        return float(np.mean(di.min(axis=1)) + np.mean(dq.min(axis=1)))
     d2 = np.abs(flat[:, None] - pts[None, :]) ** 2
     return float(np.mean(d2.min(axis=1)))
 
 
-def estimate_noise_var_l1(cells: np.ndarray, l1pre) -> float:
-    """Blind EVM noise estimate over the L1-post cells (for the soft L1
-    fallback when no pilot SNR is at hand, e.g. on the fused device path)."""
+def estimate_noise_var_l1(cells: np.ndarray, l1pre=None,
+                          l1pre_bpsk: bool = False) -> float:
+    """Blind EVM noise estimate over L1 cells (unrotated constellations,
+    no cyclic Q-delay) — the noise reference the device path uses, since
+    its PLP probe cells are pre-deinterleave.  `l1pre_bpsk=True` measures
+    L1-pre cells (always BPSK); otherwise `cells` are L1-post cells with
+    the modulation from `l1pre.l1_post_mod`."""
     from ..dvbt2 import l1 as l1mod
-    eta = l1mod.L1_MOD_BITS[l1pre.l1_post_mod]
+    eta = 1 if l1pre_bpsk else l1mod.L1_MOD_BITS[l1pre.l1_post_mod]
     if eta == 1:  # BPSK
         pts = np.array([1.0 + 0j, -1.0 + 0j], np.complex64)
     else:

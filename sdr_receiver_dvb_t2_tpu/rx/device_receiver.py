@@ -109,6 +109,7 @@ class DeviceT2Receiver(T2Receiver):
 
         n = len(frame_starts)
         l1post = self._last_l1post
+        self.last_batch_failures = 0
         if (l1post is None or self._nvar is None or len(plps) != 1
                 or len(l1post.dyn.plp) != 1
                 or l1post.dyn.plp[0].num_blocks == 0):
@@ -146,7 +147,10 @@ class DeviceT2Receiver(T2Receiver):
                 ok = self._decode_frame(x, frame_starts[i], params, plps,
                                         l1pre, None, assembler, stats)
                 if not ok:
-                    return i
+                    # re-running the identical decode cannot succeed; mark
+                    # the frame failed and let the caller's fail streak see
+                    # it via last_batch_failures
+                    self.last_batch_failures += 1
                 continue
             self._last_l1post = l1p_i
             if kind == "nb_adaptive":
@@ -223,12 +227,11 @@ class DeviceT2Receiver(T2Receiver):
                 dyn.id, rxdecode.PLPDecodeStats())
             path = self._get_path(params, plp, dyn.num_blocks,
                                   l1_size, dyn.start)
-            # EVM noise estimate from a slice of cells (host)
-            probe_idx = demod.layout[l1_size + dyn.start:
-                                     l1_size + dyn.start + 2048]
-            pc = np.asarray(flat2[probe_idx])
-            nvar = rxdecode.estimate_noise_var(
-                plp, pc[:, 0] + 1j * pc[:, 1])
+            # noise estimate from the L1 cells' EVM (unrotated, no cyclic
+            # Q-delay — the PLP cells here are still interleaved, so a
+            # constellation EVM on them would mispair I/Q)
+            nvar = rxdecode.estimate_noise_var_l1(
+                head[:l1mod.L1_PRE_CELLS], l1pre_bpsk=True)
             self._nvar = nvar      # seeds the batched superstep's LLR scale
             if snr_seen is None:
                 # constellation power is normalized to 1, so the EVM-based

@@ -47,7 +47,9 @@ class StreamCheckpoint:
     ts_prev_crc: int | None
     ts_lost: bool
     frames_decoded: int
-    ts_packets: int = 0   # packets already emitted at save time
+    ts_packets: int = 0   # packets emitted by THIS run at save time (each
+    #                       run's assembler starts fresh after a resume;
+    #                       consumers trim their own sink output to this)
 
     def save(self, path: str) -> None:
         with open(path, "w") as f:

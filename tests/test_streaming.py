@@ -265,3 +265,84 @@ def test_stream_device_rate_conversion():
     assert st.frames_decoded >= 5
     assert st.ts_errors == 0
     np.testing.assert_array_equal(ts, flat[:len(ts)])
+
+
+def test_stream_multi_plp_filter():
+    """Multi-PLP streaming with a PLP filter: the streaming loop (which
+    parses L1-dynamic per frame) decodes only the selected PLP, bit-exact —
+    the reference's need_plp filter (bb_de_header.cpp:139-142) in the
+    continuous pipeline."""
+    from sdr_receiver_dvb_t2_tpu.rx.receiver import T2Receiver
+    p = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                 pilot_pattern=PilotPattern.PP1, extended_carrier=False,
+                 n_data=9)
+    plps = [PLPParams(plp_id=0, constellation=Constellation.QAM16,
+                      rate=CodeRate.C1_2, fec_frame=FECFrame.SHORT,
+                      num_blocks_max=2, time_il_length=1),
+            PLPParams(plp_id=1, constellation=Constellation.QPSK,
+                      rate=CodeRate.C1_2, fec_frame=FECFrame.SHORT,
+                      rotated=False, num_blocks_max=1, time_il_length=1)]
+    mod = T2Modulator(p, plps)
+    rng = np.random.default_rng(17)
+    ts = rng.integers(0, 256, (mod.packets_needed(5) + 6, 188)
+                      ).astype(np.uint8)
+    ts[:, 0] = 0x47
+    ts[:, 1] &= 0x7F
+    out = mod.modulate(ts.reshape(-1), 5)
+    src = {pkt.tobytes() for pkt in ts}
+    for pid in (0, 1):
+        dev = devices.SimulatedDevice(out.samples, snr_db=32)
+        st, got = _stream(dev, receiver=T2Receiver(plp_filter=pid))
+        assert st.frames_decoded == 5, pid
+        assert st.ts_errors == 0, pid
+        assert len(got) >= 5 * 188, pid
+        for pkt in got.reshape(-1, 188):
+            assert pkt.tobytes() in src
+
+
+def test_stream_checkpoint_chain_absolute_offsets(tmp_path):
+    """A checkpoint written AFTER a resume must record the absolute device
+    offset (resume base + progress), so a second resume continues correctly
+    (round-2 review finding)."""
+    from sdr_receiver_dvb_t2_tpu.utils.checkpoint import StreamCheckpoint
+    flat, samples, p = _waveform(10)
+    ck = str(tmp_path / "ck.json")
+
+    dev0 = devices.SimulatedDevice(samples, snr_db=32)
+    st0, ts_full = _stream(dev0)
+    assert st0.frames_decoded == 10
+
+    # run 1: stop early, checkpoint every 2 frames
+    dev1 = devices.SimulatedDevice(samples, snr_db=32)
+    got = []
+    sr1 = devices.StreamingReceiver(dev1, acq_seconds=0.025,
+                                    block_seconds=0.007,
+                                    checkpoint_path=ck, checkpoint_every=2)
+    sr1.run(ts_sink=got.append, max_blocks=4)
+    ck1 = StreamCheckpoint.load(ck)
+    got = [np.concatenate(got)[:ck1.ts_packets * 188]]
+
+    # run 2: resume AND keep checkpointing, stop early again
+    dev2 = devices.SimulatedDevice(samples, snr_db=32)
+    got2 = []
+    sr2 = devices.StreamingReceiver(dev2, acq_seconds=0.025,
+                                    block_seconds=0.007,
+                                    checkpoint_path=ck, checkpoint_every=2)
+    sr2.run(ts_sink=got2.append, max_blocks=4, resume=ck)
+    ck2 = StreamCheckpoint.load(ck)
+    assert ck2.sample_offset > ck1.sample_offset  # absolute, not relative
+    # ts_packets counts THIS run's emitted packets (each run's assembler
+    # starts fresh after restore)
+    got.append(np.concatenate(got2)[:ck2.ts_packets * 188])
+
+    # run 3: resume from the run-2 checkpoint to the end
+    dev3 = devices.SimulatedDevice(samples, snr_db=32)
+    got3 = []
+    sr3 = devices.StreamingReceiver(dev3, acq_seconds=0.025,
+                                    block_seconds=0.007)
+    sr3.run(ts_sink=got3.append, resume=ck)
+    got.append(np.concatenate(got3))
+
+    joined = np.concatenate(got)
+    np.testing.assert_array_equal(joined, ts_full[:len(joined)])
+    assert len(joined) >= len(ts_full) - 2 * 188

@@ -83,6 +83,10 @@ def main():
             [sys.executable, os.path.abspath(__file__), _CHILD, str(n),
              "--frames", str(args.frames), "--iters", str(args.iters)],
             capture_output=True, text=True)
+        if rc.returncode != 0 or not rc.stdout.strip():
+            sys.stderr.write(rc.stderr[-2000:])
+            raise RuntimeError(f"scaling child n={n} failed "
+                               f"(rc={rc.returncode})")
         line = rc.stdout.strip().splitlines()[-1]
         rows.append(json.loads(line))
         print(f"n={n}: {rows[-1]['samples_per_s']/1e6:.1f} Msamples/s "
