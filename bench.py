@@ -52,6 +52,9 @@ def main():
                     help="threshold-SNR operating point measured after the "
                          "clean headline (dB; <=0 disables)")
     ap.add_argument("--frames", type=int, default=96)
+    ap.add_argument("--profile", action="store_true",
+                    help="additionally time the demod-only superstep "
+                         "(stage split for optimization work)")
     ap.add_argument("--fixed-iters", type=int, default=0,
                     help="use the fixed-iteration decoder instead of the "
                          "adaptive early-exit one")
@@ -270,6 +273,31 @@ def main():
         return msps, x_rt
 
     msps, x_rt = measure(0.0, "clean")
+
+    if args.profile:
+        @functools.partial(jax.jit, donate_argnums=0)
+        def step_demod(bodies, inv):
+            llrs = mf._fn(bodies, inv)
+            sd = jnp.sum(llrs.astype(jnp.float32), dtype=jnp.float32)
+            return bodies + sd * 1e-16, sd
+
+        inv33 = jnp.float32(10.0 ** 3.3)
+
+        def chain_d(nn):
+            b = fresh_bodies(key, 0.0)
+            t0 = time.time()
+            sd = None
+            for _ in range(nn):
+                b, sd = step_demod(b, inv33)
+            float(np.asarray(sd))
+            return time.time() - t0
+
+        chain_d(1)
+        t2d = chain_d(1)
+        t12d = chain_d(6)
+        dtd = (t12d - t2d) / (5 * n_frames)
+        print(f"[profile] demod+LLR only: {dtd*1e3:.2f} ms/frame "
+              f"(sum-reduction overhead included)", file=sys.stderr)
 
     # host tail: batched TS reassembly at rate (native CRC kernel + one
     # vectorized drain per T2 frame); must stay under the device superstep

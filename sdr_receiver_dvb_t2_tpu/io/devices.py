@@ -438,7 +438,12 @@ class StreamingReceiver:
             p = lock.params
             fsamp = p.frame_samples
             margin = 0 if final else rxp1.P1_LEN + 64
-            while lock.frame_start + fsamp + margin <= len(pending):
+            # at end of capture, a frame may fall a few samples short of
+            # the buffer (e.g. the lock grid sits +1 from a channel delay);
+            # admit it — the clamp below starts the FFT window early, which
+            # the guard interval absorbs
+            slack = self.P1_SEARCH if final else 0
+            while lock.frame_start + fsamp + margin <= len(pending) + slack:
                 start = lock.frame_start
                 with st.metrics.stage("track"):
                     m = rxp1.measure_p1(pending, start,

@@ -102,6 +102,47 @@ def fft_stages_planar(xr, xi, n: int,
     return out_r, out_i
 
 
+def fft_carrier_major_planar(xr, xi, n: int,
+                             precision=jax.lax.Precision.HIGH,
+                             dtype=None):
+    """(F, S, n) planar time-domain symbols -> (n, S, F) planar spectra in
+    CARRIER-MAJOR layout: the second Cooley-Tukey stage writes k-major
+    through a transposed einsum ("fskm,ml->lksf"), fusing the fused demod's
+    whole-array carrier-major transpose into the matmul epilogue."""
+    n1, n2 = _FACTORS[n]
+    w1, w2, tw = _tables(n)
+    dt = dtype or xr.dtype
+    if dt == jnp.bfloat16:
+        precision = jax.lax.Precision.DEFAULT
+    f, s = xr.shape[0], xr.shape[1]
+    yr = xr.astype(dt).reshape(f, s, n1, n2)
+    yi = xi.astype(dt).reshape(f, s, n1, n2)
+    w1r = jnp.asarray(np.ascontiguousarray(w1.real), dtype=dt)
+    w1i = jnp.asarray(np.ascontiguousarray(w1.imag), dtype=dt)
+    w2r = jnp.asarray(np.ascontiguousarray(w2.real), dtype=dt)
+    w2i = jnp.asarray(np.ascontiguousarray(w2.imag), dtype=dt)
+    twr = jnp.asarray(np.ascontiguousarray(tw.real), dtype=dt)
+    twi = jnp.asarray(np.ascontiguousarray(tw.imag), dtype=dt)
+
+    def mm(a, w):
+        return jnp.einsum("fsnm,nk->fskm", a, w, precision=precision,
+                          preferred_element_type=jnp.float32).astype(dt)
+
+    ar = mm(yr, w1r) - mm(yi, w1i)
+    ai = mm(yr, w1i) + mm(yi, w1r)
+    br = ar * twr - ai * twi
+    bi = ar * twi + ai * twr
+
+    def mm2(a, w):
+        return jnp.einsum("fskm,ml->lksf", a, w, precision=precision,
+                          preferred_element_type=jnp.float32).astype(dt)
+
+    out_r = mm2(br, w2r) - mm2(bi, w2i)      # (k2, k1, S, F)
+    out_i = mm2(br, w2i) + mm2(bi, w2r)
+    # row-major (k2, k1) flatten IS the DFT index k = k1 + n1*k2
+    return (out_r.reshape(n, s, f), out_i.reshape(n, s, f))
+
+
 def fft(x, n: int | None = None, precision=jax.lax.Precision.HIGH):
     """Drop-in jnp.fft.fft replacement over the last axis (supported n)."""
     n = n or x.shape[-1]

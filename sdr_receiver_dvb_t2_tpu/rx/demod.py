@@ -145,16 +145,25 @@ def equalize_frame_miso(p: T2Params, carriers: np.ndarray) -> DemodResult:
 
     Both transmitter groups send pilots at the same positions; group 2
     inverts the subset given by the clause-9.2 rule (dvbt2.tables
-    `_miso_inverted`).  A received pilot is therefore
-    ref*(h1+h2) on non-inverted positions and ref*(h1-h2) on inverted
-    ones: interpolating each half-density subset gives the sum and
-    difference channels, hence h1 and h2 per carrier.  Data cells come in
-    clause-9.1 Alamouti pairs  r0 = h1*e0 - h2*e1*,  r1 = h1*e1 + h2*e0*
-    on adjacent data carriers; we solve the exact 2x2 system per pair
-    (zero-forcing, reduces to classic Alamouti combining when the channel
-    is flat across the pair).  The reference receiver is SISO-only
-    (README.md:17-23); its tables anticipate MISO (dvbt2_definition.h
-    pilot maps) but no combining exists -- this exceeds it.
+    `_miso_inverted`).  A received pilot is therefore ref*(h1+h2) on
+    non-inverted positions and ref*(h1-h2) on the inverted subset.
+
+    On DATA symbols the inversion parity (k/dx odd) equals the symbol's
+    row parity, so per symbol one of the two subsets collapses to the few
+    continual pilots — a per-symbol interpolation of that subset cannot
+    follow a frequency-selective channel.  The sum and difference channels
+    are therefore estimated FRAME-WIDE: every symbol's pilot estimates are
+    pooled (duplicate carriers averaged), interpolated once across
+    carriers, and each symbol then applies a per-symbol complex gain
+    (least-squares fit of its own dense pilots against the pooled
+    estimate) that re-absorbs common phase error.  Static-channel
+    assumption across the frame — the terrestrial echo scenario; fast
+    fading would need true 2D (time x frequency) interpolation.
+
+    Data cells come in clause-9.1 Alamouti pairs
+    r0 = h1*e0 - h2*e1*, r1 = h1*e1 + h2*e0* on adjacent data carriers;
+    the exact 2x2 system is solved per pair (zero-forcing).  The
+    reference receiver is SISO-only (README.md:17-23) — this exceeds it.
     """
     import dataclasses as _dc
     pg1 = _dc.replace(p, miso_group=0)
@@ -163,16 +172,61 @@ def equalize_frame_miso(p: T2Params, carriers: np.ndarray) -> DemodResult:
     tabs2 = pilot_tables(pg2)
     assert carriers.shape[0] == len(tabs1) == p.len_frame
     k = np.arange(p.k_total)
+
+    # ---- pass 1: pool pilot estimates of both subsets across the frame --
+    ests, invs = [], []
+    s_pos, s_val, d_pos, d_val = [], [], [], []
+    for row, t1, t2 in zip(carriers, tabs1, tabs2):
+        pos, ref1, ref2 = t1["pilot_pos"], t1["pilot_ref"], t2["pilot_ref"]
+        est = row[pos] / ref1
+        inv = np.real(ref2 * np.conj(ref1)) < 0
+        ests.append(est)
+        invs.append(inv)
+        s_pos.append(pos[~inv])
+        s_val.append(est[~inv])
+        d_pos.append(pos[inv])
+        d_val.append(est[inv])
+
+    def pooled(ps, vs):
+        ps = np.concatenate(ps)
+        vs = np.concatenate(vs)
+        uk, idx = np.unique(ps, return_inverse=True)
+        acc = np.bincount(idx, weights=np.real(vs)) \
+            + 1j * np.bincount(idx, weights=np.imag(vs))
+        avg = acc / np.bincount(idx)
+        return uk, _interp_complex(k, uk, avg)
+
+    sp_k, hsum = pooled(s_pos, s_val)
+    dp_k, hdif = pooled(d_pos, d_val)
+    h1 = 0.5 * (hsum + hdif)
+    h2 = 0.5 * (hsum - hdif)
+
+    # ---- pass 2: per-symbol complex gain + Alamouti pair solve ----------
     cells_out = []
     err_acc, sig_acc = 0.0, 0.0
-    for row, t1, t2 in zip(carriers, tabs1, tabs2):
-        cells, s_est, ref1 = _miso_eq_symbol(row, t1, t2, k)
-        cells_out.append(cells)
-        d = s_est[1:] - s_est[:-1]
-        err_acc += float(np.mean(np.abs(d) ** 2)) / 2.0 \
-            * float(np.mean(np.abs(ref1) ** 2))
-        sig_acc += float(np.mean(np.abs(s_est) ** 2)) \
-            * float(np.mean(np.abs(ref1) ** 2))
+    for row, t1, est, inv in zip(carriers, tabs1, ests, invs):
+        pos = t1["pilot_pos"]
+        href = np.where(inv, hdif[pos], hsum[pos])
+        g = np.vdot(href, est) / max(float(np.vdot(href, href).real), 1e-30)
+        dpos = t1["data_pos"]
+        r = row[dpos]
+        h1p, h2p = g * h1[dpos], g * h2[dpos]
+        r0, r1 = r[0::2], r[1::2]
+        h1_0, h2_0 = h1p[0::2], h2p[0::2]
+        h1_1, h2_1 = h1p[1::2], h2p[1::2]
+        det = h1_0 * np.conj(h1_1) + h2_0 * np.conj(h2_1)
+        det = np.where(np.abs(det) < 1e-12, 1e-12, det)
+        e0 = (np.conj(h1_1) * r0 + h2_0 * np.conj(r1)) / det
+        e1 = np.conj((-np.conj(h2_1) * r0 + h1_0 * np.conj(r1)) / det)
+        data = np.empty(len(dpos), dtype=np.complex64)
+        data[0::2] = e0
+        data[1::2] = e1
+        cells_out.append(data[t1["rx_gather"]])
+        # SNR from the residual of this symbol's pilots vs the fitted
+        # pooled channel (noise + model mismatch)
+        resid = est - g * href
+        err_acc += float(np.mean(np.abs(resid) ** 2))
+        sig_acc += float(np.mean(np.abs(est) ** 2))
     snr = 10.0 * np.log10(sig_acc / max(err_acc, 1e-30))
     return DemodResult(frame_cells=np.concatenate(cells_out), snr_db=snr,
                        timing_offset=0.0)

@@ -57,7 +57,15 @@ class _Class:
             self.start + self.step * np.arange(self.count))
 
 
-def _eq_class_planar(c: _Class, xcr, xci, rep: int):
+def class_pilot_est(c: _Class, xcr, xci, rep: int):
+    """Pilot channel estimates of one class: (epr, epi) of (np_c, nc*rep)."""
+    iref = jnp.asarray(
+        np.repeat(c.inv_ref, rep, axis=1) if rep > 1 else c.inv_ref,
+        dtype=xcr.dtype)
+    return xcr[c.pilot_rows] * iref, xci[c.pilot_rows] * iref
+
+
+def _eq_class_planar(c: _Class, xcr, xci, rep: int, ests=None):
     """Equalize + frequency-deinterleave one symbol class, planar f32.
 
     xcr/xci: (k_total, nc*rep) carrier-major rows (rep = frames folded into
@@ -67,12 +75,17 @@ def _eq_class_planar(c: _Class, xcr, xci, rep: int):
     SISO: pilot row-gather -> two-gather linear interpolation -> one-tap
     equalize -> composed data+FI row gather.
     MISO: the received pilots carry ref*(h1+h2) on non-inverted positions
-    and ref*(h1-h2) on the TX2-inverted subset (clause 9.2 inversions);
-    interpolating each subset gives the sum and difference channels, hence
-    h1/h2 per carrier, and adjacent data carriers form clause-9.1 Alamouti
-    pairs solved exactly as a 2x2 system (zero-forcing) — the planar batch
-    form of rx.demod.equalize_frame_miso, which the reference lacks
-    entirely (SISO-only, README.md:17-23)."""
+    and ref*(h1-h2) on the TX2-inverted subset (clause 9.2 inversions).
+    On DATA symbols the inversion parity equals the symbol's row parity,
+    so one subset per class collapses to the continual pilots; that
+    channel is taken from the PARTNER class (symbols one row away, where
+    the subset is dense), lane-aligned to the nearest partner symbol —
+    static-channel assumption over adjacent symbols, same as
+    rx.demod.equalize_frame_miso's frame pooling.  `ests` is the list of
+    all classes' pilot estimates (class_pilot_est).  Adjacent data
+    carriers form clause-9.1 Alamouti pairs solved exactly as a 2x2
+    system (zero-forcing) — exceeds the SISO-only reference
+    (README.md:17-23)."""
     dt = xcr.dtype
 
     def cst(a):
@@ -81,10 +94,8 @@ def _eq_class_planar(c: _Class, xcr, xci, rep: int):
         # the HBM traffic of every elementwise stage here)
         return jnp.asarray(a, dtype=dt)
 
-    iref = cst(np.repeat(c.inv_ref, rep, axis=1) if rep > 1 else c.inv_ref)
-    epr = xcr[c.pilot_rows] * iref          # row gather: (np_c, lanes)
-    epi = xci[c.pilot_rows] * iref
     if c.miso is None:
+        epr, epi = class_pilot_est(c, xcr, xci, rep)
         il, ir, w = c.stencil               # w: (k, 1)
         w = cst(w)
         chr_ = epr[il] * (1.0 - w) + epr[ir] * w
@@ -94,15 +105,30 @@ def _eq_class_planar(c: _Class, xcr, xci, rep: int):
         eqi = (xci * chr_ - xcr * chi_) * inv
         return eqr[c.comp_rows], eqi[c.comp_rows]
     mi = c.miso
-    # sum / difference channels from the two pilot subsets
-    (il_s, ir_s, w_s), (il_d, ir_d, w_d) = mi["stencil_s"], mi["stencil_d"]
-    w_s, w_d = cst(w_s), cst(w_d)
-    es_r, es_i = epr[mi["sel_s"]], epi[mi["sel_s"]]
-    ed_r, ed_i = epr[mi["sel_d"]], epi[mi["sel_d"]]
-    hs_r = es_r[il_s] * (1.0 - w_s) + es_r[ir_s] * w_s
-    hs_i = es_i[il_s] * (1.0 - w_s) + es_i[ir_s] * w_s
-    hd_r = ed_r[il_d] * (1.0 - w_d) + ed_r[ir_d] * w_d
-    hd_i = ed_i[il_d] * (1.0 - w_d) + ed_i[ir_d] * w_d
+    own = ests[mi["self_idx"]] if ests is not None \
+        else class_pilot_est(c, xcr, xci, rep)
+
+    def subset_channel(sub):
+        if sub["src_idx"] is None:
+            sr_, si_ = own
+        else:
+            sr_, si_ = ests[sub["src_idx"]]
+        sr_, si_ = sr_[sub["sel"]], si_[sub["sel"]]
+        lm = sub["lane_map"]
+        if lm is not None:
+            # align partner symbols to this class's lanes (nearest row)
+            nc_src = sub["nc_src"]
+            sr_ = sr_.reshape(sr_.shape[0], nc_src, rep
+                              )[:, lm, :].reshape(sr_.shape[0], -1)
+            si_ = si_.reshape(si_.shape[0], nc_src, rep
+                              )[:, lm, :].reshape(si_.shape[0], -1)
+        il, ir, w = sub["stencil"]
+        w = cst(w)
+        return (sr_[il] * (1.0 - w) + sr_[ir] * w,
+                si_[il] * (1.0 - w) + si_[ir] * w)
+
+    hs_r, hs_i = subset_channel(mi["sum"])
+    hd_r, hd_i = subset_channel(mi["dif"])
     h1r, h1i = 0.5 * (hs_r + hd_r), 0.5 * (hs_i + hd_i)
     h2r, h2i = 0.5 * (hs_r - hd_r), 0.5 * (hs_i - hd_i)
     dp = mi["data_rows"]
@@ -206,17 +232,9 @@ class FusedFrameDemod:
                     inv_r = np.real(tabs2[r]["pilot_ref"]
                                     * np.conj(tabs[r]["pilot_ref"])) < 0
                     assert np.array_equal(inv_r, inverted)
-                sel_s = np.nonzero(~inverted)[0].astype(np.int32)
-                sel_d = np.nonzero(inverted)[0].astype(np.int32)
-                ils, irs, ws = _interp_stencil(pilot_rows[~inverted],
-                                               p.k_total)
-                ild, ird, wd = _interp_stencil(pilot_rows[inverted],
-                                               p.k_total)
                 assert n_data_c % 2 == 0, "Alamouti pairs need even cells"
                 miso = dict(
-                    sel_s=sel_s, sel_d=sel_d,
-                    stencil_s=(ils, irs, ws.reshape(-1, 1)),
-                    stencil_d=(ild, ird, wd.reshape(-1, 1)),
+                    inverted=inverted,
                     data_rows=t0["data_pos"].astype(np.int32),
                     fi_gather=t0["rx_gather"].astype(np.int32))
             for ci, r in enumerate(rows):
@@ -231,7 +249,74 @@ class FusedFrameDemod:
             flat_off += n_data_c * nc
         self.layout = layout
         self.total_cells = total
+        if p.miso:
+            self._resolve_miso_partners()
         self._fn = jax.jit(self._build())
+
+    def _resolve_miso_partners(self):
+        """Finish the MISO class metadata: for each class and each subset
+        (sum = non-inverted pilots, dif = inverted), pick the channel
+        SOURCE.  On data symbols the inversion parity equals the row
+        parity, so one subset per class is just the few continual pilots —
+        useless against a frequency-selective channel; that subset's
+        channel is taken from the class of ADJACENT symbols (rows +-1),
+        where it is dense, lane-aligned to the nearest partner symbol
+        (static channel across neighbouring symbols).  P2/FC classes have
+        alternating inversions and stay self-contained."""
+        p = self.p
+        k_total = p.k_total
+
+        def density_ok(pos):
+            # dense enough to follow a selective channel: max pilot gap
+            # bounded by a few scattered-pilot spacings
+            if len(pos) < 8:
+                return False
+            dx, dy = tables.SP_PATTERN[p.pilot_pattern]
+            return int(np.diff(np.sort(pos)).max()) <= 4 * dx * dy
+
+        for ci, c in enumerate(self.classes):
+            mi = c.miso
+            inv = mi.pop("inverted")
+            mi["self_idx"] = ci
+            for side, mask in (("sum", ~inv), ("dif", inv)):
+                sel = np.nonzero(mask)[0].astype(np.int32)
+                pos = c.pilot_rows[mask]
+                src_idx, lane_map, nc_src = None, None, None
+                if not density_ok(pos):
+                    # find a partner class whose matching subset is dense
+                    best = None
+                    for pj, pc in enumerate(self.classes):
+                        if pj == ci or pc.miso is None:
+                            continue
+                        pinv = pc.miso.get("inverted")
+                        if pinv is None:   # already resolved: recompute
+                            pinv = pc.miso["_inv_cache"]
+                        pmask = ~pinv if side == "sum" else pinv
+                        ppos = pc.pilot_rows[pmask]
+                        if not density_ok(ppos):
+                            continue
+                        # temporal distance between the class's symbols
+                        dist = abs(int(pc.sym_cols[0]) - int(c.sym_cols[0]))
+                        if best is None or dist < best[0]:
+                            best = (dist, pj, pmask, ppos)
+                    if best is not None:
+                        _, pj, pmask, ppos = best
+                        pc = self.classes[pj]
+                        src_idx = pj
+                        sel = np.nonzero(pmask)[0].astype(np.int32)
+                        pos = ppos
+                        # nearest partner symbol per own symbol
+                        lane_map = np.array(
+                            [int(np.argmin(np.abs(
+                                np.asarray(pc.sym_cols) - r)))
+                             for r in c.sym_cols], np.int32)
+                        nc_src = int(pc.count)
+                il, ir, w = _interp_stencil(np.sort(pos), k_total)
+                order = np.argsort(pos)
+                mi[side] = dict(src_idx=src_idx, sel=sel[order],
+                                stencil=(il, ir, w.reshape(-1, 1)),
+                                lane_map=lane_map, nc_src=nc_src)
+            mi["_inv_cache"] = inv
 
     def _build(self):
         p = self.p
@@ -244,10 +329,16 @@ class FusedFrameDemod:
             car = spec[:, p.left_nulls:p.left_nulls + p.k_total]
             xr = jnp.real(car).T                         # (k_total, n_sym)
             xi = jnp.imag(car).T
+            xs = [(xr[:, c.sym_cols], xi[:, c.sym_cols]) for c in classes]
+            ests = None
+            if p.miso:
+                # MISO: every class's pilot estimates first (partner
+                # classes source their sparse subset from neighbours)
+                ests = [class_pilot_est(c, a, b, 1)
+                        for c, (a, b) in zip(classes, xs)]
             outs_r, outs_i = [], []
-            for c in classes:
-                er, ei = _eq_class_planar(c, xr[:, c.sym_cols],
-                                          xi[:, c.sym_cols], 1)
+            for c, (a, b) in zip(classes, xs):
+                er, ei = _eq_class_planar(c, a, b, 1, ests=ests)
                 outs_r.append(er.reshape(-1))
                 outs_i.append(ei.reshape(-1))
             return jnp.stack([jnp.concatenate(outs_r),
@@ -460,25 +551,23 @@ class MultiFramePath:
             sym_i = bodies[..., 1].reshape(f, p.len_frame, p.symbol_size
                                            )[:, :, p.guard_size:]
             # OFDM FFT on the MXU (two batched-matmul Cooley-Tukey stages;
-            # XLA's VPU FFT was the largest demod stage at 32K) fused with
-            # the carrier-major transpose; fftshift + active-carrier slice
-            # become two wrapped row slices of the k-major layout
-            x2r, x2i = mxu_fft.fft_stages_planar(
-                sym_r, sym_i, p.fft_size, dtype=dd)    # (F, n_sym, k1, k2)
+            # XLA's VPU FFT was the largest demod stage at 32K) with the
+            # carrier-major transpose fused into the second stage's output
+            # layout; fftshift + active-carrier slice become two wrapped
+            # row slices of the k-major layout
+            xkr, xki = mxu_fft.fft_carrier_major_planar(
+                sym_r, sym_i, p.fft_size, dtype=dd)    # (fft, n_sym, F)
             s0 = (p.left_nulls - p.fft_size // 2) % p.fft_size
 
-            def to_carriers(a):
-                v = jnp.transpose(a, (3, 2, 1, 0))     # (k2, k1, n_sym, F)
-                v = v.reshape(p.fft_size, p.len_frame, f)
+            def to_carriers(v):
                 if s0 + p.k_total <= p.fft_size:
                     return v[s0:s0 + p.k_total]
                 return jnp.concatenate(
                     [v[s0:], v[:s0 + p.k_total - p.fft_size]], axis=0)
 
-            xr = to_carriers(x2r)                      # (k, n_sym, F)
-            xi = to_carriers(x2i)
-            outs_r, outs_i = [], []
-            for c in classes:
+            xr = to_carriers(xkr)                      # (k, n_sym, F)
+            xi = to_carriers(xki)
+            def class_slices(c):
                 # flatten (nc, F) into one dense lane axis: (nc=10, F) minor
                 # dims tile as padded (16, 128) blocks, tripling the traffic
                 # of every elementwise op in this loop
@@ -486,7 +575,16 @@ class MultiFramePath:
                 sl = lambda a: jax.lax.slice_in_dim(
                     a, c.start, c.start + c.step * (c.count - 1) + 1,
                     c.step, axis=1).reshape(-1, nw)  # (k, nc*F)
-                eqr, eqi = _eq_class_planar(c, sl(xr), sl(xi), f)
+                return sl(xr), sl(xi)
+
+            xs = [class_slices(c) for c in classes]
+            ests = None
+            if p.miso:
+                ests = [class_pilot_est(c, a, b, f)
+                        for c, (a, b) in zip(classes, xs)]
+            outs_r, outs_i = [], []
+            for c, (a, b) in zip(classes, xs):
+                eqr, eqi = _eq_class_planar(c, a, b, f, ests=ests)
                 outs_r.append(eqr.reshape(-1, f))
                 outs_i.append(eqi.reshape(-1, f))
             fr = jnp.concatenate(outs_r, axis=0)   # (total, F)
