@@ -236,9 +236,24 @@ class ModeAdapter:
                 self._crc_prev = crc8(pkt[1:])
         self._stream = np.concatenate(chunks)
 
-    def next_frame(self) -> np.ndarray:
-        """Emit one kbch-bit (unscrambled) BB frame; raises if starved."""
-        dfl_bytes = self.dfl // 8
+    def next_frame(self, padding_bits: np.ndarray | None = None) -> np.ndarray:
+        """Emit one kbch-bit (unscrambled) BB frame; raises if starved.
+
+        `padding_bits` (byte-aligned length), when given, occupy the padding
+        field after the data field (clause 5.2.2) — the data field shrinks
+        by that amount and DFL reflects it.  This is how in-band signalling
+        rides the first BB frame of an Interleaving Frame (clause 5.2.3,
+        `dvbt2.inband`)."""
+        dfl = self.dfl
+        pad = np.zeros(0, np.uint8)
+        if padding_bits is not None:
+            pad = np.asarray(padding_bits, dtype=np.uint8)
+            if len(pad) % 8:
+                raise ValueError("padding must be byte-aligned")
+            dfl -= len(pad)
+            if dfl <= 0:
+                raise ValueError("padding exceeds the BB data field")
+        dfl_bytes = dfl // 8
         if len(self._stream) < dfl_bytes:
             raise ValueError(
                 f"need {dfl_bytes} stream bytes, have {len(self._stream)}; "
@@ -249,11 +264,11 @@ class ModeAdapter:
         syncd_bytes = (self.up_size - into_up) % self.up_size
         syncd = syncd_bytes * 8 if syncd_bytes < dfl_bytes else 0xFFFF
         self._stream_pos += dfl_bytes
-        hdr = BBHeader(hem=self.hem, dfl=self.dfl, syncd=syncd,
+        hdr = BBHeader(hem=self.hem, dfl=dfl, syncd=syncd,
                        isi=self.isi, sis_mis=self.sis_mis,
                        upl=TS_PACKET * 8 if not self.hem else 0,
                        sync=TS_SYNC if not self.hem else 0)
-        frame = np.concatenate([hdr.to_bits(), np.unpackbits(data)])
+        frame = np.concatenate([hdr.to_bits(), np.unpackbits(data), pad])
         assert frame.shape[0] == self.kbch
         return frame
 
@@ -314,8 +329,18 @@ class TSAssembler:
         dfl = (heads[:, 4].astype(np.int64) << 8) | heads[:, 5]
         dfl0 = int(dfl[0])
         syncd = (heads[:, 7].astype(np.int64) << 8) | heads[:, 8]
+        if not (dfl == dfl0).all():
+            # a leading in-band-signalling frame has a shorter data field
+            # (clause 5.2.3): drain it alone, batch the uniform remainder
+            if rows.shape[0] > 1 and (dfl[1:] == dfl[1]).all():
+                self.push_bytes(rows[0])
+                self.push_frames(rows[1:])
+            else:
+                for r in rows:
+                    self.push_bytes(r)
+            return
         if (dfl0 % 8 or dfl0 // 8 > rows.shape[1] - 10
-                or not (dfl == dfl0).all() or (syncd == 0xFFFF).any()):
+                or (syncd == 0xFFFF).any()):
             for r in rows:
                 self.push_bytes(r)
             return

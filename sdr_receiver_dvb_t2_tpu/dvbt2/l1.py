@@ -689,7 +689,8 @@ def build_l1(p: T2Params, plps, num_frames: int = 2,
             plp_num_blocks_max=cfg.num_blocks_max,
             frame_interval=cfg.frame_interval,
             time_il_length=cfg.time_il_length, time_il_type=cfg.time_il_type,
-            first_frame_idx=cfg.first_frame_idx))
+            first_frame_idx=cfg.first_frame_idx,
+            in_band_a_flag=int(getattr(cfg, "in_band_a", 0))))
     dyn = L1PostDynamic(plp=[L1PostDynPLP(id=c.plp_id) for c in plps])
     post = L1Post(num_plp=len(plps), plp=post_plps,
                   sub_slices_per_frame=max(

@@ -405,6 +405,7 @@ class PLPParams:
     first_frame_idx: int = 0
     plp_type: int = 1           # 1 = contiguous slice, 2 = sub-sliced
     sub_slices: int = 1         # SUB_SLICES_PER_FRAME (type 2 only)
+    in_band_a: bool = False     # IN_BAND_A_FLAG (clause 5.2.3 payload)
 
     @property
     def fec(self) -> FECParams:

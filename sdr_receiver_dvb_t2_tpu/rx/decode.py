@@ -53,7 +53,8 @@ def params_from_l1(p1_fft: FFTMode, pre: l1mod.L1Pre,
             first_frame_idx=cfg.first_frame_idx,
             plp_type=cfg.plp_type,
             sub_slices=(post.sub_slices_per_frame
-                        if cfg.plp_type == 2 else 1)))
+                        if cfg.plp_type == 2 else 1),
+            in_band_a=bool(cfg.in_band_a_flag)))
     return p, plps
 
 
@@ -196,6 +197,8 @@ class PLPDecodeStats:
     ldpc_failures: int = 0
     bch_corrected: int = 0
     bch_failures: int = 0
+    inband: list = field(default_factory=list)   # parsed inband.InBandA
+    inband_mismatches: int = 0   # signalled next-frame dyn vs decoded L1
 
 
 def decode_fec_frames(plp: PLPParams, cw_llrs: np.ndarray,
@@ -229,8 +232,10 @@ def decode_fec_frames(plp: PLPParams, cw_llrs: np.ndarray,
 def plp_slice_to_ts(plp: PLPParams, slice_cells: np.ndarray, num_blocks: int,
                     assembler: bbframe.TSAssembler,
                     stats: PLPDecodeStats | None = None,
-                    ldpc_decode_fn=None) -> None:
-    """Full per-frame decode of one PLP slice into a TS assembler."""
+                    ldpc_decode_fn=None):
+    """Full per-frame decode of one PLP slice into a TS assembler.
+    Returns the frame's parsed in-band type-A payload (clause 5.2.3) when
+    the PLP carries one, else None."""
     cells = deinterleave_plp_frame(plp, slice_cells, num_blocks)
     nvar = max(estimate_noise_var(plp, cells), 10.0 ** (-40 / 10.0))
     llrs = llr_demap(plp, cells, nvar)
@@ -238,3 +243,10 @@ def plp_slice_to_ts(plp: PLPParams, slice_cells: np.ndarray, num_blocks: int,
     bb = decode_fec_frames(plp, cw, stats=stats, ldpc_decode_fn=ldpc_decode_fn)
     for frame_bits in bb:
         assembler.push(frame_bits)
+    ib = None
+    if plp.in_band_a and len(bb):
+        from ..dvbt2 import inband
+        ib = inband.extract_from_bb_bytes(np.packbits(bb[0]))
+        if ib is not None and stats is not None:
+            stats.inband.append(ib)
+    return ib

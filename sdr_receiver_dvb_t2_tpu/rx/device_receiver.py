@@ -90,6 +90,23 @@ class DeviceT2Receiver(T2Receiver):
                 plp_start_cell=start_cell, l1_cells=l1_cells)
         return self._mf_paths[key]
 
+    def _track_inband(self, plp, frames_bytes, pstat, dyn) -> None:
+        """In-band type-A (clause 5.2.3): parse the payload from the
+        Interleaving Frame's first BB frame and cross-check the PREVIOUS
+        frame's signalled scheduling against the decoded L1 dynamic."""
+        if not plp.in_band_a or not len(frames_bytes):
+            return
+        from ..dvbt2 import inband
+        ib_prev = self._inband_prev.get(dyn.id)
+        if ib_prev is not None and (
+                ib_prev.current_plp_start != dyn.start
+                or ib_prev.current_plp_num_blocks != dyn.num_blocks):
+            pstat.inband_mismatches += 1
+        ib = inband.extract_from_bb_bytes(frames_bytes[0])
+        self._inband_prev[dyn.id] = ib
+        if ib is not None:
+            pstat.inband.append(ib)
+
     def decode_frames_batch(self, x, frame_starts, params, plps, l1pre,
                             assembler, stats) -> int:
         """Decode len(frame_starts) frames in ONE MultiFramePath superstep
@@ -163,7 +180,9 @@ class DeviceT2Receiver(T2Receiver):
                 bits = np.asarray(dec(jnp.transpose(lf[i])))
             bb = fec_device.bch_correct_batch(plp, bits[:, :fec.n_bch],
                                               pstat)
-            assembler.push_frames(np.packbits(bbframe.scramble(bb), axis=1))
+            frames_bytes = np.packbits(bbframe.scramble(bb), axis=1)
+            assembler.push_frames(frames_bytes)
+            self._track_inband(plp, frames_bytes, pstat, dyn)
             stats.snr_db.append(float(-10.0 * np.log10(
                 max(float(evm[i]), 1e-12))))
             stats.timing_offset.append(0.0)
@@ -253,6 +272,7 @@ class DeviceT2Receiver(T2Receiver):
                                               pstat)
             frames_bytes = np.packbits(bbframe.scramble(bb), axis=1)
             assembler.push_frames(frames_bytes)
+            self._track_inband(plp, frames_bytes, pstat, dyn)
         stats.snr_db.append(float(snr_seen) if snr_seen is not None
                             else 30.0)
         stats.frames_decoded += 1

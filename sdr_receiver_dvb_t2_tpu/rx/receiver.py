@@ -71,10 +71,12 @@ class T2Receiver:
         # factory: (plp: PLPParams) -> batched decoder fn, or None
         self.ldpc_decode_fn_factory = ldpc_decode_fn_factory
         self._last_l1post = None
+        self._inband_prev = {}   # plp_id -> last frame's InBandA (or None)
 
     def receive(self, x: np.ndarray, _sco_pass: int = 2,
                 _ladder: bool = True) -> ReceiveResult:
         stats = ReceiverStats()
+        self._inband_prev = {}
         x = np.asarray(x)
         p1 = rxp1.acquire_p1(x)
         if p1 is None:
@@ -357,6 +359,14 @@ class T2Receiver:
                 continue
             pstat = stats.plp_stats.setdefault(
                 dyn.id, rxdecode.PLPDecodeStats())
+            # in-band type-A coherence: the PREVIOUS frame signalled this
+            # frame's scheduling (clause 5.2.3); a disagreement with the
+            # decoded L1 dynamic marks one of them corrupted
+            ib_prev = self._inband_prev.get(dyn.id)
+            if ib_prev is not None and (
+                    ib_prev.current_plp_start != dyn.start
+                    or ib_prev.current_plp_num_blocks != dyn.num_blocks):
+                pstat.inband_mismatches += 1
             n_cells = dyn.num_blocks * plp.cells_per_fec_block
             if plp.plp_type == 2 and plp.sub_slices > 1:
                 # type-2 PLP: gather the round-robin sub-slices back into
@@ -372,8 +382,10 @@ class T2Receiver:
                 sl = data_cells[dyn.start:dyn.start + n_cells]
             fn = (self.ldpc_decode_fn_factory(plp)
                   if self.ldpc_decode_fn_factory else None)
-            rxdecode.plp_slice_to_ts(plp, sl, dyn.num_blocks,
-                                     assembler, stats=pstat,
-                                     ldpc_decode_fn=fn)
+            ib = rxdecode.plp_slice_to_ts(plp, sl, dyn.num_blocks,
+                                          assembler, stats=pstat,
+                                          ldpc_decode_fn=fn)
+            if plp.in_band_a:
+                self._inband_prev[dyn.id] = ib
         stats.frames_decoded += 1
         return True

@@ -16,7 +16,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..dvbt2 import bbframe, l1 as l1mod
+from ..dvbt2 import bbframe, inband, l1 as l1mod
 from ..dvbt2.params import PLPParams, T2Params
 from . import fec as txfec
 from . import frame as txframe
@@ -75,6 +75,24 @@ class T2Modulator:
             p, self.plps, num_frames=n_frames, l1_post_mod=self.l1_post_mod,
             l1_repetition=self.l1_repetition)
         l1posts = []
+        # in-band type-A payloads (clause 5.2.3): this modulator's frame
+        # scheduling is constant, so the next Interleaving Frame's dynamic
+        # equals the current one; pre-compute it from the slice LENGTHS
+        # (layout depends only on those) before any frame is encoded.
+        inband_bits: dict[int, np.ndarray] = {}
+        if any(c.in_band_a for c in self.plps):
+            dummy = [np.zeros(self.blocks_per_frame(c) * c.cells_per_fec_block,
+                              np.complex64) for c in self.plps]
+            _, starts0, ss0, t20 = txframe.layout_plp_slices(self.plps, dummy)
+            dyn0 = l1mod.L1PostDynamic(
+                plp=[l1mod.L1PostDynPLP(id=c.plp_id, start=starts0[c.plp_id],
+                                        num_blocks=self.blocks_per_frame(c))
+                     for c in self.plps])
+            for c in self.plps:
+                if c.in_band_a:
+                    inband_bits[c.plp_id] = inband.build_inband_a(
+                        c.plp_id, dyn0, sub_slice_interval=ss0,
+                        type_2_start=t20).pack()
         for fidx in range(n_frames):
             plp_slices = []
             for a, cfg in zip(self.adapters, self.plps):
@@ -86,7 +104,9 @@ class T2Modulator:
                         raise ValueError("not enough TS input")
                     a.push_packets(ts[pos:pos + take])
                     pos += take
-                bb = np.stack([a.next_frame() for _ in range(nb)])
+                ib = inband_bits.get(cfg.plp_id)
+                bb = np.stack([a.next_frame(padding_bits=ib if j == 0 else None)
+                               for j in range(nb)])
                 cells = txfec.plp_encode(cfg, bb)
                 plp_slices.append(txframe.interleave_plp_frame(cfg, cells))
             plp_slices, starts, ss_interval, t2_start = \

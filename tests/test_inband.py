@@ -1,0 +1,134 @@
+"""In-band type-A signalling (EN 302 755 clause 5.2.3): payload pack/parse
+round trip, BB-frame padding-field carriage, and e2e extraction + coherence
+check against the decoded L1 dynamic.  The reference receiver parses only
+the IN_BAND_A_FLAG (p2_symbol.cpp:787); generating AND consuming the payload
+exceeds it (VERDICT r1 missing item 7)."""
+import numpy as np
+
+from sdr_receiver_dvb_t2_tpu.dvbt2 import bbframe, inband
+from sdr_receiver_dvb_t2_tpu.dvbt2.l1 import L1PostDynamic, L1PostDynPLP
+from sdr_receiver_dvb_t2_tpu.dvbt2.params import (
+    CodeRate, Constellation, FECFrame, FFTMode, GuardInterval, PilotPattern,
+    PLPParams, T2Params)
+from sdr_receiver_dvb_t2_tpu.rx.receiver import T2Receiver
+from sdr_receiver_dvb_t2_tpu.tx.modulator import T2Modulator, awgn
+
+from tests.test_e2e import make_ts, small_config
+
+
+def test_inband_a_pack_parse_roundtrip():
+    ib = inband.InBandA(
+        plp_l1_change_counter=5, sub_slice_interval=1234,
+        start_rf_idx=1, current_plp_start=98765,
+        current_plp_num_blocks=17,
+        other_plp=[L1PostDynPLP(id=3, start=4242, num_blocks=9),
+                   L1PostDynPLP(id=7, start=111111, num_blocks=200)],
+        type_2_start=31337)
+    bits = ib.pack()
+    assert len(bits) % 8 == 0
+    back = inband.InBandA.parse(bits)
+    assert back is not None
+    assert back.plp_l1_change_counter == 5
+    assert back.sub_slice_interval == 1234
+    assert back.start_rf_idx == 1
+    assert back.current_plp_start == 98765
+    assert back.current_plp_num_blocks == 17
+    assert back.type_2_start == 31337
+    assert [(p.id, p.start, p.num_blocks) for p in back.other_plp] == \
+        [(3, 4242, 9), (7, 111111, 200)]
+
+
+def test_inband_a_parse_rejects_non_type_a():
+    bits = np.zeros(128, np.uint8)
+    bits[0] = 1  # PADDING_TYPE = 10
+    assert inband.InBandA.parse(bits) is None
+    assert inband.InBandA.parse(np.zeros(16, np.uint8)) is None
+
+
+def test_build_inband_a_splits_current_and_others():
+    dyn = L1PostDynamic(plp=[L1PostDynPLP(id=0, start=10, num_blocks=3),
+                             L1PostDynPLP(id=1, start=500, num_blocks=8)],
+                        l1_change_counter=2)
+    ib = inband.build_inband_a(1, dyn, sub_slice_interval=7, type_2_start=99)
+    assert ib.current_plp_start == 500
+    assert ib.current_plp_num_blocks == 8
+    assert [p.id for p in ib.other_plp] == [0]
+    assert ib.plp_l1_change_counter == 2
+
+
+def test_bbframe_padding_carries_inband():
+    """ModeAdapter shrinks the data field and the padding parses back."""
+    ib = inband.build_inband_a(0, L1PostDynamic(
+        plp=[L1PostDynPLP(id=0, start=77, num_blocks=3)]))
+    pad = ib.pack()
+    adapter = bbframe.ModeAdapter(kbch=3240)  # short C1_4
+    ts = make_ts(40)
+    adapter.push_packets(ts)
+    f0 = adapter.next_frame(padding_bits=pad)
+    f1 = adapter.next_frame()
+    hdr0 = bbframe.BBHeader.from_bits(f0)
+    hdr1 = bbframe.BBHeader.from_bits(f1)
+    assert hdr0.dfl == 3240 - 80 - len(pad)
+    assert hdr1.dfl == 3240 - 80
+    got = inband.extract_from_bb_bytes(np.packbits(f0))
+    assert got is not None and got.current_plp_start == 77
+    assert inband.extract_from_bb_bytes(np.packbits(f1)) is None
+    # TS reassembly across the mixed-DFL pair stays exact (batched entry)
+    asm = bbframe.TSAssembler()
+    asm.push_frames(np.packbits(np.stack([f0, f1]), axis=1))
+    out = asm.ts_bytes()
+    assert len(out) >= 188
+    np.testing.assert_array_equal(out, ts.reshape(-1)[:len(out)])
+    assert asm.errors == 0
+
+
+def test_e2e_inband_a_extracted_and_coherent():
+    """Single-PLP loopback with IN_BAND_A on: TS bit-exact, the payload is
+    recovered each frame, and the signalled next-frame scheduling matches
+    the decoded L1 dynamic (inband_mismatches == 0)."""
+    import dataclasses
+    p, plp = small_config()
+    plp = dataclasses.replace(plp, in_band_a=True)
+    mod = T2Modulator(p, [plp])
+    n_frames = 3
+    ts = make_ts(mod.packets_needed(n_frames) + 4, seed=3)
+    out = mod.modulate(ts.reshape(-1), n_frames)
+    assert out.l1post_frames[0].plp[0].in_band_a_flag == 1
+    res = T2Receiver().receive(awgn(out.samples, 25, seed=4))
+    assert res.stats.frames_decoded >= 2
+    np.testing.assert_array_equal(res.ts, ts.reshape(-1)[:len(res.ts)])
+    assert len(res.ts) > 0 and res.stats.ts_errors == 0
+    pstat = res.stats.plp_stats[0]
+    assert len(pstat.inband) == res.stats.frames_decoded
+    assert pstat.inband_mismatches == 0
+    dyn0 = out.l1post_frames[0].dyn.plp[0]
+    for ib in pstat.inband:
+        assert ib.current_plp_start == dyn0.start
+        assert ib.current_plp_num_blocks == dyn0.num_blocks
+
+
+def test_e2e_inband_a_multi_plp():
+    """Two PLPs, only PLP 1 in-band: other_plp loop carries PLP 0."""
+    p = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                 pilot_pattern=PilotPattern.PP1, extended_carrier=False,
+                 n_data=12)
+    plp0 = PLPParams(plp_id=0, constellation=Constellation.QAM16,
+                     rate=CodeRate.C1_2, fec_frame=FECFrame.SHORT,
+                     num_blocks_max=2, time_il_length=1)
+    plp1 = PLPParams(plp_id=1, constellation=Constellation.QPSK,
+                     rate=CodeRate.C1_2, fec_frame=FECFrame.SHORT,
+                     num_blocks_max=2, time_il_length=1, in_band_a=True)
+    mod = T2Modulator(p, [plp0, plp1])
+    ts = make_ts(mod.packets_needed(2) + 4, seed=5)
+    out = mod.modulate(ts.reshape(-1), 2)
+    res = T2Receiver().receive(out.samples)
+    assert res.stats.frames_decoded == 2
+    p1stat = res.stats.plp_stats[1]
+    assert len(p1stat.inband) == 2 and p1stat.inband_mismatches == 0
+    ib = p1stat.inband[0]
+    dyn = out.l1post_frames[0].dyn
+    assert [o.id for o in ib.other_plp] == [0]
+    assert ib.other_plp[0].start == dyn.plp[0].start
+    assert ib.current_plp_start == dyn.plp[1].start
+    # PLP 0 must not report in-band state
+    assert len(res.stats.plp_stats[0].inband) == 0
