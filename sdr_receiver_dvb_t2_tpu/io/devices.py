@@ -231,6 +231,18 @@ PlutoDevice = _vendor_device("Pluto", ["iio", "plutosdr"])
 DEVICES = {"file": FileDevice, "sim": SimulatedDevice,
            "sdrplay": SdrplayDevice, "airspy": AirspyDevice,
            "plutosdr": PlutoDevice}
+# "network" (tcp://host:port, io/net.py) is the remote-radio path: the
+# radio-side IQStreamServer wraps the vendor device where the USB bus is,
+# the receive host runs NetworkDevice (registered lazily to avoid the
+# import cycle)
+
+
+def _network_device(*a, **kw):
+    from .net import NetworkDevice
+    return NetworkDevice(*a, **kw)
+
+
+DEVICES["network"] = _network_device
 
 
 @dataclass

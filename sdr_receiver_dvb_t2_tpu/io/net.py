@@ -1,0 +1,228 @@
+"""Network IQ ingest: stream int16 I/Q over TCP with an in-band control
+channel for the retune/AGC feedback loop.
+
+This is the TPU-native answer to the reference's PlutoSDR front end
+(`/root/reference/src/rx_plutosdr.cpp`, `libplutosdr/plutosdr_hi_speed_rx.c`):
+there the radio hangs off the receiver host's USB bus and a custom kernel
+module streams int16 blocks; a TPU host has no USB radio, so the radio-side
+daemon (`IQStreamServer`, wrapping any `SDRDevice` — on a real deployment the
+Pluto/airspy vendor read loop) ships the same int16 blocks over the network
+and the receive host runs `NetworkDevice`.  Hardware feedback
+(`SignalEstimate`: retune, gain steps, reset — dvbt2_demodulator.h:42-52)
+travels upstream on the same socket, so the closed loops the streaming
+receiver runs (AGC, LO centering) actuate the remote radio exactly like the
+reference's device thread actuates mir_sdr/libairspy
+(rx_sdrplay.cpp:158-197).
+
+Wire protocol (deliberately minimal, one socket):
+  server -> client: interleaved int16 I,Q pairs, little-endian, full-scale
+                    `SCALE` (Pluto's 12-bit ADC convention)
+  client -> server: ASCII command lines  b"FREQ <hz>\n" | b"GAIN <db>\n" |
+                    b"RESET\n"
+The int16 -> complex64 conversion uses the native AVX2 kernel when built
+(native/ingest.cpp, the reference's iqconverter_int16 equivalent).
+"""
+from __future__ import annotations
+
+import socket
+import threading
+
+import numpy as np
+
+from ..dvbt2.params import SAMPLE_RATE
+from .devices import SDRDevice, SignalEstimate
+
+SCALE = 2048.0          # 12-bit ADC full scale (Pluto convention)
+_BYTES_PER_SAMPLE = 4   # int16 I + int16 Q
+
+
+class NetworkDevice(SDRDevice):
+    """TCP client front end: connects to an `IQStreamServer` (or any daemon
+    speaking the protocol above) and exposes the standard SDRDevice
+    interface to `StreamingReceiver`."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 47392,
+                 sample_rate: float = SAMPLE_RATE, timeout: float = 10.0):
+        self.host, self.port = host, port
+        self.sample_rate = sample_rate
+        self.timeout = timeout
+        self._sock: socket.socket | None = None
+
+    @classmethod
+    def from_url(cls, url: str, **kw) -> "NetworkDevice":
+        """tcp://host:port"""
+        if not url.startswith("tcp://"):
+            raise ValueError(f"expected tcp://host:port, got {url}")
+        host, _, port = url[6:].rpartition(":")
+        return cls(host=host or "127.0.0.1", port=int(port), **kw)
+
+    def init(self, frequency_hz: float, gain_db: float = 0.0) -> None:
+        self._sock = socket.create_connection((self.host, self.port),
+                                              timeout=self.timeout)
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        if frequency_hz:
+            self._send(f"FREQ {frequency_hz!r}\n")
+        if gain_db:
+            self._send(f"GAIN {gain_db!r}\n")
+
+    def _send(self, line: str) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.sendall(line.encode())
+            except OSError:
+                pass
+
+    def read_block(self, n: int) -> np.ndarray | None:
+        """Read exactly n samples (blocking); None on server EOF."""
+        if self._sock is None:
+            return None
+        need = n * _BYTES_PER_SAMPLE
+        chunks = []
+        while need:
+            try:
+                b = self._sock.recv(need)
+            except OSError:
+                b = b""
+            if not b:
+                break
+            chunks.append(b)
+            need -= len(b)
+        raw = b"".join(chunks)
+        if not raw:
+            return None
+        got = len(raw) // _BYTES_PER_SAMPLE
+        iq = np.frombuffer(raw[:got * _BYTES_PER_SAMPLE], dtype="<i2")
+        from .. import native
+        return native.int16_to_complex(iq, scale=1.0 / SCALE)
+
+    def apply(self, est: SignalEstimate) -> None:
+        if est.change_frequency:
+            self._send(f"FREQ {est.coarse_freq_offset!r}\n")
+        if est.change_gain:
+            self._send(f"GAIN {est.gain_offset!r}\n")
+        if est.reset:
+            self._send("RESET\n")
+
+    def stop(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
+
+
+class IQStreamServer:
+    """Radio-side daemon: serves one `SDRDevice`'s sample stream to one
+    client and applies the client's FREQ/GAIN/RESET commands to the device
+    between blocks — the role the reference's device thread plays
+    (rx_sdrplay.cpp:199-291), moved to the machine that owns the radio.
+
+    Runs in a background thread; `port` is bound immediately (port=0 picks
+    a free one) so tests can connect right after construction."""
+
+    def __init__(self, device: SDRDevice, host: str = "127.0.0.1",
+                 port: int = 0, block: int = 65536):
+        self.device = device
+        self.block = block
+        self._lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._lsock.bind((host, port))
+        self._lsock.listen(1)
+        self.port = self._lsock.getsockname()[1]
+        self._stop = threading.Event()
+        self.commands: list[str] = []
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _apply_commands(self, buf: bytes) -> bytes:
+        *lines, rest = buf.split(b"\n")
+        for ln in lines:
+            parts = ln.decode(errors="replace").split()
+            if not parts:
+                continue
+            self.commands.append(ln.decode(errors="replace"))
+            est = SignalEstimate()
+            if parts[0] == "FREQ" and len(parts) == 2:
+                est.coarse_freq_offset = float(parts[1])
+                est.change_frequency = True
+            elif parts[0] == "GAIN" and len(parts) == 2:
+                est.gain_offset = float(parts[1])
+                est.change_gain = True
+            elif parts[0] == "RESET":
+                est.reset = True
+            else:
+                continue
+            self.device.apply(est)
+        return rest
+
+    def _serve(self) -> None:
+        self._lsock.settimeout(0.2)
+        conn = None
+        try:
+            while not self._stop.is_set():
+                try:
+                    conn, _ = self._lsock.accept()
+                    break
+                except socket.timeout:
+                    continue
+            if conn is None:
+                return
+            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            self.device.start()
+            cmdbuf = b""
+            import select
+            while not self._stop.is_set():
+                # poll for commands without stalling the sample stream
+                # (sends stay blocking so TCP backpressure paces the radio)
+                try:
+                    readable, _, _ = select.select([conn], [], [], 0)
+                    if readable:
+                        data = conn.recv(4096)
+                        if data:
+                            cmdbuf = self._apply_commands(cmdbuf + data)
+                        else:
+                            break   # client closed
+                except OSError:
+                    break
+                blk = self.device.read_block(self.block)
+                if blk is None:
+                    # capture exhausted: half-close so the client sees EOF,
+                    # but keep applying late feedback (a retune decided
+                    # after the last block still reaches the radio)
+                    try:
+                        conn.shutdown(socket.SHUT_WR)
+                    except OSError:
+                        pass
+                    conn.settimeout(0.2)
+                    while not self._stop.is_set():
+                        try:
+                            data = conn.recv(4096)
+                        except socket.timeout:
+                            continue
+                        except OSError:
+                            break
+                        if not data:
+                            break
+                        cmdbuf = self._apply_commands(cmdbuf + data)
+                    break
+                i16 = np.empty(2 * len(blk), dtype="<i2")
+                re = np.clip(np.round(np.real(blk) * SCALE), -32768, 32767)
+                im = np.clip(np.round(np.imag(blk) * SCALE), -32768, 32767)
+                i16[0::2] = re.astype(np.int16)
+                i16[1::2] = im.astype(np.int16)
+                try:
+                    conn.sendall(i16.tobytes())
+                except OSError:
+                    break
+        finally:
+            if conn is not None:
+                try:
+                    conn.shutdown(socket.SHUT_WR)
+                except OSError:
+                    pass
+                conn.close()
+            self._lsock.close()
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=3.0)

@@ -108,6 +108,10 @@ def main(argv=None):
         from ..io import devices
         if args.input.startswith("sdr:"):
             dev = devices.DEVICES[args.input[4:]]()
+        elif args.input.startswith("tcp://"):
+            # network front end (Pluto-style remote radio, io/net.py)
+            from ..io.net import NetworkDevice
+            dev = NetworkDevice.from_url(args.input)
         else:
             dev = devices.FileDevice(args.input, args.format)
         dev.init(frequency_hz=0.0)

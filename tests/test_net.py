@@ -1,0 +1,104 @@
+"""Network IQ ingest (io/net.py): int16 TCP streaming + upstream control
+commands — the remote-radio front end standing in for the reference's
+PlutoSDR USB path (rx_plutosdr.cpp / plutosdr_hi_speed_rx.c).  The server
+side wraps a SimulatedDevice so the full closed loop (AGC / retune over the
+socket) is exercised hardware-free."""
+import numpy as np
+
+from sdr_receiver_dvb_t2_tpu.io.devices import (SignalEstimate,
+                                                SimulatedDevice,
+                                                StreamingReceiver)
+from sdr_receiver_dvb_t2_tpu.io.net import SCALE, IQStreamServer, NetworkDevice
+from sdr_receiver_dvb_t2_tpu.tx.modulator import T2Modulator
+
+from tests.test_e2e import make_ts, small_config
+
+
+def _waveform(n_frames=2, seed=0):
+    p, plp = small_config()
+    mod = T2Modulator(p, [plp])
+    ts = make_ts(mod.packets_needed(n_frames) + 4, seed=seed)
+    out = mod.modulate(ts.reshape(-1), n_frames)
+    return ts.reshape(-1), out.samples
+
+
+def test_network_roundtrip_int16_quantized():
+    """Samples survive the TCP hop bit-exactly at int16 resolution."""
+    rng = np.random.default_rng(0)
+    x = (rng.normal(0, 0.3, 20000)
+         + 1j * rng.normal(0, 0.3, 20000)).astype(np.complex64)
+    sim = SimulatedDevice(x, snr_db=None)
+    srv = IQStreamServer(sim, block=4096)
+    dev = NetworkDevice(port=srv.port)
+    try:
+        dev.init(frequency_hz=0.0)
+        got = []
+        while True:
+            b = dev.read_block(8192)
+            if b is None or len(b) == 0:
+                break
+            got.append(b)
+            if sum(len(g) for g in got) >= len(x):
+                break
+        y = np.concatenate(got)[:len(x)]
+        sim._render()
+        want = sim._stream[:len(y)]
+        # int16 quantization at full scale SCALE: half-LSB per component
+        assert np.max(np.abs(y - want)) <= 0.75 / SCALE
+    finally:
+        dev.stop()
+        srv.close()
+
+
+def test_network_commands_reach_device():
+    sim = SimulatedDevice(np.zeros(65536, np.complex64), lo_offset_hz=1000.0)
+    srv = IQStreamServer(sim, block=4096)
+    dev = NetworkDevice(port=srv.port)
+    try:
+        dev.init(frequency_hz=0.0)
+        dev.read_block(1024)   # ensure the serve loop is running
+        dev.apply(SignalEstimate(coarse_freq_offset=500.0,
+                                 change_frequency=True))
+        dev.apply(SignalEstimate(gain_offset=-6.0, change_gain=True))
+        # drain until the command has been applied between blocks
+        import time
+        for _ in range(100):
+            if sim.retunes and sim.gain_steps:
+                break
+            dev.read_block(1024)
+            time.sleep(0.02)
+        assert sim.retunes >= 1 and abs(sim.lo_offset_hz - 500.0) < 1e-6
+        assert sim.gain_steps >= 1 and abs(sim.gain_db + 6.0) < 1e-6
+    finally:
+        dev.stop()
+        srv.close()
+
+
+def test_streaming_receiver_over_network_decodes_and_retunes():
+    """Full product loop across the socket: StreamingReceiver drives a
+    remote SimulatedDevice with a 30 kHz LO error; the retune command
+    crosses the network, the remote LO steps, and the TS comes out
+    bit-exact."""
+    flat, samples = _waveform(n_frames=3, seed=7)
+    sim = SimulatedDevice(samples, lo_offset_hz=30e3, snr_db=28.0)
+    srv = IQStreamServer(sim, block=65536)
+    dev = NetworkDevice(port=srv.port)
+    try:
+        dev.init(frequency_hz=0.0)
+        sr = StreamingReceiver(dev, block_seconds=0.25, agc=False,
+                               acq_seconds=0.2)
+        chunks = []
+        st = sr.run(ts_sink=lambda b: chunks.append(b))
+        got = (np.concatenate(chunks) if chunks else np.zeros(0, np.uint8))
+        assert st.frames_decoded >= 2
+        assert st.ts_errors == 0
+        assert len(got) > 0
+        np.testing.assert_array_equal(got, flat[:len(got)])
+        # the 30 kHz offset exceeds RETUNE_THRESHOLD_HZ: the FREQ command
+        # must have crossed the socket and stepped the remote LO
+        assert st.retune_requests >= 1 and sim.retunes >= 1
+        assert abs(sim.lo_offset_hz) < 1e3
+        assert any(c.startswith("FREQ") for c in srv.commands)
+    finally:
+        dev.stop()
+        srv.close()
