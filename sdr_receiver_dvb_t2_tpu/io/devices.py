@@ -390,7 +390,10 @@ class StreamingReceiver:
 
     def run(self, ts_sink=None, max_blocks: int | None = None,
             resume: str | None = None,
-            capture_debug: bool = False) -> StreamStats:
+            capture_debug: bool = False, on_block=None) -> StreamStats:
+        """`on_block(st, lock, rxstats)`: per-block observer hook (the live
+        dashboard, utils.live.LiveDashboard.update); counters in `st` are
+        refreshed before each call."""
         from ..rx import frontend, p1_detect as rxp1
         from ..rx import receiver as rxr
         from ..dvbt2 import bbframe
@@ -431,6 +434,16 @@ class StreamingReceiver:
         cfo_prev = 0.0
         last_ckpt_frames = 0
         eof = False
+
+        def notify():
+            if on_block is None:
+                return
+            st.ts_packets = len(assembler.packets)
+            st.ts_errors = assembler.errors
+            st.frames_decoded = rxstats.frames_decoded
+            st.cfo_hz = chain.freq_hz + total_retuned
+            st.sco_ppm = (chain.ratio / base_ratio - 1.0) * 1e6
+            on_block(st, lock, rxstats)
 
         def flush_ts(final_flush: bool = False):
             nonlocal emitted
@@ -592,11 +605,13 @@ class StreamingReceiver:
                         consumed += len(pending) - self._acq_need()
                         pending = pending[-self._acq_need():]
                 if lock is None:
+                    notify()
                     if eof:
                         break
                     continue
             alive = track_and_decode(final=eof)
             flush_ts()
+            notify()
             # compact: keep a small lookback for the next P1 measurement
             keep_from = max(0, lock.frame_start - 64)
             if keep_from:

@@ -81,6 +81,10 @@ def main(argv=None):
                     help="write streaming resume checkpoints to PATH")
     ap.add_argument("--resume", action="store_true",
                     help="resume streaming from --checkpoint PATH")
+    ap.add_argument("--live", action="store_true",
+                    help="live terminal dashboard (lock state, SNR, loops, "
+                         "TS counters, constellation) — the GUI panels as "
+                         "ANSI redraw on stderr")
     ap.add_argument("--max-blocks", type=int, default=None)
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="write a jax.profiler device trace of the run "
@@ -131,10 +135,17 @@ def main(argv=None):
         else:
             import contextlib
             tracer = contextlib.nullcontext()
+        dash = None
+        if args.live:
+            from ..utils.live import LiveDashboard
+            dash = LiveDashboard()
         with tracer:
             st = sr.run(ts_sink=sink.write, max_blocks=args.max_blocks,
                         resume=args.checkpoint if args.resume else None,
-                        capture_debug=args.plots is not None)
+                        capture_debug=args.plots is not None,
+                        on_block=dash.update if dash else None)
+        if dash:
+            dash.close()
         sink.close()
         if args.plots and st.debug is not None:
             from ..utils import plots

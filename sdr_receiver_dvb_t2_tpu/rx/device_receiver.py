@@ -157,6 +157,8 @@ class DeviceT2Receiver(T2Receiver):
         for i in range(n):
             head = l1c[l1mod.L1_PRE_CELLS:l1_size, i, 0] \
                 + 1j * l1c[l1mod.L1_PRE_CELLS:l1_size, i, 1]
+            stats.last_cells = head[:1024]
+            stats.last_cells_label = "L1-post cells (eq, device)"
             l1p_i = l1mod.l1post_decode_hard(head, l1pre)
             if l1p_i is None or l1p_i.dyn.plp[0].start != dyn.start \
                     or l1p_i.dyn.plp[0].num_blocks != dyn.num_blocks:
@@ -208,6 +210,8 @@ class DeviceT2Receiver(T2Receiver):
         l1_size = l1mod.L1_PRE_CELLS + l1pre.l1_post_size
         head2 = np.asarray(flat2[demod.layout[:l1_size]])
         head = head2[:, 0] + 1j * head2[:, 1]
+        stats.last_cells = head[l1mod.L1_PRE_CELLS:l1_size][:1024]
+        stats.last_cells_label = "L1-post cells (eq, device)"
         # per-frame timing from the frame's own P1 (whole-sample grid
         # drift, feeds the SCO retiming in receive()'s frame loop)
         m = rxp1.measure_p1(np.asarray(x), frame_start)

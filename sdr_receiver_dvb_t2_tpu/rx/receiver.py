@@ -32,6 +32,8 @@ class ReceiverStats:
     plp_stats: dict = field(default_factory=dict)
     ts_errors: int = 0
     ts_packets: int = 0
+    last_cells: np.ndarray | None = None   # most recent equalized cells
+    last_cells_label: str = ""             # which stage they came from
 
 
 @dataclass
@@ -352,6 +354,10 @@ class T2Receiver:
                 self._last_l1post = l1post
         data_cells = dres.frame_cells[l1mod.L1_PRE_CELLS
                                       + l1pre.l1_post_size:]
+        # live-view tap (the GUI constellation feed, main_window.cpp:393-441)
+        stride = max(1, len(data_cells) // 1024)
+        stats.last_cells = np.array(data_cells[::stride][:1024])
+        stats.last_cells_label = "data cells (eq)"
         for plp, dyn in zip(plps, l1post.dyn.plp):
             if self.plp_filter is not None and dyn.id != self.plp_filter:
                 continue

@@ -1,0 +1,113 @@
+"""Live terminal dashboard for the streaming receiver: the CLI's answer to
+the reference's Qt GUI live panels (constellation / SNR / sync state /
+frequency-timing indicators, main_window.cpp:393-441) without a display
+server — ANSI redraw-in-place on stderr.
+
+Shows per block: lock state + discovered mode, frame/TS counters, an SNR
+meter, the closed-loop states (CFO, SCO, AGC gain, retunes), per-stage
+throughput from utils.metrics, and a character-cell constellation of the
+most recent equalized cells (ReceiverStats.last_cells, fed by both the
+NumPy and the device receive paths)."""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+_CSI = "\x1b["
+
+
+def render_constellation(cells: np.ndarray, rows: int = 12,
+                         cols: int = 38, span: float = 1.6) -> list[str]:
+    """Density map of complex cells onto a rows x cols character grid
+    (the GUI constellation plot as text).  `span`: plotted IQ half-range."""
+    shades = " .:-=+*#%@"
+    grid = np.zeros((rows, cols), dtype=np.int64)
+    if cells is not None and len(cells):
+        c = np.asarray(cells)
+        x = np.clip((np.real(c) / span + 1.0) * 0.5 * (cols - 1),
+                    0, cols - 1).astype(np.int64)
+        y = np.clip((1.0 - np.imag(c) / span) * 0.5 * (rows - 1),
+                    0, rows - 1).astype(np.int64)
+        np.add.at(grid, (y, x), 1)
+    mx = max(int(grid.max()), 1)
+    lvl = np.minimum((grid * (len(shades) - 1) * 2 + mx - 1) // mx,
+                     len(shades) - 1)
+    return ["".join(shades[int(v)] for v in row) for row in lvl]
+
+
+def _bar(value: float, lo: float, hi: float, width: int = 24) -> str:
+    frac = 0.0 if hi <= lo else (value - lo) / (hi - lo)
+    if not np.isfinite(frac):
+        frac = 0.0
+    n = int(np.clip(frac, 0.0, 1.0) * width)
+    return "[" + "#" * n + "-" * (width - n) + "]"
+
+
+class LiveDashboard:
+    """Throttled in-place status renderer; call `update` from the streaming
+    loop's per-block callback and `close` at the end."""
+
+    def __init__(self, out=None, interval: float = 0.25):
+        self.out = out if out is not None else sys.stderr
+        self.interval = interval
+        self._last = 0.0
+        self._lines = 0
+        self._t0 = time.time()
+
+    def _mode_str(self, lock) -> str:
+        if lock is None:
+            return "ACQUIRING"
+        p = lock.params
+        return (f"LOCKED  {p.fft_mode.name.replace('FFT_', '')} "
+                f"{p.guard.name.replace('GI_', 'GI ')} "
+                f"{p.pilot_pattern.name}"
+                + (" MISO" if p.miso else " SISO"))
+
+    def update(self, st, lock, rxstats, final: bool = False) -> None:
+        self._seen = (st, lock, rxstats)
+        now = time.time()
+        if not final and now - self._last < self.interval:
+            return
+        self._last = now
+        snr = float(rxstats.snr_db[-1]) if rxstats.snr_db else float("nan")
+        iters = None
+        for ps in rxstats.plp_stats.values():
+            if ps.ldpc_iters:
+                iters = float(np.mean(ps.ldpc_iters[-32:]))
+        elapsed = max(now - self._t0, 1e-9)
+        lines = [
+            f"t2rx live  |  {self._mode_str(lock)}",
+            f"  frames {rxstats.frames_decoded:6d}   skipped "
+            f"{st.frames_skipped:4d}   reacq {st.reacquisitions:2d}   "
+            f"blocks {st.blocks:5d}  ({st.raw_samples / elapsed / 1e6:6.1f} "
+            f"Msps in)",
+            f"  SNR {snr:5.1f} dB {_bar(snr, 0, 35)}   "
+            + (f"LDPC {iters:4.1f} it" if iters is not None else ""),
+            f"  CFO {st.cfo_hz if st.cfo_hz else 0.0:+9.1f} Hz   "
+            f"SCO {st.sco_ppm:+7.2f} ppm   gain {st.gain_db_applied:+5.1f} dB"
+            f"   retunes {st.retune_requests}",
+            f"  TS packets {st.ts_packets:8d}   errors {st.ts_errors:4d}   "
+            f"L1 failures {rxstats.l1_failures:3d}",
+        ]
+        cells = getattr(rxstats, "last_cells", None)
+        label = getattr(rxstats, "last_cells_label", "")
+        lines.append(f"  constellation: {label or '(waiting for lock)'}")
+        lines.extend("   " + r for r in
+                     render_constellation(cells))
+        self._redraw(lines)
+
+    def _redraw(self, lines) -> None:
+        out = self.out
+        if self._lines:
+            out.write(f"{_CSI}{self._lines}A")
+        for ln in lines:
+            out.write(f"{_CSI}2K" + ln + "\n")
+        out.flush()
+        self._lines = len(lines)
+
+    def close(self) -> None:
+        """Final un-throttled redraw of the last observed state."""
+        if getattr(self, "_seen", None) is not None:
+            self.update(*self._seen, final=True)
