@@ -57,3 +57,40 @@ def test_graft_entry():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert out.shape[0] == 8 and out.dtype == np.uint8
+
+
+def test_fused_step_collective_traffic_is_scalar_only():
+    """Mechanism behind the 2-host >=80% scaling target (BASELINE.md): the
+    production fused step is frames-data-parallel, so the ONLY cross-device
+    traffic allowed is the replicated stats psum (a few bytes/step).  Parse
+    the compiled HLO and assert every collective op touches tiny operands —
+    any future reshard of bulk tensors (frames, LLRs, bits) fails here
+    before it ships."""
+    import re
+    import jax.numpy as jnp
+
+    p, plp = tiny_mode()
+    mesh = sharding.make_mesh(8)
+    step = sharding.sharded_fused_step(p, plp, 2, frames_per_device=1,
+                                       mesh=mesh, ldpc_iters=2)
+    bodies = np.zeros((8, p.len_frame * p.symbol_size, 2), np.float32)
+    hlo = step.lower(jnp.asarray(bodies), jnp.float32(1.0)) \
+              .compile().as_text()
+    coll = [ln for ln in hlo.splitlines()
+            if re.search(r"\b(all-reduce|all-gather|all-to-all|"
+                         r"collective-permute|reduce-scatter)\b", ln)
+            and "=" in ln]
+    assert coll, "expected the stats psum to appear as a collective"
+    bytes_per = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4,
+                 "u32": 4, "s8": 1, "u8": 1, "pred": 1, "s64": 8, "u64": 8}
+    worst = 0
+    for ln in coll:
+        for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", ln):
+            n = 1
+            for d in filter(None, dims.split(",")):
+                n *= int(d)
+            worst = max(worst, n * bytes_per.get(dt, 4))
+    frame_bytes = p.len_frame * p.symbol_size * 2 * 4
+    assert worst <= 256, f"bulk collective found ({worst} B): {coll}"
+    # the data each device consumes per frame dwarfs the collective
+    assert frame_bytes / max(worst, 1) > 1000
