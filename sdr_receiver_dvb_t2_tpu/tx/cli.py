@@ -45,6 +45,9 @@ def main(argv=None):
                     help="data symbols per frame")
     ap.add_argument("--frames", type=int, default=1)
     ap.add_argument("--hem", action="store_true", help="high-efficiency mode")
+    ap.add_argument("--inband", action="store_true",
+                    help="carry in-band type-A signalling (clause 5.2.3) in "
+                         "each Interleaving Frame's first BB frame")
     ap.add_argument("--format", choices=iqio.FORMATS, default=None)
     args = ap.parse_args(argv)
 
@@ -59,7 +62,7 @@ def main(argv=None):
         constellation=_MOD[args.mod], rate=_RATE[args.rate],
         fec_frame=FECFrame.SHORT if args.short_fec else FECFrame.NORMAL,
         rotated=not args.no_rotation, num_blocks_max=args.blocks,
-        time_il_length=1)
+        time_il_length=1, in_band_a=args.inband)
     mod = T2Modulator(p, [plp], hem=args.hem)
 
     ts = np.fromfile(args.ts_input, dtype=np.uint8)

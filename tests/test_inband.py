@@ -132,3 +132,20 @@ def test_e2e_inband_a_multi_plp():
     assert ib.current_plp_start == dyn.plp[1].start
     # PLP 0 must not report in-band state
     assert len(res.stats.plp_stats[0].inband) == 0
+
+
+def test_e2e_inband_a_device_path():
+    """Device receiver (fused path) extracts and cross-checks in-band."""
+    import dataclasses
+    from sdr_receiver_dvb_t2_tpu.rx.device_receiver import DeviceT2Receiver
+    p, plp = small_config()
+    plp = dataclasses.replace(plp, in_band_a=True)
+    mod = T2Modulator(p, [plp])
+    ts = make_ts(mod.packets_needed(2) + 4, seed=6)
+    out = mod.modulate(ts.reshape(-1), 2)
+    res = DeviceT2Receiver().receive(out.samples)
+    assert res.stats.frames_decoded == 2
+    np.testing.assert_array_equal(res.ts, ts.reshape(-1)[:len(res.ts)])
+    assert len(res.ts) > 0
+    pstat = res.stats.plp_stats[0]
+    assert len(pstat.inband) == 2 and pstat.inband_mismatches == 0
