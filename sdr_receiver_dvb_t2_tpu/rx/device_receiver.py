@@ -238,6 +238,9 @@ class DeviceT2Receiver(T2Receiver):
                 if l1post.dyn_next is not None:
                     import dataclasses as _dc
                     l1post = _dc.replace(l1post, dyn=l1post.dyn_next)
+                else:
+                    # in-band type-A scheduling fallback (clause 5.2.3)
+                    l1post = self._inband_patched(l1post)
             else:
                 self._last_l1post = l1post
 

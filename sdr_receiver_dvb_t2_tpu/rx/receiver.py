@@ -318,6 +318,26 @@ class T2Receiver:
             return None
         return params, pre
 
+    def _inband_patched(self, l1post):
+        """Patch a stale L1-post's dynamic block from the previous frame's
+        in-band type-A payloads: each carries this frame's start/num_blocks
+        for its own PLP (current_*) and for the other signalled PLPs
+        (other_plp loop)."""
+        import dataclasses as _dc
+        sched = {}
+        for pid, ib in self._inband_prev.items():
+            if ib is None:
+                continue
+            sched[pid] = (ib.current_plp_start, ib.current_plp_num_blocks)
+            for o in ib.other_plp:
+                sched.setdefault(o.id, (o.start, o.num_blocks))
+        if not sched:
+            return l1post
+        newplp = [(_dc.replace(dp, start=sched[dp.id][0],
+                               num_blocks=sched[dp.id][1])
+                   if dp.id in sched else dp) for dp in l1post.dyn.plp]
+        return _dc.replace(l1post, dyn=_dc.replace(l1post.dyn, plp=newplp))
+
     def _decode_frame(self, x, frame_start, params, plps, l1pre,
                       l1post_cached, assembler, stats) -> bool:
         body = frame_start + rxp1.P1_LEN
@@ -350,6 +370,12 @@ class T2Receiver:
                 if l1post.dyn_next is not None:
                     import dataclasses as _dc
                     l1post = _dc.replace(l1post, dyn=l1post.dyn_next)
+                else:
+                    # in-band type-A fallback: the PREVIOUS frame's in-band
+                    # payload signalled THIS frame's scheduling
+                    # (clause 5.2.3) — its purpose: track dynamic scheduling
+                    # without decoding L1-post every frame
+                    l1post = self._inband_patched(l1post)
             else:
                 self._last_l1post = l1post
         data_cells = dres.frame_cells[l1mod.L1_PRE_CELLS

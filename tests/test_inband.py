@@ -149,3 +149,50 @@ def test_e2e_inband_a_device_path():
     assert len(res.ts) > 0
     pstat = res.stats.plp_stats[0]
     assert len(pstat.inband) == 2 and pstat.inband_mismatches == 0
+
+
+def test_e2e_inband_a_survives_corrupt_p2():
+    """With IN_BAND_A (and no L1 repetition), a frame whose L1-post CRC
+    fails continues from the PREVIOUS frame's in-band-signalled scheduling
+    (clause 5.2.3's purpose) instead of resetting."""
+    import dataclasses
+    p, plp = small_config()
+    plp = dataclasses.replace(plp, in_band_a=True)
+    mod = T2Modulator(p, [plp])
+    ts = make_ts(mod.packets_needed(3) + 4, seed=13)
+    out = mod.modulate(ts.reshape(-1), 3)
+    y = out.samples.copy()
+    f1 = p.frame_samples
+    rng = np.random.default_rng(5)
+    n_p2_samples = p.n_p2 * p.symbol_size
+    seg = slice(f1 + 2048, f1 + 2048 + n_p2_samples)
+    y[seg] += (rng.normal(0, 3.0, n_p2_samples)
+               + 1j * rng.normal(0, 3.0, n_p2_samples)).astype(np.complex64)
+    res = T2Receiver().receive(y)
+    assert res.stats.l1_failures >= 1
+    assert res.stats.frames_decoded == 3
+    flat = ts.reshape(-1)
+    n_check = 10 * 188
+    np.testing.assert_array_equal(res.ts[:n_check], flat[:n_check])
+
+
+def test_inband_patch_overrides_stale_dynamic():
+    """_inband_patched must substitute the signalled scheduling for the
+    stale dyn values when L1-post is lost mid-change."""
+    from sdr_receiver_dvb_t2_tpu.dvbt2.l1 import L1Post
+    rx = T2Receiver()
+    stale = L1Post(num_plp=2, dyn=L1PostDynamic(
+        plp=[L1PostDynPLP(id=0, start=100, num_blocks=4),
+             L1PostDynPLP(id=1, start=999, num_blocks=7)]))
+    rx._inband_prev = {0: inband.InBandA(
+        current_plp_start=2500, current_plp_num_blocks=6,
+        other_plp=[L1PostDynPLP(id=1, start=7777, num_blocks=9)])}
+    patched = rx._inband_patched(stale)
+    assert (patched.dyn.plp[0].start, patched.dyn.plp[0].num_blocks) \
+        == (2500, 6)
+    assert (patched.dyn.plp[1].start, patched.dyn.plp[1].num_blocks) \
+        == (7777, 9)
+    # stale object untouched; empty in-band state is a no-op
+    assert stale.dyn.plp[0].start == 100
+    rx._inband_prev = {}
+    assert rx._inband_patched(stale) is stale
