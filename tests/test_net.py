@@ -29,7 +29,7 @@ def test_network_roundtrip_int16_quantized():
          + 1j * rng.normal(0, 0.3, 20000)).astype(np.complex64)
     sim = SimulatedDevice(x, snr_db=None)
     srv = IQStreamServer(sim, block=4096)
-    dev = NetworkDevice(port=srv.port)
+    dev = NetworkDevice(port=srv.port, timeout=120.0)
     try:
         dev.init(frequency_hz=0.0)
         got = []
@@ -53,7 +53,7 @@ def test_network_roundtrip_int16_quantized():
 def test_network_commands_reach_device():
     sim = SimulatedDevice(np.zeros(65536, np.complex64), lo_offset_hz=1000.0)
     srv = IQStreamServer(sim, block=4096)
-    dev = NetworkDevice(port=srv.port)
+    dev = NetworkDevice(port=srv.port, timeout=120.0)
     try:
         dev.init(frequency_hz=0.0)
         dev.read_block(1024)   # ensure the serve loop is running
@@ -82,7 +82,7 @@ def test_streaming_receiver_over_network_decodes_and_retunes():
     flat, samples = _waveform(n_frames=3, seed=7)
     sim = SimulatedDevice(samples, lo_offset_hz=30e3, snr_db=28.0)
     srv = IQStreamServer(sim, block=65536)
-    dev = NetworkDevice(port=srv.port)
+    dev = NetworkDevice(port=srv.port, timeout=120.0)
     try:
         dev.init(frequency_hz=0.0)
         sr = StreamingReceiver(dev, block_seconds=0.25, agc=False,
