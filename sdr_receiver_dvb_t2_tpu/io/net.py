@@ -17,8 +17,9 @@ reference's device thread actuates mir_sdr/libairspy
 Wire protocol (deliberately minimal, one socket):
   server -> client: interleaved int16 I,Q pairs, little-endian, full-scale
                     `SCALE` (Pluto's 12-bit ADC convention)
-  client -> server: ASCII command lines  b"FREQ <hz>\n" | b"GAIN <db>\n" |
-                    b"RESET\n"
+  client -> server: ASCII command lines  b"TUNE <abs_hz>\n" (absolute
+                    center frequency) | b"FREQ <offset_hz>\n" (relative
+                    retune step) | b"GAIN <db>\n" | b"RESET\n"
 The int16 -> complex64 conversion uses the native AVX2 kernel when built
 (native/ingest.cpp, the reference's iqconverter_int16 equivalent).
 """
@@ -42,11 +43,16 @@ class NetworkDevice(SDRDevice):
     interface to `StreamingReceiver`."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 47392,
-                 sample_rate: float = SAMPLE_RATE, timeout: float = 10.0):
+                 sample_rate: float = SAMPLE_RATE, timeout: float = 10.0,
+                 max_stall: float | None = None):
         self.host, self.port = host, port
         self.sample_rate = sample_rate
         self.timeout = timeout
+        # total silent time tolerated before read_block raises; a single
+        # recv timeout is a transient stall, not EOF
+        self.max_stall = 3.0 * timeout if max_stall is None else max_stall
         self._sock: socket.socket | None = None
+        self._rem = b""   # non-sample-aligned remainder of the last recv
 
     @classmethod
     def from_url(cls, url: str, **kw) -> "NetworkDevice":
@@ -60,8 +66,11 @@ class NetworkDevice(SDRDevice):
         self._sock = socket.create_connection((self.host, self.port),
                                               timeout=self.timeout)
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        # absolute tune and relative retune are distinct commands: FREQ is
+        # a retune OFFSET (SignalEstimate.coarse_freq_offset semantics);
+        # the initial center frequency goes out as TUNE <hz>
         if frequency_hz:
-            self._send(f"FREQ {frequency_hz!r}\n")
+            self._send(f"TUNE {frequency_hz!r}\n")
         if gain_db:
             self._send(f"GAIN {gain_db!r}\n")
 
@@ -73,24 +82,47 @@ class NetworkDevice(SDRDevice):
                 pass
 
     def read_block(self, n: int) -> np.ndarray | None:
-        """Read exactly n samples (blocking); None on server EOF."""
+        """Read up to n samples (blocking); None on server EOF.
+
+        A recv timeout is a transient stall, NOT end-of-stream: it is
+        retried until `max_stall` seconds pass with zero bytes, then
+        raises TimeoutError (so the caller can distinguish a dead link
+        from a finished capture).  Bytes that do not fill a whole int16
+        I/Q pair are buffered for the next call — dropping them would
+        byte-shift every subsequent sample and permanently corrupt the
+        I/Q framing."""
         if self._sock is None:
             return None
-        need = n * _BYTES_PER_SAMPLE
-        chunks = []
-        while need:
+        need = n * _BYTES_PER_SAMPLE - len(self._rem)
+        chunks = [self._rem]
+        stalled = 0.0
+        eof = False
+        while need > 0:
             try:
                 b = self._sock.recv(need)
+            except socket.timeout:
+                if len(chunks) > 1 or self._rem:
+                    break          # partial block: deliver what arrived
+                stalled += self.timeout
+                if stalled >= self.max_stall:
+                    raise TimeoutError(
+                        f"no samples from {self.host}:{self.port} for "
+                        f"{stalled:.0f}s (link stalled, not EOF)")
+                continue
             except OSError:
-                b = b""
+                eof = True
+                break
             if not b:
+                eof = True
                 break
             chunks.append(b)
             need -= len(b)
+            stalled = 0.0
         raw = b"".join(chunks)
-        if not raw:
-            return None
         got = len(raw) // _BYTES_PER_SAMPLE
+        self._rem = raw[got * _BYTES_PER_SAMPLE:]
+        if got == 0:
+            return None if eof else np.zeros(0, np.complex64)
         iq = np.frombuffer(raw[:got * _BYTES_PER_SAMPLE], dtype="<i2")
         from .. import native
         return native.int16_to_complex(iq, scale=1.0 / SCALE)
@@ -130,6 +162,7 @@ class IQStreamServer:
         self._lsock.listen(1)
         self.port = self._lsock.getsockname()[1]
         self._stop = threading.Event()
+        self._abs_freq: float | None = None   # last TUNE'd center frequency
         self.commands: list[str] = []
         self._thread = threading.Thread(target=self._serve, daemon=True)
         self._thread.start()
@@ -142,9 +175,27 @@ class IQStreamServer:
                 continue
             self.commands.append(ln.decode(errors="replace"))
             est = SignalEstimate()
+            if parts[0] == "TUNE" and len(parts) == 2:
+                # absolute center frequency: prefer the device's native
+                # tune(); otherwise treat subsequent TUNEs as deltas
+                # against the last absolute frequency (first TUNE only
+                # records the baseline — the radio is assumed centered
+                # there by whoever constructed/init'ed it)
+                hz = float(parts[1])
+                tune = getattr(self.device, "tune", None)
+                if callable(tune):
+                    tune(hz)
+                elif self._abs_freq is not None and hz != self._abs_freq:
+                    est.coarse_freq_offset = hz - self._abs_freq
+                    est.change_frequency = True
+                    self.device.apply(est)
+                self._abs_freq = hz
+                continue
             if parts[0] == "FREQ" and len(parts) == 2:
                 est.coarse_freq_offset = float(parts[1])
                 est.change_frequency = True
+                if self._abs_freq is not None:
+                    self._abs_freq += est.coarse_freq_offset
             elif parts[0] == "GAIN" and len(parts) == 2:
                 est.gain_offset = float(parts[1])
                 est.change_gain = True

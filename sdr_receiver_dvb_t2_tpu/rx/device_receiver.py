@@ -94,7 +94,13 @@ class DeviceT2Receiver(T2Receiver):
         """In-band type-A (clause 5.2.3): parse the payload from the
         Interleaving Frame's first BB frame and cross-check the PREVIOUS
         frame's signalled scheduling against the decoded L1 dynamic."""
-        if not plp.in_band_a or not len(frames_bytes):
+        if not plp.in_band_a:
+            return
+        if not len(frames_bytes):
+            # no payload recovered this frame: clear the entry — a later
+            # frame must not be coherence-checked (or L1-loss-patched)
+            # against an OLDER frame's next-frame schedule
+            self._inband_prev[dyn.id] = None
             return
         from ..dvbt2 import inband
         ib_prev = self._inband_prev.get(dyn.id)
@@ -245,9 +251,12 @@ class DeviceT2Receiver(T2Receiver):
                 self._last_l1post = l1post
 
         for plp, dyn in zip(plps, l1post.dyn.plp):
-            if self.plp_filter is not None and dyn.id != self.plp_filter:
-                continue
-            if dyn.num_blocks == 0:
+            if (self.plp_filter is not None and dyn.id != self.plp_filter) \
+                    or dyn.num_blocks == 0:
+                # skipped this frame: its in-band schedule (if any) was
+                # never recovered, so clear the stale entry
+                if plp.in_band_a:
+                    self._inband_prev[dyn.id] = None
                 continue
             pstat = stats.plp_stats.setdefault(
                 dyn.id, rxdecode.PLPDecodeStats())

@@ -385,9 +385,13 @@ class T2Receiver:
         stats.last_cells = np.array(data_cells[::stride][:1024])
         stats.last_cells_label = "data cells (eq)"
         for plp, dyn in zip(plps, l1post.dyn.plp):
-            if self.plp_filter is not None and dyn.id != self.plp_filter:
-                continue
-            if dyn.num_blocks == 0:
+            if (self.plp_filter is not None and dyn.id != self.plp_filter) \
+                    or dyn.num_blocks == 0:
+                # skipped this frame: no in-band payload was recovered, so
+                # a later frame must not be checked against an older one's
+                # next-frame schedule
+                if plp.in_band_a:
+                    self._inband_prev[dyn.id] = None
                 continue
             pstat = stats.plp_stats.setdefault(
                 dyn.id, rxdecode.PLPDecodeStats())

@@ -26,6 +26,10 @@ def render_constellation(cells: np.ndarray, rows: int = 12,
     grid = np.zeros((rows, cols), dtype=np.int64)
     if cells is not None and len(cells):
         c = np.asarray(cells)
+        # a NaN/Inf cell (e.g. a divide-by-zero equalizer tap) must not
+        # crash the dashboard: np.clip passes NaN through and the int64
+        # cast then indexes out of range
+        c = c[np.isfinite(c.real) & np.isfinite(c.imag)]
         x = np.clip((np.real(c) / span + 1.0) * 0.5 * (cols - 1),
                     0, cols - 1).astype(np.int64)
         y = np.clip((1.0 - np.imag(c) / span) * 0.5 * (rows - 1),

@@ -74,6 +74,96 @@ def test_network_commands_reach_device():
         srv.close()
 
 
+def test_read_block_preserves_iq_framing_across_partial_reads():
+    """A recv that ends mid-sample must buffer the leftover bytes: dropping
+    them would byte-shift every subsequent sample (I/Q framing corrupted
+    for the rest of the stream)."""
+    import socket
+    import threading
+
+    lsock = socket.socket()
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(1)
+    port = lsock.getsockname()[1]
+    samples = np.arange(1, 9, dtype="<i2").tobytes()   # 4 samples = 16 B
+
+    def serve():
+        conn, _ = lsock.accept()
+        conn.sendall(samples[:6])        # 1.5 samples
+        import time
+        time.sleep(0.5)                  # force a recv timeout mid-sample
+        conn.sendall(samples[6:])
+        time.sleep(0.5)
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    dev = NetworkDevice(port=port, timeout=0.2, max_stall=10.0)
+    try:
+        dev.init(frequency_hz=0.0)
+        got = []
+        while True:
+            b = dev.read_block(4)
+            if b is None:
+                break
+            got.append(b)
+        y = np.concatenate(got)
+        want = np.arange(1, 9, dtype=np.float32) / SCALE
+        np.testing.assert_allclose(
+            np.stack([y.real, y.imag], -1).reshape(-1), want, atol=1e-7)
+    finally:
+        dev.stop()
+        t.join(timeout=2.0)
+        lsock.close()
+
+
+def test_read_block_raises_on_stall_instead_of_fake_eof():
+    """A silent link is a stall, not end-of-stream: read_block must raise
+    TimeoutError after max_stall rather than returning None (which would
+    silently end the reception)."""
+    import socket
+
+    lsock = socket.socket()
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(1)
+    dev = NetworkDevice(port=lsock.getsockname()[1], timeout=0.1,
+                        max_stall=0.3)
+    try:
+        dev.init(frequency_hz=0.0)
+        import pytest
+        with pytest.raises(TimeoutError):
+            dev.read_block(16)
+    finally:
+        dev.stop()
+        lsock.close()
+
+
+def test_init_frequency_is_absolute_tune_not_retune_offset():
+    """init(frequency_hz=600 MHz) must NOT be applied as a 600 MHz retune
+    step on the remote device (the FREQ command is an offset; absolute
+    tuning travels as TUNE)."""
+    sim = SimulatedDevice(np.zeros(65536, np.complex64), lo_offset_hz=1000.0)
+    srv = IQStreamServer(sim, block=4096)
+    dev = NetworkDevice(port=srv.port, timeout=120.0)
+    try:
+        dev.init(frequency_hz=600e6)
+        import time
+        for _ in range(100):
+            if any(c.startswith("TUNE") for c in srv.commands):
+                break
+            dev.read_block(1024)
+            time.sleep(0.02)
+        assert any(c.startswith("TUNE") for c in srv.commands)
+        # the sim has no native tune(): the first TUNE records the baseline
+        # only — the LO offset must be untouched (no bogus retune step)
+        assert sim.retunes == 0
+        assert abs(sim.lo_offset_hz - 1000.0) < 1e-9
+        assert srv._abs_freq == 600e6
+    finally:
+        dev.stop()
+        srv.close()
+
+
 def test_streaming_receiver_over_network_decodes_and_retunes():
     """Full product loop across the socket: StreamingReceiver drives a
     remote SimulatedDevice with a 30 kHz LO error; the retune command
@@ -95,7 +185,15 @@ def test_streaming_receiver_over_network_decodes_and_retunes():
         assert len(got) > 0
         np.testing.assert_array_equal(got, flat[:len(got)])
         # the 30 kHz offset exceeds RETUNE_THRESHOLD_HZ: the FREQ command
-        # must have crossed the socket and stepped the remote LO
+        # must have crossed the socket and stepped the remote LO.  The
+        # command is sent just before run() returns and the server applies
+        # it asynchronously (its post-EOF loop keeps draining feedback),
+        # so wait with a deadline instead of racing srv.close() — this was
+        # the one nondeterministic failure in the round-2 suite.
+        import time
+        deadline = time.time() + 15.0
+        while time.time() < deadline and sim.retunes < 1:
+            time.sleep(0.02)
         assert st.retune_requests >= 1 and sim.retunes >= 1
         assert abs(sim.lo_offset_hz) < 1e3
         assert any(c.startswith("FREQ") for c in srv.commands)
