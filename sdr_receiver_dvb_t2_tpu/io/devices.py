@@ -126,7 +126,9 @@ class SimulatedDevice(SDRDevice):
                  snr_db: float | None = None, seed: int = 0,
                  sample_rate: float = SAMPLE_RATE,
                  adc_bits: int | None = None,
-                 lo_drift_hz_per_s: float = 0.0):
+                 lo_drift_hz_per_s: float = 0.0,
+                 dc_offset: complex = 0.0,
+                 iq_gain: float = 1.0, iq_skew: float = 0.0):
         self.base = np.asarray(samples, dtype=np.complex64)
         self.lo_offset_hz = lo_offset_hz
         self.lo_drift_hz_per_s = lo_drift_hz_per_s
@@ -136,6 +138,13 @@ class SimulatedDevice(SDRDevice):
         self.seed = seed
         self.sample_rate = sample_rate
         self.adc_bits = adc_bits
+        # analog front-end impairments (receiver-side, so applied to signal
+        # AND noise, after the LO mixer): Q-branch gain deficit `iq_gain`
+        # (Q' = Q/iq_gain), I->Q quadrature leak `iq_skew` (Q' += skew*I),
+        # and a baseband DC offset — dvbt2_demodulator.cpp:187-192's targets
+        self.dc_offset = complex(dc_offset)
+        self.iq_gain = iq_gain
+        self.iq_skew = iq_skew
         self.pos = 0
         self._stream: np.ndarray | None = None
         self._noise: np.ndarray | None = None
@@ -181,6 +190,11 @@ class SimulatedDevice(SDRDevice):
             x = x * np.exp(1j * ph)
         if self._noise is not None:
             x = x + self._noise[lo:hi]
+        if self.iq_gain != 1.0 or self.iq_skew:
+            i, q = np.real(x), np.imag(x)
+            x = i + 1j * (q / self.iq_gain + self.iq_skew * i)
+        if self.dc_offset:
+            x = x + np.complex64(self.dc_offset)
         if self.adc_bits is not None:
             fs = self._ADC_FULL_SCALE
             q = (2 ** (self.adc_bits - 1) - 1) / fs
@@ -263,6 +277,9 @@ class StreamStats:
     l1_failures: int = 0
     cfo_hz: float = 0.0           # total front-end frequency correction
     sco_ppm: float = 0.0          # total sample-clock correction
+    dc_offset_est: complex = 0j   # smoothed DC estimate (DCIQCorrector)
+    iq_gain_est: float = 1.0      # smoothed Q-branch amplitude ratio
+    iq_skew_est: float = 0.0      # smoothed I->Q quadrature leak
     snr_db: list = field(default_factory=list)
     timing: list = field(default_factory=list)
     metrics: object = None        # utils.metrics.Metrics
@@ -443,6 +460,10 @@ class StreamingReceiver:
             st.frames_decoded = rxstats.frames_decoded
             st.cfo_hz = chain.freq_hz + total_retuned
             st.sco_ppm = (chain.ratio / base_ratio - 1.0) * 1e6
+            if chain.dciq is not None:
+                st.dc_offset_est = chain.dciq.dc
+                st.iq_gain_est = chain.dciq.g
+                st.iq_skew_est = chain.dciq.c
             on_block(st, lock, rxstats)
 
         def flush_ts(final_flush: bool = False):
@@ -656,6 +677,14 @@ class StreamingReceiver:
         st.ts_bytes = len(assembler.packets) * 188
         st.cfo_hz = chain.freq_hz + total_retuned
         st.sco_ppm = (chain.ratio / base_ratio - 1.0) * 1e6
+        if chain.dciq is not None:
+            st.dc_offset_est = chain.dciq.dc
+            st.iq_gain_est = chain.dciq.g
+            st.iq_skew_est = chain.dciq.c
+            st.metrics.gauge("dc_i", float(st.dc_offset_est.real))
+            st.metrics.gauge("dc_q", float(st.dc_offset_est.imag))
+            st.metrics.gauge("iq_gain", float(st.iq_gain_est))
+            st.metrics.gauge("iq_skew", float(st.iq_skew_est))
         st.metrics.gauge("snr_db", float(np.mean(st.snr_db))
                          if st.snr_db else float("nan"))
         st.metrics.gauge("cfo_hz", st.cfo_hz)

@@ -127,6 +127,50 @@ def sinc_resample(x: np.ndarray, ratio: float, taps: int = 24,
     return _sinc_interp(x, frac0, ratio, n_out, taps)
 
 
+class DCIQCorrector:
+    """Streaming DC-offset + IQ-imbalance stage: the reference applies both
+    continuously per sample at the very front of its chain (DC via
+    exponential averager, dvbt2_demodulator.cpp:187-188; 1-bit-statistic
+    IQ-imbalance correction, dvbt2_demodulator.cpp:190-192, 256-265).  Here
+    the same estimators run per block, exponentially averaged across blocks,
+    and the smoothed correction is applied feed-forward — so a real SDR
+    capture with a DC spike or 1-2% analog gain/quadrature imbalance is
+    cleaned before the NCO mixes the I/Q axes.
+
+    Must run at the head of the chain (before derotation/resampling): IQ
+    imbalance is defined on the receiver's analog I/Q axes, which an NCO
+    rotation would scramble."""
+
+    def __init__(self, alpha: float = 0.25, min_g: float = 0.005,
+                 min_c: float = 0.005):
+        self.alpha = alpha
+        self.min_g = min_g          # engage thresholds (estimator noise
+        self.min_c = min_c          # floor on a clean stream)
+        self.dc = 0.0 + 0.0j
+        self.g = 1.0
+        self.c = 0.0
+        self._blocks = 0
+
+    @property
+    def active(self) -> bool:
+        """True when the smoothed imbalance is material enough to correct."""
+        return abs(self.g - 1.0) > self.min_g or abs(self.c) > self.min_c
+
+    def process(self, block: np.ndarray) -> np.ndarray:
+        if not len(block):
+            return block
+        w = self.alpha if self._blocks else 1.0
+        self._blocks += 1
+        self.dc = (1.0 - w) * self.dc + w * complex(np.mean(block))
+        x = block - np.complex64(self.dc)
+        g_b, c_b = estimate_iq_imbalance(x)
+        self.g = (1.0 - w) * self.g + w * g_b
+        self.c = (1.0 - w) * self.c + w * c_b
+        if self.active:
+            x = correct_iq_imbalance(x, self.g, self.c)
+        return x.astype(np.complex64)
+
+
 class StreamCorrector:
     """Phase/position-continuous per-block NCO + sample-clock corrector for
     the streaming receiver: the recorded-block feed-forward corrections of
@@ -214,11 +258,15 @@ class CorrectorChain:
     block and re-acquiring."""
 
     def __init__(self, in_rate: float = SAMPLE_RATE,
-                 out_rate: float = SAMPLE_RATE, taps: int = 24):
+                 out_rate: float = SAMPLE_RATE, taps: int = 24,
+                 dc_iq: bool = True):
         s = StreamCorrector(fs=out_rate, taps=taps)
         if abs(in_rate - out_rate) > 1e-6:
             s.ratio = in_rate / out_rate
             s._resampling = True
+        # DC/IQ-imbalance correction sits ahead of everything: it operates
+        # on the device's analog I/Q axes (dvbt2_demodulator.cpp:187-192)
+        self.dciq = DCIQCorrector() if dc_iq else None
         self.stages = [s]
         self.taps = taps
         self.fs = out_rate
@@ -235,6 +283,8 @@ class CorrectorChain:
         return r
 
     def process(self, block: np.ndarray) -> np.ndarray:
+        if self.dciq is not None:
+            block = self.dciq.process(block)
         for s in self.stages:
             block = s.process(block)
         return block
