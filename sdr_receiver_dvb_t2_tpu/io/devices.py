@@ -15,11 +15,11 @@ plane TPU-side:
     (LO offset, clock ppm, gain); retune/AGC feedback acts on the model
     exactly like stepping a real LO/attenuator, so the closed-loop
     acquisition state machine can be exercised without hardware,
-  - `SdrplayDevice` / `AirspyDevice` / `PlutoDevice` — ctypes binding
-    points for the vendor libraries the reference uses; they raise with
-    instructions when the shared library is absent (no SDR hardware in
-    the TPU environment; the native ingest library
-    (native/ingest.cpp) provides the int16 conversion + ring buffer).
+  - live vendor front ends live in io/vendor.py: `SdrplayDevice`
+    (mir_sdr blocking ReadPacket loop) and `AirspyDevice` (libairspy
+    async callback into the native ring), registered here as "sdrplay" /
+    "airspy"; the Pluto topology is served by the network front end
+    (io/net.py).
 
 Streaming consumption is in `StreamingReceiver` below: blocks -> elastic
 buffer -> acquisition -> block decode -> TS sink, with feedback applied
@@ -28,7 +28,6 @@ around the batched receiver).
 """
 from __future__ import annotations
 
-import ctypes.util
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -215,36 +214,30 @@ class SimulatedDevice(SDRDevice):
             self.pos = 0
 
 
-def _vendor_device(name: str, libnames: list[str]):
-    class _Vendor(SDRDevice):
-        f"""{name} front-end binding point."""
-
-        def __init__(self, serial: str | None = None):
-            self.lib = None
-            for ln in libnames:
-                path = ctypes.util.find_library(ln)
-                if path:
-                    self.lib = ctypes.CDLL(path)
-                    break
-            if self.lib is None:
-                raise RuntimeError(
-                    f"{name} vendor library not found (tried {libnames}); "
-                    "attach the SDR and install its driver, or use "
-                    "FileDevice/SimulatedDevice. The native ingest ring "
-                    "(sdr_receiver_dvb_t2_tpu/native) handles the int16 "
-                    "stream once the driver delivers blocks.")
-
-    _Vendor.__name__ = f"{name}Device"
-    return _Vendor
+def _sdrplay_device(*a, **kw):
+    from .vendor import SdrplayDevice
+    return SdrplayDevice(*a, **kw)
 
 
-SdrplayDevice = _vendor_device("Sdrplay", ["mirsdrapi-rsp", "sdrplay_api"])
-AirspyDevice = _vendor_device("Airspy", ["airspy"])
-PlutoDevice = _vendor_device("Pluto", ["iio", "plutosdr"])
+def _airspy_device(*a, **kw):
+    from .vendor import AirspyDevice
+    return AirspyDevice(*a, **kw)
+
+
+def _pluto_device(*a, **kw):
+    # The reference reaches its Pluto over a custom USB kernel module
+    # (rx_plutosdr.cpp, libplutosdr/); in this framework the Pluto topology
+    # is the remote-radio network front end: run io.net.IQStreamServer on
+    # the machine that owns the radio and connect with tcp://host:port.
+    raise RuntimeError(
+        "direct PlutoSDR USB ingest is not bound; run the radio-side "
+        "daemon (io.net.IQStreamServer) next to the Pluto and use "
+        "t2rx tcp://<radio-host>:<port> --stream instead")
+
 
 DEVICES = {"file": FileDevice, "sim": SimulatedDevice,
-           "sdrplay": SdrplayDevice, "airspy": AirspyDevice,
-           "plutosdr": PlutoDevice}
+           "sdrplay": _sdrplay_device, "airspy": _airspy_device,
+           "plutosdr": _pluto_device}
 # "network" (tcp://host:port, io/net.py) is the remote-radio path: the
 # radio-side IQStreamServer wraps the vendor device where the USB bus is,
 # the receive host runs NetworkDevice (registered lazily to avoid the

@@ -1,0 +1,351 @@
+"""Live SDR vendor bindings: the framework's L0 hardware ingest.
+
+The reference's device layer is native C++ against three vendor APIs
+(SURVEY.md §2.1).  This module binds the same APIs through ctypes so the
+identical read loops run under `StreamingReceiver`:
+
+  - `SdrplayDevice` — the mir_sdr API (`/root/reference/src/sdrplay/
+    mir_sdr.h`): `mir_sdr_Init` at 9.2 Msps zero-IF 8 MHz, the blocking
+    `mir_sdr_ReadPacket` loop, retune via `mir_sdr_SetRf` and AGC via
+    `mir_sdr_SetGr` — the behavior of rx_sdrplay.cpp:88-291.
+  - `AirspyDevice` — libairspy (`/root/reference/src/libairspy/src/
+    airspy.h`): open/set_sample_type(INT16_IQ)/set_samplerate(10 Msps)/
+    start_rx with an async C callback that feeds the native SPSC ring —
+    the behavior of rx_airspy.cpp:55-110, 209-277 with the A/B
+    double-buffer handoff replaced by the lock-free ring.
+
+The library path can be forced with `T2_MIR_SDR_LIB` / `T2_AIRSPY_LIB`
+(used by the test suite to substitute a mock driver built from
+tests/fake_drivers/*.c); otherwise the system library is located with
+ctypes.util.find_library.  `SignalEstimate` feedback is applied between
+read blocks exactly as the reference's device thread does
+(rx_sdrplay.cpp:158-197): retunes step the hardware LO, gain offsets step
+the gain (reduction), resets are receiver-side only.
+"""
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import os
+import threading
+import time
+
+import numpy as np
+
+from .devices import SDRDevice, SignalEstimate
+
+
+def _load(env_var: str, names: list[str], what: str) -> ctypes.CDLL:
+    path = os.environ.get(env_var)
+    if path:
+        return ctypes.CDLL(path)
+    for name in names:
+        found = ctypes.util.find_library(name)
+        if found:
+            return ctypes.CDLL(found)
+    raise RuntimeError(
+        f"{what} vendor library not found (tried {names}; set {env_var} "
+        "to a library path to override). Attach the SDR and install its "
+        "driver, or use a recorded capture / the tcp:// remote-radio "
+        "front end (io/net.py).")
+
+
+def _interleave_int16(i: np.ndarray, q: np.ndarray) -> np.ndarray:
+    out = np.empty(2 * len(i), dtype=np.int16)
+    out[0::2] = i
+    out[1::2] = q
+    return out
+
+
+class SdrplayDevice(SDRDevice):
+    """SdrPlay RSP front end over the mir_sdr API (rx_sdrplay.cpp).
+
+    mir_sdr expresses gain as gain REDUCTION in dB (gRdB, larger = quieter);
+    `SignalEstimate.gain_offset` is a gain *increase* request, so the AGC
+    loop subtracts it from the current gRdB (the reference does the same:
+    `gain_db -= signal->gain_offset`, rx_sdrplay.cpp:179-197).
+    """
+
+    sample_rate = 9.2e6          # max rate for the 10-bit ADC mode
+    BW_8_MHZ = 8000              # mir_sdr_BW_8_000
+    IF_ZERO = 0                  # mir_sdr_IF_Zero
+    GR_MIN, GR_MAX = 20, 78      # valid gain-reduction range
+
+    def __init__(self, lib_path: str | None = None):
+        self.lib = (ctypes.CDLL(lib_path) if lib_path
+                    else _load("T2_MIR_SDR_LIB",
+                               ["mirsdrapi-rsp", "sdrplay_api"], "SdrPlay"))
+        L = self.lib
+        L.mir_sdr_ApiVersion.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        L.mir_sdr_Init.argtypes = [
+            ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+        L.mir_sdr_ReadPacket.argtypes = [
+            ctypes.POINTER(ctypes.c_short), ctypes.POINTER(ctypes.c_short),
+            ctypes.POINTER(ctypes.c_uint), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        L.mir_sdr_SetRf.argtypes = [ctypes.c_double, ctypes.c_int,
+                                    ctypes.c_int]
+        L.mir_sdr_SetGr.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        L.mir_sdr_DCoffsetIQimbalanceControl.argtypes = [ctypes.c_uint,
+                                                         ctypes.c_uint]
+        for fn in ("mir_sdr_ApiVersion", "mir_sdr_Init", "mir_sdr_Uninit",
+                   "mir_sdr_ReadPacket", "mir_sdr_SetRf", "mir_sdr_SetGr",
+                   "mir_sdr_DCoffsetIQimbalanceControl",
+                   "mir_sdr_ReleaseDeviceIdx"):
+            getattr(L, fn).restype = ctypes.c_int
+        v = ctypes.c_float(0.0)
+        L.mir_sdr_ApiVersion(ctypes.byref(v))
+        self.api_version = float(v.value)
+        self.rf_hz = 0.0
+        self.gr_db = 40
+        self._spp = 0            # samplesPerPacket from mir_sdr_Init
+        self._xi = self._xq = None
+        self._leftover = np.zeros(0, np.complex64)
+        self._inited = False
+
+    def init(self, frequency_hz: float, gain_db: float = 0.0) -> None:
+        """gain_db < 0 requests hardware AGC mode like the reference
+        (rx_sdrplay.cpp:99-103): start at maximum gain reduction and let
+        the receiver's AGC loop pull it in; otherwise gain_db IS the
+        initial gain reduction."""
+        L = self.lib
+        if self._inited:
+            L.mir_sdr_Uninit()
+            self._inited = False
+        # the framework runs its own feed-forward DC/IQ correction
+        # (rx.frontend.DCIQCorrector); disable the API's, like the
+        # reference (rx_sdrplay.cpp:93)
+        err = L.mir_sdr_DCoffsetIQimbalanceControl(0, 0)
+        if err:
+            raise RuntimeError(f"mir_sdr_DCoffsetIQimbalanceControl: {err}")
+        self.rf_hz = float(frequency_hz)
+        self.gr_db = 78 if gain_db < 0 else int(round(gain_db))
+        spp = ctypes.c_int(0)
+        err = L.mir_sdr_Init(self.gr_db, self.sample_rate / 1e6,
+                             self.rf_hz / 1e6, self.BW_8_MHZ, self.IF_ZERO,
+                             ctypes.byref(spp))
+        if err:
+            raise RuntimeError(f"mir_sdr_Init: error {err}")
+        self._spp = int(spp.value)
+        self._xi = (ctypes.c_short * self._spp)()
+        self._xq = (ctypes.c_short * self._spp)()
+        self._leftover = np.zeros(0, np.complex64)
+        self._inited = True
+
+    def read_block(self, n: int) -> np.ndarray | None:
+        """Blocking mir_sdr_ReadPacket loop (rx_sdrplay.cpp:208-226):
+        accumulates packets until >= n samples.  A read error with data in
+        hand delivers the partial block; with nothing, end of stream."""
+        if not self._inited:
+            return None
+        from .. import native
+        out = [self._leftover]
+        have = len(self._leftover)
+        fsn = ctypes.c_uint(0)
+        grc = ctypes.c_int(0)
+        rfc = ctypes.c_int(0)
+        fsc = ctypes.c_int(0)
+        while have < n:
+            err = self.lib.mir_sdr_ReadPacket(
+                self._xi, self._xq, ctypes.byref(fsn), ctypes.byref(grc),
+                ctypes.byref(rfc), ctypes.byref(fsc))
+            if err:
+                if have:
+                    break
+                return None
+            iq = _interleave_int16(
+                np.frombuffer(self._xi, dtype=np.int16, count=self._spp),
+                np.frombuffer(self._xq, dtype=np.int16, count=self._spp))
+            # 10-bit ADC at 9.2 Msps: +-512 LSB full scale
+            out.append(native.int16_to_complex(iq, scale=1.0 / 512.0))
+            have += self._spp
+        x = np.concatenate(out)
+        self._leftover = x[n:]
+        return x[:n]
+
+    def tune(self, frequency_hz: float) -> None:
+        """Absolute retune (mir_sdr_SetRf with abs=1)."""
+        self.rf_hz = float(frequency_hz)
+        self.lib.mir_sdr_SetRf(self.rf_hz, 1, 0)
+
+    def apply(self, est: SignalEstimate) -> None:
+        if est.change_frequency:
+            # the demodulator's residual CFO means the wanted channel sits
+            # offset from the LO: move the LO onto it (rx_sdrplay.cpp:169)
+            self.rf_hz += est.coarse_freq_offset
+            self.lib.mir_sdr_SetRf(self.rf_hz, 1, 0)
+        if est.change_gain:
+            self.gr_db = int(np.clip(
+                round(self.gr_db - est.gain_offset),
+                self.GR_MIN, self.GR_MAX))
+            self.lib.mir_sdr_SetGr(self.gr_db, 1, 0)
+
+    def stop(self) -> None:
+        if self._inited:
+            self.lib.mir_sdr_Uninit()
+            self.lib.mir_sdr_ReleaseDeviceIdx()
+            self._inited = False
+
+
+class _AirspyTransfer(ctypes.Structure):
+    _fields_ = [("device", ctypes.c_void_p),
+                ("ctx", ctypes.c_void_p),
+                ("samples", ctypes.c_void_p),
+                ("sample_count", ctypes.c_int),
+                ("dropped_samples", ctypes.c_uint64),
+                ("sample_type", ctypes.c_int)]
+
+
+_AIRSPY_CB = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.POINTER(_AirspyTransfer))
+_AIRSPY_SAMPLE_INT16_IQ = 2
+
+
+class AirspyDevice(SDRDevice):
+    """AirSpy front end over libairspy (rx_airspy.cpp): 10 Msps INT16
+    interleaved IQ via the async `airspy_start_rx` callback chain.  The
+    callback (a C->Python trampoline, the rx_callback/rx_execute pair of
+    rx_airspy.cpp:209-277) pushes converted samples into the native SPSC
+    ring; `read_block` pops.  A full ring drops the transfer and counts an
+    overrun — an async USB callback must never block (the reference resets
+    its elastic buffer the same way, rx_airspy.cpp:266-276)."""
+
+    sample_rate = 10.0e6
+    GAIN_MIN, GAIN_MAX = 0, 21   # sensitivity-gain index range
+
+    def __init__(self, lib_path: str | None = None,
+                 ring_samples: int = 1 << 22):
+        self.lib = (ctypes.CDLL(lib_path) if lib_path
+                    else _load("T2_AIRSPY_LIB", ["airspy"], "AirSpy"))
+        L = self.lib
+        L.airspy_list_devices.argtypes = [ctypes.POINTER(ctypes.c_uint64),
+                                          ctypes.c_int]
+        L.airspy_open_sn.argtypes = [ctypes.POINTER(ctypes.c_void_p),
+                                     ctypes.c_uint64]
+        L.airspy_set_sample_type.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        L.airspy_set_samplerate.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+        L.airspy_set_rf_bias.argtypes = [ctypes.c_void_p, ctypes.c_uint8]
+        L.airspy_set_sensitivity_gain.argtypes = [ctypes.c_void_p,
+                                                  ctypes.c_uint8]
+        L.airspy_set_freq.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+        L.airspy_start_rx.argtypes = [ctypes.c_void_p, _AIRSPY_CB,
+                                      ctypes.c_void_p]
+        L.airspy_stop_rx.argtypes = [ctypes.c_void_p]
+        L.airspy_is_streaming.argtypes = [ctypes.c_void_p]
+        L.airspy_close.argtypes = [ctypes.c_void_p]
+        for fn in ("airspy_list_devices", "airspy_open_sn",
+                   "airspy_set_sample_type", "airspy_set_samplerate",
+                   "airspy_set_rf_bias", "airspy_set_sensitivity_gain",
+                   "airspy_set_freq", "airspy_start_rx", "airspy_stop_rx",
+                   "airspy_is_streaming", "airspy_close"):
+            getattr(L, fn).restype = ctypes.c_int
+        self._dev = ctypes.c_void_p(None)
+        self._ring = None
+        self._ring_samples = ring_samples
+        self.rf_hz = 0.0
+        self.gain = 10
+        self.overruns = 0
+        self.dropped_samples = 0
+        self._started = False
+        self._lock = threading.Lock()
+        # the trampoline must outlive the stream: libairspy holds the raw
+        # function pointer
+        self._cb = _AIRSPY_CB(self._on_transfer)
+
+    def init(self, frequency_hz: float, gain_db: float = 0.0) -> None:
+        L = self.lib
+        serials = (ctypes.c_uint64 * 4)()
+        count = L.airspy_list_devices(serials, 4)
+        if count <= 0:
+            raise RuntimeError("no AirSpy device found")
+        err = L.airspy_open_sn(ctypes.byref(self._dev), serials[0])
+        if err:
+            raise RuntimeError(f"airspy_open_sn: {err}")
+        for call, val in ((L.airspy_set_sample_type,
+                           _AIRSPY_SAMPLE_INT16_IQ),
+                          (L.airspy_set_samplerate,
+                           int(self.sample_rate)),
+                          (L.airspy_set_rf_bias, 0)):
+            err = call(self._dev, val)
+            if err:
+                raise RuntimeError(f"airspy init call failed: {err}")
+        self.rf_hz = float(frequency_hz)
+        if self.rf_hz:
+            L.airspy_set_freq(self._dev, int(self.rf_hz))
+        self.gain = int(np.clip(round(gain_db), self.GAIN_MIN,
+                                self.GAIN_MAX))
+        L.airspy_set_sensitivity_gain(self._dev, self.gain)
+        from .. import native
+        self._ring = native.IQRing(self._ring_samples)
+
+    def _on_transfer(self, transfer) -> int:
+        t = transfer.contents
+        if not t.samples or t.sample_count <= 0:
+            return 0
+        n16 = 2 * t.sample_count
+        raw = np.ctypeslib.as_array(
+            ctypes.cast(t.samples, ctypes.POINTER(ctypes.c_int16)),
+            shape=(n16,))
+        if t.dropped_samples:
+            self.dropped_samples += int(t.dropped_samples)
+        # AirSpy INT16 mode delivers 12-bit-scaled samples; the native
+        # ring converts while copying (ring_push_int16, ingest.cpp)
+        took = self._ring.push_int16(raw, scale=1.0 / 2048.0)
+        if took < t.sample_count:
+            self.overruns += 1
+        return 0
+
+    def start(self) -> None:
+        if not self._started:
+            err = self.lib.airspy_start_rx(self._dev, self._cb, None)
+            if err:
+                raise RuntimeError(f"airspy_start_rx: {err}")
+            self._started = True
+
+    def read_block(self, n: int) -> np.ndarray | None:
+        if self._ring is None:
+            return None
+        self.start()
+        out = []
+        have = 0
+        while have < n:
+            got = self._ring.pop(n - have)
+            if len(got):
+                out.append(got)
+                have += len(got)
+                continue
+            if not self.lib.airspy_is_streaming(self._dev):
+                # stream ended: drain whatever raced in, then EOF
+                got = self._ring.pop(n - have)
+                if len(got):
+                    out.append(got)
+                    have += len(got)
+                break
+            time.sleep(0.001)
+        if not out:
+            return None
+        return np.concatenate(out)
+
+    def tune(self, frequency_hz: float) -> None:
+        self.rf_hz = float(frequency_hz)
+        self.lib.airspy_set_freq(self._dev, int(self.rf_hz))
+
+    def apply(self, est: SignalEstimate) -> None:
+        if est.change_frequency:
+            self.rf_hz += est.coarse_freq_offset
+            self.lib.airspy_set_freq(self._dev, int(self.rf_hz))
+        if est.change_gain:
+            self.gain = int(np.clip(round(self.gain + est.gain_offset / 3.0),
+                                    self.GAIN_MIN, self.GAIN_MAX))
+            self.lib.airspy_set_sensitivity_gain(self._dev, self.gain)
+
+    def stop(self) -> None:
+        if self._started:
+            self.lib.airspy_stop_rx(self._dev)
+            self._started = False
+        if self._dev:
+            self.lib.airspy_close(self._dev)
+            self._dev = ctypes.c_void_p(None)
+        if self._ring is not None:
+            self._ring.close()
+            self._ring = None

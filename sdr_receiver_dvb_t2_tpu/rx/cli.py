@@ -85,6 +85,13 @@ def main(argv=None):
                     help="live terminal dashboard (lock state, SNR, loops, "
                          "TS counters, constellation) — the GUI panels as "
                          "ANSI redraw on stderr")
+    ap.add_argument("--frequency", type=float, default=0.0,
+                    help="RF center frequency in Hz for live front ends "
+                         "(sdr:sdrplay / sdr:airspy / tcp://)")
+    ap.add_argument("--gain", type=float, default=0.0,
+                    help="initial gain for live front ends (mir_sdr gain "
+                         "reduction dB for sdrplay, sensitivity index for "
+                         "airspy; <0 = start in hardware-AGC posture)")
     ap.add_argument("--max-blocks", type=int, default=None)
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="write a jax.profiler device trace of the run "
@@ -118,7 +125,7 @@ def main(argv=None):
             dev = NetworkDevice.from_url(args.input)
         else:
             dev = devices.FileDevice(args.input, args.format)
-        dev.init(frequency_hz=0.0)
+        dev.init(frequency_hz=args.frequency, gain_db=args.gain)
         sink = ts_io.open_sink(args.out)
         if args.device_path:
             from .device_receiver import DeviceT2Receiver

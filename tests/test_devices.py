@@ -63,9 +63,11 @@ def test_file_device_roundtrip(tmp_path):
     np.testing.assert_array_equal(ts, flat[:len(ts)])
 
 
-def test_vendor_device_raises_without_library():
+def test_vendor_device_raises_without_library(monkeypatch):
+    monkeypatch.delenv("T2_MIR_SDR_LIB", raising=False)
+    from sdr_receiver_dvb_t2_tpu.io import vendor
     with pytest.raises(RuntimeError, match="vendor library"):
-        devices.SdrplayDevice()
+        vendor.SdrplayDevice()
 
 
 def test_signal_estimate_gain_step():
