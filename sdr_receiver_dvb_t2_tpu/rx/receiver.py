@@ -109,11 +109,20 @@ class T2Receiver:
             stats.l1_failures += 1
             return ReceiveResult(ts=np.zeros(0, np.uint8), stats=stats)
 
-        # full first-frame demod with correct params, parse L1-post
-        if p1.start + params.frame_samples > len(x):
-            stats.l1_failures += 1
-            return ReceiveResult(ts=np.zeros(0, np.uint8), stats=stats,
-                                 params=params, l1pre=l1pre)
+        # full first-frame demod with correct params, parse L1-post.
+        # The P1 correlator peak can land a sample or two late; when the
+        # capture ends exactly at the frame grid that overshoot would lose
+        # the whole frame — start the FFT windows early instead, which the
+        # guard interval absorbs (same clamp as the streaming tracker,
+        # io.devices.StreamingReceiver.track_one)
+        over = p1.start + params.frame_samples - len(x)
+        if over > 0:
+            if over <= min(32, params.guard_size // 2) and p1.start >= over:
+                p1.start -= over
+            else:
+                stats.l1_failures += 1
+                return ReceiveResult(ts=np.zeros(0, np.uint8), stats=stats,
+                                     params=params, l1pre=l1pre)
         body = p1.start + rxp1.P1_LEN
         carriers = rxdemod.extract_carriers(params, x, body)
         dres = rxdemod.equalize_frame(params, carriers)
@@ -243,8 +252,14 @@ class T2Receiver:
         if scan is None:
             return None
         params, l1pre = scan
-        if p1.start + params.frame_samples > len(x):
-            return None
+        over = p1.start + params.frame_samples - len(x)
+        if over > 0:
+            # P1-peak jitter at the very end of the buffer: start the FFT
+            # windows early, the guard interval absorbs it
+            if over <= min(32, params.guard_size // 2) and p1.start >= over:
+                p1.start -= over
+            else:
+                return None
         carriers = rxdemod.extract_carriers(params, x,
                                             p1.start + rxp1.P1_LEN)
         dres = rxdemod.equalize_frame(params, carriers)

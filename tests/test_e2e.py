@@ -354,6 +354,54 @@ def test_e2e_type2_plps_sub_sliced():
             assert pkt.tobytes() in src
 
 
+# EN 302 755 table-54/55-legal mode combos covering EVERY pilot pattern,
+# extended-carrier operation, and MISO on a PP != 1 pattern — the modes
+# where per-PP amplitude/CP-set bugs hide (pilot_generator.cpp:376-2166,
+# dvbt2_definition.cpp:161-648).  PP1/PP3 are covered by the tests above.
+_PP_MATRIX = [
+    ("pp2_16k", FFTMode.FFT_16K, GuardInterval.GI_1_8, PilotPattern.PP2,
+     False, False, 6),
+    ("pp4_8k", FFTMode.FFT_8K, GuardInterval.GI_1_32, PilotPattern.PP4,
+     False, False, 9),
+    ("pp4_8k_ext", FFTMode.FFT_8K, GuardInterval.GI_1_32, PilotPattern.PP4,
+     True, False, 9),
+    ("pp5_16k", FFTMode.FFT_16K, GuardInterval.GI_1_16, PilotPattern.PP5,
+     False, False, 6),
+    ("pp6_32k", FFTMode.FFT_32K, GuardInterval.GI_1_32, PilotPattern.PP6,
+     False, False, 4),
+    ("pp6_32k_ext", FFTMode.FFT_32K, GuardInterval.GI_1_32,
+     PilotPattern.PP6, True, False, 4),
+    ("pp7_8k", FFTMode.FFT_8K, GuardInterval.GI_1_128, PilotPattern.PP7,
+     False, False, 9),
+    ("pp8_8k", FFTMode.FFT_8K, GuardInterval.GI_1_16, PilotPattern.PP8,
+     False, False, 18),
+    ("pp2_8k_miso", FFTMode.FFT_8K, GuardInterval.GI_1_8, PilotPattern.PP2,
+     False, True, 9),
+]
+
+
+@pytest.mark.parametrize("name,fft,gi,pp,ext,miso,n_data", _PP_MATRIX,
+                         ids=[c[0] for c in _PP_MATRIX])
+def test_e2e_pilot_pattern_matrix(name, fft, gi, pp, ext, miso, n_data):
+    """Blind-acquisition loopback (mode scan included) across the full
+    pilot-pattern set, extended carriers and MISO on PP2: TS bit-exact."""
+    from sdr_receiver_dvb_t2_tpu.dvbt2.params import Preamble
+    p = T2Params(fft_mode=fft, guard=gi, pilot_pattern=pp,
+                 extended_carrier=ext, n_data=n_data, miso=miso,
+                 preamble=Preamble.T2_MISO if miso else Preamble.T2_SISO)
+    plp = PLPParams(constellation=Constellation.QAM16, rate=CodeRate.C1_2,
+                    fec_frame=FECFrame.SHORT, num_blocks_max=2,
+                    time_il_length=1)
+    flat, res = run_loopback(p, plp, n_frames=1)
+    assert res.stats.frames_decoded == 1
+    assert res.stats.ts_errors == 0
+    assert res.params.pilot_pattern == pp
+    assert res.params.extended_carrier == ext
+    assert res.params.miso == miso
+    assert len(res.ts) >= 4 * 188
+    np.testing.assert_array_equal(res.ts, flat[:len(res.ts)])
+
+
 @pytest.mark.parametrize("fft_mode,gi,pp,n_data", [
     (FFTMode.FFT_2K, GuardInterval.GI_1_16, PilotPattern.PP3, 16),
     (FFTMode.FFT_4K, GuardInterval.GI_1_16, PilotPattern.PP3, 10),
