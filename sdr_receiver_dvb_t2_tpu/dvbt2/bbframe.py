@@ -302,6 +302,34 @@ class TSAssembler:
     _buf: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))
     _prev_crc: int | None = None   # expected replaced-sync byte; None=unknown
     _lost: bool = True             # not yet locked to a UP boundary
+    _subs: dict = field(default_factory=dict)   # plp_id -> sub-assembler
+    _last_idx: int | None = None   # index of OUR newest packet in `packets`
+
+    def stream(self, key) -> "TSAssembler":
+        """Per-PLP sub-assembler: each PLP is an independent TS byte
+        stream (clause 5.1) — pushing two PLPs' BB frames through ONE
+        framer corrupts the UP/SYNCD chain of both.  The sub shares the
+        parent's `packets` list (a chronological remux, what the
+        single-TS sink consumes) but keeps its OWN framing state
+        (_buf/_prev_crc/_lost/hem).  key=None returns the parent itself
+        (the single-PLP fast path).  Counters stay per-sub; read
+        aggregate totals via error_count()/packet_count() on the parent.
+        Mirrors the reference's per-PLP bb_de_header instances
+        (dvbt2_demodulator.cpp: one decode chain per selected PLP)."""
+        if key is None:
+            return self
+        a = self._subs.get(key)
+        if a is None:
+            a = TSAssembler()
+            a.packets = self.packets
+            self._subs[key] = a
+        return a
+
+    def error_count(self) -> int:
+        return self.errors + sum(a.errors for a in self._subs.values())
+
+    def resync_count(self) -> int:
+        return self.resyncs + sum(a.resyncs for a in self._subs.values())
 
     def push(self, frame_bits: np.ndarray) -> None:
         self.push_bytes(np.packbits(np.asarray(frame_bits, np.uint8)))
@@ -430,16 +458,19 @@ class TSAssembler:
             payloads = ups[:, 1:]
             crcs = crc8_rows(payloads)
             block[:, 1:] = payloads
-            if (self._prev_crc is not None and self.packets
+            if (self._prev_crc is not None and self._last_idx is not None
                     and int(crc_bytes[0]) != self._prev_crc):
                 self.errors += 1
-                self.packets[-1][1] |= 0x80
+                # OUR previous packet, not the shared list's tail (another
+                # PLP's sub may have appended since)
+                self.packets[self._last_idx][1] |= 0x80
             bad = np.nonzero(crc_bytes[1:] != crcs[:-1])[0]
             if len(bad):
                 self.errors += len(bad)
                 block[bad, 1] |= 0x80
             self._prev_crc = int(crcs[-1])
         self.packets.extend(block)
+        self._last_idx = len(self.packets) - 1
 
     def _flush_partial(self) -> None:
         """Emit an interrupted packet 0xF0-padded with TEI set (the reference
@@ -454,6 +485,7 @@ class TSAssembler:
             pkt[1] |= 0x80
             self.errors += 1
             self.packets.append(pkt)
+            self._last_idx = len(self.packets) - 1
         self._buf = np.zeros(0, np.uint8)
         self._prev_crc = None
 

@@ -449,7 +449,7 @@ class StreamingReceiver:
             if on_block is None:
                 return
             st.ts_packets = len(assembler.packets)
-            st.ts_errors = assembler.errors
+            st.ts_errors = assembler.error_count()
             st.frames_decoded = rxstats.frames_decoded
             st.cfo_hz = chain.freq_hz + total_retuned
             st.sco_ppm = (chain.ratio / base_ratio - 1.0) * 1e6
@@ -665,7 +665,7 @@ class StreamingReceiver:
         st.l1_failures = rxstats.l1_failures
         st.snr_db.extend(rxstats.snr_db)
         st.timing.extend(rxstats.timing_offset)
-        st.ts_errors = assembler.errors
+        st.ts_errors = assembler.error_count()
         st.ts_packets = len(assembler.packets)
         st.ts_bytes = len(assembler.packets) * 188
         st.cfo_hz = chain.freq_hz + total_retuned

@@ -43,14 +43,25 @@ class DeviceT2Receiver(T2Receiver):
         self._nvar: float | None = None
 
     def _get_path(self, params: T2Params, plp: PLPParams, num_blocks: int,
-                  l1_cells: int, start_cell: int):
-        key = (params, plp, num_blocks, l1_cells, start_cell)
+                  l1_cells: int, start_cell: int, sub_slices: int = 1,
+                  slice_interval: int = 0):
+        key = (params, plp, num_blocks, l1_cells, start_cell,
+               sub_slices, slice_interval)
         if key not in self._paths:
             demod = fusedpath.get_fused_demod(params)
             self._paths[key] = fusedpath.FusedPLPPath(
                 params, plp, num_blocks, demod,
-                plp_start_cell=start_cell, l1_cells=l1_cells)
+                plp_start_cell=start_cell, l1_cells=l1_cells,
+                sub_slices=sub_slices, slice_interval=slice_interval)
         return self._paths[key]
+
+    @staticmethod
+    def _slicing(plp: PLPParams, l1post):
+        """(sub_slices, slice_interval) of a PLP under the decoded dynamic
+        (type-2 round-robin slice switching, clause 8.3.6.3)."""
+        ss = plp.sub_slices if plp.plp_type == 2 else 1
+        iv = l1post.dyn.sub_slice_interval if ss > 1 else 0
+        return ss, iv
 
     def _get_decoder(self, plp: PLPParams, batch: int):
         from ..ops import ldpc_pallas as qldpc
@@ -79,15 +90,16 @@ class DeviceT2Receiver(T2Receiver):
                     code, iters=self.ldpc_max_iters, dtype="bfloat16"))
         return self._decoders[key]
 
-    def _get_mf_path(self, params, plp, num_blocks, n_frames, l1_cells,
-                     start_cell):
-        key = (params, plp, num_blocks, n_frames, l1_cells, start_cell)
+    def _get_mf_path(self, params, specs, n_frames, l1_cells):
+        """specs: tuple of (plp, num_blocks, start_cell, sub_slices,
+        slice_interval) — ALL PLPs decoded by one superstep."""
+        key = (params, specs, n_frames, l1_cells)
         if key not in self._mf_paths:
             import jax.numpy as jnp
             self._mf_paths[key] = fusedpath.MultiFramePath(
-                params, plp, num_blocks, n_frames, llr_dtype=jnp.bfloat16,
-                emit_l1=True, emit_evm=True,
-                plp_start_cell=start_cell, l1_cells=l1_cells)
+                params, n_frames=n_frames, llr_dtype=jnp.bfloat16,
+                emit_l1=True, emit_evm=True, l1_cells=l1_cells,
+                plp_specs=list(specs))
         return self._mf_paths[key]
 
     def _track_inband(self, plp, frames_bytes, pstat, dyn) -> None:
@@ -117,10 +129,14 @@ class DeviceT2Receiver(T2Receiver):
                             assembler, stats) -> int:
         """Decode len(frame_starts) frames in ONE MultiFramePath superstep
         (the F-frame batched pipeline bench.py measures, wired into the
-        streaming loop).  Assumes the last seen L1-dynamic (CCM single-PLP
-        steady state); each frame's actual L1 is parsed from the superstep's
-        emitted L1 cells and any frame whose dynamic differs is re-decoded
-        through the per-frame path.  Returns frames decoded.
+        streaming loop).  Assumes the last seen L1-dynamic (constant
+        scheduling steady state) for ALL active PLPs — multi-PLP frames,
+        including type-2 sub-sliced ones, decode in the same superstep
+        (the reference's slice switching at rate,
+        time_deinterleaver.cpp:354-366); each frame's actual L1 is parsed
+        from the superstep's emitted L1 cells and any frame whose dynamic
+        differs is re-decoded through the per-frame path.  Returns frames
+        decoded.
 
         The noise variance driving the LLR scale comes from the PREVIOUS
         superstep's device-computed EVM (emit_evm) — the streaming analogue
@@ -133,17 +149,22 @@ class DeviceT2Receiver(T2Receiver):
         n = len(frame_starts)
         l1post = self._last_l1post
         self.last_batch_failures = 0
-        if (l1post is None or self._nvar is None or len(plps) != 1
-                or len(l1post.dyn.plp) != 1
-                or l1post.dyn.plp[0].num_blocks == 0):
+        if (l1post is None or self._nvar is None
+                or len(l1post.dyn.plp) != len(plps)):
             return 0   # steady state not established: per-frame path
-        plp = plps[0]
-        dyn = l1post.dyn.plp[0]
-        if self.plp_filter is not None and dyn.id != self.plp_filter:
+        active = []    # (plp, dyn, sub_slices, slice_interval)
+        for plp, dyn in zip(plps, l1post.dyn.plp):
+            if (self.plp_filter is not None and dyn.id != self.plp_filter) \
+                    or dyn.num_blocks == 0:
+                continue
+            ss, iv = self._slicing(plp, l1post)
+            active.append((plp, dyn, ss, iv))
+        if not active:
             return 0
         l1_size = l1mod.L1_PRE_CELLS + l1pre.l1_post_size
-        mf = self._get_mf_path(params, plp, dyn.num_blocks, n,
-                               l1_size, dyn.start)
+        specs = tuple((plp, dyn.num_blocks, dyn.start, ss, iv)
+                      for plp, dyn, ss, iv in active)
+        mf = self._get_mf_path(params, specs, n, l1_size)
         blen = params.len_frame * params.symbol_size
         bodies = np.empty((n, blen, 2), np.float32)
         for i, fs in enumerate(frame_starts):
@@ -152,22 +173,30 @@ class DeviceT2Receiver(T2Receiver):
             bodies[i, :, 1] = np.imag(b)
         inv = jnp.float32(1.0 / max(self._nvar, 1e-4))
         llrs, l1c, evm = mf._fn(jnp.asarray(bodies), inv)
+        if not mf.multi:
+            llrs = (llrs,)
         l1c = np.asarray(l1c)
         evm = np.asarray(evm)
         self._nvar = float(np.mean(evm))
-        pstat = stats.plp_stats.setdefault(dyn.id,
-                                           rxdecode.PLPDecodeStats())
-        kind, dec = self._get_decoder(plp, dyn.num_blocks)
-        fec = plp.fec
-        lf = jnp.transpose(llrs, (2, 0, 1))     # (F, N, nb)
+        # (F, N, nb) per PLP so per-frame slices are leading-axis reads
+        lfs = [jnp.transpose(ll, (2, 0, 1)) for ll in llrs]
+
+        def dyn_matches(l1p_i):
+            if len(l1p_i.dyn.plp) != len(l1post.dyn.plp):
+                return False
+            if l1p_i.dyn.sub_slice_interval != l1post.dyn.sub_slice_interval:
+                return False
+            return all(di.id == dj.id and di.start == dj.start
+                       and di.num_blocks == dj.num_blocks
+                       for di, dj in zip(l1p_i.dyn.plp, l1post.dyn.plp))
+
         for i in range(n):
             head = l1c[l1mod.L1_PRE_CELLS:l1_size, i, 0] \
                 + 1j * l1c[l1mod.L1_PRE_CELLS:l1_size, i, 1]
             stats.last_cells = head[:1024]
             stats.last_cells_label = "L1-post cells (eq, device)"
             l1p_i = l1mod.l1post_decode_hard(head, l1pre)
-            if l1p_i is None or l1p_i.dyn.plp[0].start != dyn.start \
-                    or l1p_i.dyn.plp[0].num_blocks != dyn.num_blocks:
+            if l1p_i is None or not dyn_matches(l1p_i):
                 # scheduling changed (or L1 corrupt): exact per-frame path
                 ok = self._decode_frame(x, frame_starts[i], params, plps,
                                         l1pre, None, assembler, stats)
@@ -178,19 +207,33 @@ class DeviceT2Receiver(T2Receiver):
                     self.last_batch_failures += 1
                 continue
             self._last_l1post = l1p_i
-            if kind == "nb_adaptive":
-                bits_t, iters = dec(lf[i])
-                bits = np.asarray(bits_t).T
-                pstat.ldpc_iters.append(int(iters))
-            elif kind == "nb":
-                bits = np.asarray(dec(lf[i])).T
-            else:
-                bits = np.asarray(dec(jnp.transpose(lf[i])))
-            bb = fec_device.bch_correct_batch(plp, bits[:, :fec.n_bch],
-                                              pstat)
-            frames_bytes = np.packbits(bbframe.scramble(bb), axis=1)
-            assembler.push_frames(frames_bytes)
-            self._track_inband(plp, frames_bytes, pstat, dyn)
+            for (plp, dyn, _, _), lf in zip(active, lfs):
+                pstat = stats.plp_stats.setdefault(
+                    dyn.id, rxdecode.PLPDecodeStats())
+                kind, dec = self._get_decoder(plp, dyn.num_blocks)
+                if kind == "nb_adaptive":
+                    bits_t, iters = dec(lf[i])
+                    bits = np.asarray(bits_t).T
+                    pstat.ldpc_iters.append(int(iters))
+                elif kind == "nb":
+                    bits = np.asarray(dec(lf[i])).T
+                else:
+                    bits = np.asarray(dec(jnp.transpose(lf[i])))
+                fec = plp.fec
+                bb = fec_device.bch_correct_batch(plp, bits[:, :fec.n_bch],
+                                                  pstat)
+                frames_bytes = np.packbits(bbframe.scramble(bb), axis=1)
+                # per-PLP framing state: each PLP is its own TS byte stream
+                assembler.stream(dyn.id if len(plps) > 1 else None
+                                 ).push_frames(frames_bytes)
+                self._track_inband(plp, frames_bytes, pstat, dyn)
+            for plp, dyn in zip(plps, l1post.dyn.plp):
+                # PLPs skipped this frame (filtered / zero blocks): clear
+                # their in-band entries so a later frame is never checked
+                # against an older frame's next-frame schedule
+                if plp.in_band_a and not any(
+                        d is dyn for _, d, _, _ in active):
+                    self._inband_prev[dyn.id] = None
             stats.snr_db.append(float(-10.0 * np.log10(
                 max(float(evm[i]), 1e-12))))
             stats.timing_offset.append(0.0)
@@ -260,8 +303,9 @@ class DeviceT2Receiver(T2Receiver):
                 continue
             pstat = stats.plp_stats.setdefault(
                 dyn.id, rxdecode.PLPDecodeStats())
+            ss, iv = self._slicing(plp, l1post)
             path = self._get_path(params, plp, dyn.num_blocks,
-                                  l1_size, dyn.start)
+                                  l1_size, dyn.start, ss, iv)
             # noise estimate from the L1 cells' EVM (unrotated, no cyclic
             # Q-delay — the PLP cells here are still interleaved, so a
             # constellation EVM on them would mispair I/Q)
@@ -287,7 +331,8 @@ class DeviceT2Receiver(T2Receiver):
             bb = fec_device.bch_correct_batch(plp, bits[:, :fec.n_bch],
                                               pstat)
             frames_bytes = np.packbits(bbframe.scramble(bb), axis=1)
-            assembler.push_frames(frames_bytes)
+            assembler.stream(dyn.id if len(plps) > 1 else None
+                             ).push_frames(frames_bytes)
             self._track_inband(plp, frames_bytes, pstat, dyn)
         stats.snr_db.append(float(snr_seen) if snr_seen is not None
                             else 30.0)

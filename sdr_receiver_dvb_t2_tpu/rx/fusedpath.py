@@ -352,7 +352,8 @@ class FusedPLPPath:
 
     def __init__(self, p: T2Params, plp: PLPParams, num_blocks: int,
                  demod: FusedFrameDemod, plp_start_cell: int = 0,
-                 l1_cells: int | None = None):
+                 l1_cells: int | None = None, sub_slices: int = 1,
+                 slice_interval: int = 0):
         self.plp = plp
         self.num_blocks = num_blocks
         cpf = plp.cells_per_fec_block
@@ -370,9 +371,19 @@ class FusedPLPPath:
         if l1_cells is None:
             pre, _ = l1mod.build_l1(p, [plp])
             l1_cells = l1mod.L1_PRE_CELLS + pre.l1_post_size
+        # plain-cell position of PLP-stream cell j: type-2 PLPs are cut
+        # into sub_slices round-robin slices `slice_interval` cells apart
+        # (the reference's slice switching, time_deinterleaver.cpp:354-366)
+        n_cells = num_blocks * cpf
+        j = np.arange(n_cells, dtype=np.int64)
+        if sub_slices > 1:
+            ln = n_cells // sub_slices
+            substream = (plp_start_cell + (j // ln) * slice_interval
+                         + (j % ln))
+        else:
+            substream = plp_start_cell + j
         # compose: plain cell i <- class-flat position
-        self.comp = demod.layout[l1_cells + plp_start_cell + ti].astype(
-            np.int32)
+        self.comp = demod.layout[l1_cells + substream[ti]].astype(np.int32)
         fec = plp.fec
         addr = interleavers.bit_interleaver_perm(plp.constellation,
                                                 plp.fec_frame, plp.rate)
@@ -453,16 +464,23 @@ class MultiFramePath:
     per-frame signalling parse and the mean min-distance EVM (the blind
     noise/SNR estimate, llr_demapper.cpp:184-196) feeding the next
     superstep's inv_nvar — what the streaming device path consumes.
+
+    Multi-PLP: pass `plp_specs` = [(plp, num_blocks, start_cell,
+    sub_slices, slice_interval), ...] to decode every PLP of the frame
+    batch in the SAME superstep — the one demod feeds each PLP's composed
+    gather + LLR tail (the reference's multi-PLP slice switching at rate,
+    time_deinterleaver.cpp:354-366).  The llrs result becomes a tuple of
+    per-PLP (n_ldpc_p, nb_p, F) arrays and the EVM is cell-weighted over
+    all PLPs.
     """
 
-    def __init__(self, p: T2Params, plp: PLPParams, num_blocks: int,
-                 n_frames: int, llr_dtype=jnp.float32,
+    def __init__(self, p: T2Params, plp: PLPParams | None = None,
+                 num_blocks: int = 0,
+                 n_frames: int = 1, llr_dtype=jnp.float32,
                  emit_l1: bool = False, emit_evm: bool = False,
                  plp_start_cell: int = 0, l1_cells: int | None = None,
-                 demod_dtype=None):
+                 demod_dtype=None, plp_specs=None):
         self.p = p
-        self.plp = plp
-        self.num_blocks = num_blocks
         self.n_frames = n_frames
         self.llr_dtype = llr_dtype
         # demod compute/storage dtype: bf16 halves the HBM traffic of the
@@ -472,38 +490,48 @@ class MultiFramePath:
         self.emit_l1 = emit_l1
         self.emit_evm = emit_evm
         self.demod = get_fused_demod(p)
-        if plp_start_cell == 0 and l1_cells is None:
-            self.single = get_fused_plp_path(p, plp, num_blocks)
-        else:
-            self.single = FusedPLPPath(p, plp, num_blocks, self.demod,
-                                       plp_start_cell=plp_start_cell,
-                                       l1_cells=l1_cells)
+        self.multi = plp_specs is not None
+        if plp_specs is None:
+            plp_specs = [(plp, num_blocks, plp_start_cell, 1, 0)]
+        self.specs = list(plp_specs)
+        self.plp = self.specs[0][0]
+        self.num_blocks = self.specs[0][1]
         if l1_cells is not None:
             self.l1_size = l1_cells
         else:
             from ..dvbt2 import l1 as l1mod
-            pre, _ = l1mod.build_l1(p, [plp])
+            pre, _ = l1mod.build_l1(p, [s[0] for s in self.specs])
             self.l1_size = l1mod.L1_PRE_CELLS + pre.l1_post_size
+        self.paths = []
+        for (pl, nb, sc, ss, iv) in self.specs:
+            if sc == 0 and ss == 1 and l1_cells is None \
+                    and len(self.specs) == 1:
+                self.paths.append(get_fused_plp_path(p, pl, nb))
+            else:
+                self.paths.append(FusedPLPPath(
+                    p, pl, nb, self.demod, plp_start_cell=sc,
+                    l1_cells=self.l1_size, sub_slices=ss,
+                    slice_interval=iv))
+        self.single = self.paths[0]
         self._fn = jax.jit(self._build())
 
-    def _build(self):
-        p = self.p
-        plp = self.plp
+    def _make_tail(self, path: FusedPLPPath):
+        """Per-PLP LLR tail: class-flat planar rows -> (n_ldpc, nb, F)
+        LLRs + per-frame mean min distance (EVM)."""
+        plp = path.plp
+        nb = path.num_blocks
         f = self.n_frames
-        nb = self.num_blocks
         cpf = plp.cells_per_fec_block
         m = plp.bits_per_cell
         half = m // 2
-        classes = self.demod.classes
         # cell-major ordering of the composed PLP permutation so the LLR
         # pipeline keeps (nb, F) minor and never transposes them
-        comp_cm = self.single.comp.reshape(nb, cpf).T.reshape(-1)
-        bit_inv = self.single.bit_inv
+        comp_cm = path.comp.reshape(nb, cpf).T.reshape(-1)
+        bit_inv = path.bit_inv
         llr_dtype = self.llr_dtype
         # python-float constants keep weak typing so bf16 stays bf16
-        rot_re = float(np.real(self.single.rot))
-        rot_im = float(np.imag(self.single.rot))
-        dd = self.demod_dtype
+        rot_re = float(np.real(path.rot))
+        rot_im = float(np.imag(path.rot))
         from ..dvbt2.tables import NORM_FACTOR, _gray_levels
         levels = [float(v) for v in
                   _gray_levels(m) * NORM_FACTOR[plp.constellation]]
@@ -535,6 +563,38 @@ class MultiFramePath:
             # hold the unconditional min distance (per-axis EVM), free here
             mind = jnp.minimum(acc0[0], acc1[0])
             return llrs, mind
+
+        def tail(fr, fi_, inv_nvar):
+            re = fr[comp_cm].reshape(cpf, nb, f)   # planar row gathers
+            im = fi_[comp_cm].reshape(cpf, nb, f)
+            if plp.rotated:
+                im = jnp.roll(im, -1, axis=0)      # cyclic Q-delay per block
+                re, im = (re * rot_re - im * rot_im,
+                          re * rot_im + im * rot_re)
+            li, mi_ = axis_llrs(re, inv_nvar)      # (half, cpf, nb, F) bf16
+            lq, mq_ = axis_llrs(im, inv_nvar)
+            v = jnp.stack([li, lq], axis=1)        # (half, 2, cpf, nb, F)
+            # cell-word bit order y0(I),y1(Q),y2(I)...: (nb, F) stays minor
+            v = jnp.transpose(v, (2, 0, 1, 3, 4))  # (cpf, half, 2, nb, F)
+            v = v.reshape(cpf * m, nb, f)
+            out = v[bit_inv]                       # row gather (n_ldpc,nb,F)
+            evm = (jnp.mean(mi_.astype(jnp.float32), axis=(0, 1))
+                   + jnp.mean(mq_.astype(jnp.float32), axis=(0, 1)))
+            return out, evm                        # evm: (F,)
+
+        return tail
+
+    def _build(self):
+        p = self.p
+        f = self.n_frames
+        classes = self.demod.classes
+        dd = self.demod_dtype
+        tails = [self._make_tail(pa) for pa in self.paths]
+        # cell-count weights for the cross-PLP EVM average
+        wts = np.array([pa.num_blocks * pa.plp.cells_per_fec_block
+                        for pa in self.paths], np.float64)
+        wts = (wts / wts.sum()).tolist()
+        multi = self.multi
 
         emit_l1 = self.emit_l1
         emit_evm = self.emit_evm
@@ -589,28 +649,19 @@ class MultiFramePath:
                 outs_i.append(eqi.reshape(-1, f))
             fr = jnp.concatenate(outs_r, axis=0)   # (total, F)
             fi_ = jnp.concatenate(outs_i, axis=0)
-            re = fr[comp_cm].reshape(cpf, nb, f)   # planar row gathers
-            im = fi_[comp_cm].reshape(cpf, nb, f)
-            if plp.rotated:
-                im = jnp.roll(im, -1, axis=0)      # cyclic Q-delay per block
-                re, im = (re * rot_re - im * rot_im,
-                          re * rot_im + im * rot_re)
-            li, mi_ = axis_llrs(re, inv_nvar)      # (half, cpf, nb, F) bf16
-            lq, mq_ = axis_llrs(im, inv_nvar)
-            v = jnp.stack([li, lq], axis=1)        # (half, 2, cpf, nb, F)
-            # cell-word bit order y0(I),y1(Q),y2(I)...: (nb, F) stays minor
-            v = jnp.transpose(v, (2, 0, 1, 3, 4))  # (cpf, half, 2, nb, F)
-            v = v.reshape(cpf * m, nb, f)
-            out = v[bit_inv]                       # row gather (n_ldpc,nb,F)
+            outs, evms = [], []
+            for w, tail in zip(wts, tails):
+                out_p, evm_p = tail(fr, fi_, inv_nvar)
+                outs.append(out_p)
+                evms.append(evm_p * w)
+            out = tuple(outs) if multi else outs[0]
             if not (emit_l1 or emit_evm):
                 return out
             res = [out]
             if emit_l1:
                 res.append(jnp.stack([fr[l1_rows], fi_[l1_rows]], axis=-1))
             if emit_evm:
-                evm = (jnp.mean(mi_.astype(jnp.float32), axis=(0, 1))
-                       + jnp.mean(mq_.astype(jnp.float32), axis=(0, 1)))
-                res.append(evm)                    # (F,)
+                res.append(sum(evms))              # (F,) cell-weighted
             return tuple(res)
 
         return run

@@ -189,7 +189,7 @@ class T2Receiver:
             if (stats.timing_offset and abs(stats.timing_offset[-1]) > 2.0
                     and stats.snr_db[-1] > 10.0):
                 frame_start += int(round(stats.timing_offset[-1]))
-        stats.ts_errors = assembler.errors
+        stats.ts_errors = assembler.error_count()
         stats.ts_packets = len(assembler.packets)
         return ReceiveResult(ts=assembler.ts_bytes(), stats=stats,
                              params=params, l1pre=l1pre, l1post=l1post)
@@ -433,9 +433,10 @@ class T2Receiver:
                 sl = data_cells[dyn.start:dyn.start + n_cells]
             fn = (self.ldpc_decode_fn_factory(plp)
                   if self.ldpc_decode_fn_factory else None)
-            ib = rxdecode.plp_slice_to_ts(plp, sl, dyn.num_blocks,
-                                          assembler, stats=pstat,
-                                          ldpc_decode_fn=fn)
+            ib = rxdecode.plp_slice_to_ts(
+                plp, sl, dyn.num_blocks,
+                assembler.stream(dyn.id if len(plps) > 1 else None),
+                stats=pstat, ldpc_decode_fn=fn)
             if plp.in_band_a:
                 self._inband_prev[dyn.id] = ib
         stats.frames_decoded += 1

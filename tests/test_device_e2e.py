@@ -139,3 +139,36 @@ def test_device_e2e_soft_l1_fallback():
     # at 7 dB QAM16-1/2 payload won't decode, but the receiver must not
     # crash and must report the failure honestly
     assert res.stats.frames_decoded in (0, 1)
+
+
+def test_device_e2e_type2_plps_sub_sliced():
+    """Type-2 sub-sliced PLPs through the DEVICE per-frame path: the
+    FusedPLPPath composed gather must re-assemble the round-robin
+    sub-slices via SUB_SLICE_INTERVAL (clause 8.3.6.3; the reference's
+    slice switching, time_deinterleaver.cpp:354-366) — previously the
+    device path assumed contiguous PLP cells."""
+    p = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                 pilot_pattern=PilotPattern.PP1, extended_carrier=False,
+                 n_data=9)
+    plps = [PLPParams(plp_id=0, constellation=Constellation.QAM16,
+                      rate=CodeRate.C1_2, fec_frame=FECFrame.SHORT,
+                      num_blocks_max=1, time_il_length=1),
+            PLPParams(plp_id=1, constellation=Constellation.QPSK,
+                      rate=CodeRate.C1_2, fec_frame=FECFrame.SHORT,
+                      rotated=False, num_blocks_max=1, time_il_length=1,
+                      plp_type=2, sub_slices=3),
+            PLPParams(plp_id=2, constellation=Constellation.QPSK,
+                      rate=CodeRate.C1_2, fec_frame=FECFrame.SHORT,
+                      rotated=False, num_blocks_max=2, time_il_length=1,
+                      plp_type=2, sub_slices=3)]
+    mod = T2Modulator(p, plps)
+    ts = make_ts(mod.packets_needed(2) + 6, seed=23)
+    out = mod.modulate(ts.reshape(-1), 2)
+    src = {pkt.tobytes() for pkt in ts.reshape(-1, 188)}
+    for pid in (0, 1, 2):
+        res = DeviceT2Receiver(plp_filter=pid).receive(out.samples)
+        assert res.stats.frames_decoded == 2, pid
+        assert len(res.ts) >= 188, pid
+        assert res.stats.ts_errors == 0, pid
+        for pkt in res.ts.reshape(-1, 188):
+            assert pkt.tobytes() in src
