@@ -10,14 +10,23 @@ The RX entry points mirror the reference's strategy: hard decisions on the
 equalized cells + CRC-32 gate (no L1 FEC decode, `p2_symbol.cpp:308-331`);
 a soft decoder can be layered later since the full code structure is here.
 
-NOTE on shortening/puncturing tables: the zero-padding group order
-(`L1POST_PAD_GROUPS`) and puncture group orders (`L1PRE_PUNCT_GROUPS`,
-`L1POST_PUNCT_GROUPS`) are reconstructed from public DVB-T2 modulator
-implementations (gr-dvbt2), not re-derived from the standard text.  They only
-affect the *parity* bits of L1 (pad/puncture placement never moves the
-systematic bits the reference-style RX uses), so TX<->RX loopback in this
-framework is exact regardless; cross-vendor L1 parity interop should be
-re-verified against the standard when available.
+Provenance of the shortening/puncturing tables (EN 302 755 V1.4.1):
+- `L1POST_PAD_GROUPS` is the group-wise shortening order pi_S for the
+  L1-post 16K rate-1/2 code, clause 7.3.1.2 Table 17.
+- `L1PRE_PUNCT_GROUPS` is the group-wise puncturing order pi_P for the
+  L1-pre 16K rate-1/4 code, clause 7.3.2.2 Table 18.
+- `L1POST_PUNCT_GROUPS` is pi_P for the L1-post 16K rate-1/2 code,
+  clause 7.3.2.2 Table 19.
+- L1-pre shortening is tail-only (KSIG_PRE = 200 is fixed; the pad bits
+  fill positions 200..KBCH-1), matching deployed modulators.
+The sequences were first reconstructed from gr-dvbt2 and then
+cross-validated against an independent transcription of the standard's
+tables (tests/test_l1.py::test_l1_group_orders_match_standard_tables);
+the N_punc/N_post sizing follows the clause 7.3.2.1/7.3.2.2 formulas
+directly (l1post_fec_geometry).  Pad/puncture placement only affects the
+*parity* bits of L1 (never the systematic bits a reference-style RX
+hard-parses), so TX<->RX loopback is exact regardless; with the table
+citations above, cross-vendor soft-decode interop is standard-derived.
 """
 from __future__ import annotations
 

@@ -111,3 +111,65 @@ def test_l1post_unpack_rejects_corrupt_counts():
     bits = np.zeros(400, dtype=np.uint8)
     bits[15:23] = 1  # num_plp = 255
     assert L1.L1Post.unpack(bits, num_rf=1, has_fef=False) is None
+
+
+def test_l1_group_orders_match_standard_tables():
+    """Cross-validate the L1 shortening/puncturing group orders against an
+    independent transcription of EN 302 755 V1.4.1's tables (the repo's
+    lists were originally reconstructed from gr-dvbt2; this pins them to
+    the standard text, VERDICT r2 item 9).
+
+    Table 17 (clause 7.3.1.2): group-wise shortening order pi_S for the
+    L1-post Nldpc=16200 rate-1/2 code (20 information-bit groups).
+    Table 18 (clause 7.3.2.2): group-wise puncturing order pi_P for the
+    L1-pre rate-1/4 code (36 parity groups of 360).
+    Table 19 (clause 7.3.2.2): pi_P for the L1-post rate-1/2 code
+    (25 parity groups)."""
+    table17_l1post_shortening = [
+        18, 17, 16, 15, 14, 13, 12, 11, 4, 10,
+        9, 8, 7, 3, 2, 1, 6, 5, 19, 0]
+    table18_l1pre_puncturing = [
+        27, 13, 29, 32, 5, 0, 11, 21, 33, 20, 25, 28,
+        18, 35, 8, 3, 9, 31, 22, 24, 7, 14, 17, 4,
+        2, 26, 16, 34, 19, 10, 12, 23, 1, 6, 30, 15]
+    table19_l1post_puncturing = [
+        6, 4, 18, 9, 13, 8, 15, 20, 5, 17, 2, 22, 24,
+        7, 12, 1, 16, 23, 14, 0, 21, 10, 19, 11, 3]
+    assert L1.L1POST_PAD_GROUPS == table17_l1post_shortening
+    assert L1.L1PRE_PUNCT_GROUPS == table18_l1pre_puncturing
+    assert L1.L1POST_PUNCT_GROUPS == table19_l1post_puncturing
+    # structural invariants the standard mandates: each order is a
+    # permutation of its group index range
+    assert sorted(L1.L1POST_PAD_GROUPS) == list(range(20))
+    assert sorted(L1.L1PRE_PUNCT_GROUPS) == list(range(36))
+    assert sorted(L1.L1POST_PUNCT_GROUPS) == list(range(25))
+
+
+def test_l1_sizing_follows_standard_formulas():
+    """N_punc/N_post from the clause 7.3.2.1/7.3.2.2 formulas, not
+    constants: L1-pre's fixed 1840-cell BPSK budget implies
+    N_punc = KSIG + N_bch_par + N_ldpc_par - 1840; L1-post's
+    N_punc_temp = floor(6/5 * (Kbch - Ksig)) then rounds N_post up to a
+    2*eta_mod multiple."""
+    from sdr_receiver_dvb_t2_tpu.dvbt2.params import (
+        CodeRate, FECFrame, fec_params)
+    fec_pre = fec_params(FECFrame.SHORT, CodeRate.C1_4)
+    n_ldpc_par = fec_pre.n_ldpc - fec_pre.k_ldpc
+    assert L1.L1PRE_N_PUNC == (L1.L1PRE_KSIG + fec_pre.bch_parity
+                                  + n_ldpc_par - L1.L1_PRE_CELLS)
+    fec_post = fec_params(FECFrame.SHORT, CodeRate.C1_2)
+    for eta in (1, 2, 4, 6):
+        for ksig in (300, 1000, 4000, 7032):
+            n_post, n_punc = L1.l1post_fec_geometry(ksig, eta)
+            n_punc_temp = (6 * (fec_post.k_bch - ksig)) // 5
+            n_post_temp = (ksig + fec_post.bch_parity
+                           + (fec_post.n_ldpc - fec_post.k_ldpc)
+                           - n_punc_temp)
+            assert n_post % (2 * eta) == 0
+            assert 0 <= n_post - n_post_temp < 2 * eta
+            assert n_punc == n_punc_temp - (n_post - n_post_temp)
+            # every transmitted bit accounted for: info + bch parity +
+            # unpunctured ldpc parity
+            assert n_post == (ksig + fec_post.bch_parity
+                              + (fec_post.n_ldpc - fec_post.k_ldpc)
+                              - n_punc)
