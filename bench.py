@@ -34,8 +34,9 @@ must stay well under the device superstep time so overlapping it (as the
 streaming receiver does) costs no throughput.  Through the axon tunnel the
 device->host link itself (~0.5 MB/s) cannot carry the BB bytes at rate —
 a test-environment artifact (PCIe does GB/s); the gate instead fetches one
-frame's bytes once for the bit-exact TS check plus running checksums of
-every frame's bytes.
+ROTATING frame's bytes (a different frame slot each run) for the bit-exact
+TS check, plus a device-computed 64-bit hash of EVERY frame's bytes
+compared against the host expectation.
 """
 import argparse
 import functools
@@ -146,35 +147,51 @@ def main():
     bb_pack = fec_device.make_bb_bytes_nb(plp.fec_frame, plp.rate)
 
     kb8 = fec.k_bch // 8
-    wb = ((np.arange(kb8, dtype=np.int64) * 2654435761) % 997
-          ).astype(np.int32)
+    # Per-frame device-side byte hash at CRC strength: every frame's full
+    # descrambled BB bytes fold through TWO independent full-range int32
+    # weight vectors (wrapping mod 2^32) -> a 64-bit hash per frame,
+    # compared against the host-computed expectation for ALL frames.  One
+    # rotating frame per run additionally has its bytes fully extracted
+    # for the bit-exact TS reassembly gate (the ~0.5 MB/s axon tunnel
+    # cannot carry every frame's bytes; over bench runs the rotation
+    # covers all frame slots at byte level).
+    wrng = np.random.default_rng(0xDB72)
+    wb = wrng.integers(-2**31, 2**31, (2, kb8), dtype=np.int64
+                       ).astype(np.int32)
     with np.errstate(over="ignore"):
-        expect_frame = np.int32(
-            (bb_bytes_exp.astype(np.int64).T * wb[:, None]
-             ).astype(np.int32).sum(dtype=np.int32))
+        expect_frame = (
+            bb_bytes_exp.astype(np.int64).T[None] * wb[:, :, None]
+        ).astype(np.int32).sum(axis=(1, 2), dtype=np.int32)  # (2,)
+    gate_frame = int(time.time()) % n_frames
+    print(f"TS byte-extraction frame this run: {gate_frame}/{n_frames}",
+          file=sys.stderr)
+    d_wb = jnp.asarray(wb)
+    d_gf = jnp.int32(gate_frame)  # TRACED: rotation must not recompile
 
-    def one_superstep(bodies, inv_nvar):
-        """-> (per-frame byte checksums (F,), ok counts (F,), total LDPC
-        iterations (), first frame's BB bytes (kb8, B))."""
+    def one_superstep(bodies, inv_nvar, gf):
+        """-> (per-frame 64-bit byte hashes (F, 2), ok counts (F,), total
+        LDPC iterations (), the rotating gate frame's BB bytes (kb8, B))."""
         llrs = mf._fn(bodies, inv_nvar)        # (n_ldpc, nb, F)
         lf = jnp.transpose(llrs, (2, 0, 1))    # frame-major for the decoder
         sums, oks = [], []
         iters_tot = jnp.int32(0)
-        bytes0 = None
+        bytes_g = jnp.zeros((kb8, num_blocks), jnp.int32)
         for fi in range(n_frames):
             bits, it = decode(lf[fi])          # (N, B) uint8, ()
             iters_tot = iters_tot + it
             ok = bch_check(bits[:fec.n_bch])   # (B,) bool, MXU GF(2) gate
             byts = bb_pack(bits)               # (kb8, B) int32 descrambled
-            sums.append(jnp.sum(byts * wb[:, None], dtype=jnp.int32))
+            sums.append(jnp.sum(byts[None] * d_wb[:, :, None],
+                                dtype=jnp.int32, axis=(1, 2)))
             oks.append(jnp.sum(ok.astype(jnp.int32)))
-            if fi == 0:
-                bytes0 = byts
-        return jnp.stack(sums), jnp.stack(oks), iters_tot, bytes0
+            # traced select: the gate frame rotates per RUN without a
+            # recompile (a python `if fi == gate` would bake the slot in)
+            bytes_g = jnp.where(gf == fi, byts, bytes_g)
+        return jnp.stack(sums), jnp.stack(oks), iters_tot, bytes_g
 
     @functools.partial(jax.jit, donate_argnums=0)
-    def step(bodies, inv):
-        sums, oks, iters_tot, bytes0 = one_superstep(bodies, inv)
+    def step(bodies, inv, gf):
+        sums, oks, iters_tot, bytes0 = one_superstep(bodies, inv, gf)
         s_all = jnp.sum(sums, dtype=jnp.int32)
         # data-dependent feedback forces strictly serial device execution
         return (bodies + s_all.astype(jnp.float32) * 1e-16,
@@ -223,12 +240,14 @@ def main():
         """One superstep; returns (all checksums ok, all BCH ok, iters/frame,
         TS bit-exact on frame 0)."""
         inv = jnp.float32(10.0 ** ((snr_db if snr_db > 0 else 33.0) / 10.0))
-        _, sums, oks, it, bytes0 = step(fresh_bodies(key, snr_db), inv)
-        sums = np.asarray(sums)
+        _, sums, oks, it, bytes0 = step(fresh_bodies(key, snr_db), inv,
+                                        d_gf)
+        sums = np.asarray(sums)                        # (F, 2)
         oks = np.asarray(oks)
-        sums_ok = bool((sums == expect_frame).all())
+        sums_ok = bool((sums == expect_frame[None]).all())
         bch_ok = bool((oks == num_blocks).all())
-        # TS gate: reassemble frame 0's BB bytes -> TS, compare to the input
+        # TS gate: reassemble the rotating gate frame's BB bytes -> TS,
+        # compare to the input
         by0 = np.asarray(bytes0).astype(np.uint8)      # (kb8, B)
         asm = bbframe.TSAssembler()
         asm.push_frames(np.ascontiguousarray(by0.T))
@@ -236,8 +255,9 @@ def main():
         flat = ts.reshape(-1)
         ts_ok = (len(got) >= 100 * 188
                  and np.array_equal(got, flat[:len(got)]))
-        print(f"[{label}] checksums {'ok' if sums_ok else 'FAIL'} "
-              f"(frame0 {sums[0]} expect {expect_frame}); "
+        print(f"[{label}] 64-bit byte hashes {'ok' if sums_ok else 'FAIL'} "
+              f"x{len(sums)} frames (frame0 {sums[0]} expect "
+              f"{expect_frame}); "
               f"BCH clean {oks.min()}..{oks.max()}/{num_blocks}; "
               f"LDPC {float(it)/n_frames:.1f} iters/frame; "
               f"TS bit-exact={ts_ok} ({len(got)} bytes)", file=sys.stderr)
@@ -253,21 +273,30 @@ def main():
         t0 = time.time()
         s = None
         for _ in range(n):
-            b, s, _, _, _ = step(b, inv)
-        int(np.asarray(s)[0])  # forces the whole serial chain
+            b, s, _, _, _ = step(b, inv, d_gf)
+        int(np.asarray(s)[0, 0])  # forces the whole serial chain
         return time.time() - t0
 
     n_samples = p.frame_samples
 
-    def measure(snr_db, label):
-        run_chain(1, snr_db)
-        t2 = run_chain(1, snr_db)
-        t12 = run_chain(6, snr_db)
-        dt = (t12 - t2) / (5 * n_frames)
+    def measure(snr_db, label, reps=3):
+        """Median-of-`reps` chain measurement with spread, so the reported
+        number is reproducible under gate conditions (VERDICT r2 weak #2:
+        never advertise a number the gate doesn't reproduce)."""
+        run_chain(1, snr_db)  # warm
+        dts = []
+        for _ in range(reps):
+            t2 = run_chain(1, snr_db)
+            t12 = run_chain(6, snr_db)
+            dts.append((t12 - t2) / (5 * n_frames))
+        dt = float(np.median(dts))
+        spread = (max(dts) - min(dts)) / dt * 100.0
         msps = n_samples / dt / 1e6
         ldpc_mbps = num_blocks * code.n / dt / 1e6
         x_rt = msps / 9.142857
-        print(f"[{label}] frame {n_samples} samples in {dt*1e3:.2f} ms; "
+        print(f"[{label}] frame {n_samples} samples in {dt*1e3:.2f} ms "
+              f"(median of {reps}, spread {spread:.0f}%: "
+              f"{[f'{d*1e3:.2f}' for d in dts]}); "
               f"LDPC {ldpc_mbps:.0f} Mbit/s coded; {x_rt:.1f}x real time",
               file=sys.stderr)
         return msps, x_rt

@@ -65,6 +65,10 @@ class SDRDevice:
     def apply(self, est: SignalEstimate) -> None:
         """Apply demodulator feedback (retune / AGC / reset)."""
 
+    def flush(self) -> None:
+        """Discard buffered samples (called after a hardware retune so
+        data captured at the old LO is not re-measured)."""
+
     def stop(self) -> None:
         pass
 
@@ -225,14 +229,8 @@ def _airspy_device(*a, **kw):
 
 
 def _pluto_device(*a, **kw):
-    # The reference reaches its Pluto over a custom USB kernel module
-    # (rx_plutosdr.cpp, libplutosdr/); in this framework the Pluto topology
-    # is the remote-radio network front end: run io.net.IQStreamServer on
-    # the machine that owns the radio and connect with tcp://host:port.
-    raise RuntimeError(
-        "direct PlutoSDR USB ingest is not bound; run the radio-side "
-        "daemon (io.net.IQStreamServer) next to the Pluto and use "
-        "t2rx tcp://<radio-host>:<port> --stream instead")
+    from .vendor import PlutoDevice
+    return PlutoDevice(*a, **kw)
 
 
 DEVICES = {"file": FileDevice, "sim": SimulatedDevice,
@@ -338,6 +336,9 @@ class _RingSource:
                 got = self.ring.pop(self.block_len)
                 return got if len(got) else None
             _time.sleep(0.001)
+
+    def flush(self):
+        self.ring.flush()
 
     def close(self):
         self._stop.set()
@@ -642,6 +643,13 @@ class StreamingReceiver:
                 # reference's reset-after-retune
                 dev.apply(SignalEstimate(coarse_freq_offset=pending_retune,
                                          change_frequency=True))
+                # drop every sample captured at the OLD LO (device ring +
+                # reader-thread ring): an async front end can have a deep
+                # backlog whose stale offset would trigger a double retune
+                dev.flush()
+                src_flush = getattr(src, "flush", None)
+                if src_flush is not None:
+                    src_flush()
                 chain.add_frequency(-pending_retune, 0)
                 total_retuned += pending_retune
                 st.retune_requests += 1

@@ -13,8 +13,14 @@ identical read loops run under `StreamingReceiver`:
     start_rx with an async C callback that feeds the native SPSC ring —
     the behavior of rx_airspy.cpp:55-110, 209-277 with the A/B
     double-buffer handoff replaced by the lock-free ring.
+  - `PlutoDevice` — the reference's custom hi-speed libusb driver API
+    (`/root/reference/src/libplutosdr/plutosdr_hi_speed_rx.h`): open with
+    device info, the ordered rfbw/rate/rxlo/gain/channel-enable init of
+    rx_plutosdr.cpp:91-128, and planar-int16 async transfers
+    (rx_plutosdr.cpp:225-251) into the same ring.
 
-The library path can be forced with `T2_MIR_SDR_LIB` / `T2_AIRSPY_LIB`
+The library path can be forced with `T2_MIR_SDR_LIB` / `T2_AIRSPY_LIB` /
+`T2_PLUTOSDR_LIB`
 (used by the test suite to substitute a mock driver built from
 tests/fake_drivers/*.c); otherwise the system library is located with
 ctypes.util.find_library.  `SignalEstimate` feedback is applied between
@@ -339,12 +345,208 @@ class AirspyDevice(SDRDevice):
                                     self.GAIN_MIN, self.GAIN_MAX))
             self.lib.airspy_set_sensitivity_gain(self._dev, self.gain)
 
+    def flush(self) -> None:
+        if self._ring is not None:
+            self._ring.flush()
+
     def stop(self) -> None:
         if self._started:
             self.lib.airspy_stop_rx(self._dev)
             self._started = False
         if self._dev:
             self.lib.airspy_close(self._dev)
+            self._dev = ctypes.c_void_p(None)
+        if self._ring is not None:
+            self._ring.close()
+            self._ring = None
+
+
+class _PlutoInfo(ctypes.Structure):
+    _fields_ = [("serial_number", ctypes.c_ubyte * 2048),
+                ("serial_number_len", ctypes.c_int),
+                ("samples_type", ctypes.c_int),
+                ("len_out", ctypes.c_uint32)]
+
+
+class _PlutoTransfer(ctypes.Structure):
+    _fields_ = [("device", ctypes.c_void_p),
+                ("ctx", ctypes.c_void_p),
+                ("i_samples", ctypes.POINTER(ctypes.c_int16)),
+                ("q_samples", ctypes.POINTER(ctypes.c_int16)),
+                ("sample_count", ctypes.c_int)]
+
+
+_PLUTO_CB = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.POINTER(_PlutoTransfer))
+_PLUTO_SAMPLES_IQ = 0
+
+
+class PlutoDevice(SDRDevice):
+    """PlutoSDR front end over the reference's custom hi-speed libusb
+    driver API (libplutosdr/plutosdr_hi_speed_rx.h): 9.2 Msps 12-bit IQ
+    with PLANAR int16 transfers delivered by the async `plutosdr_start_rx`
+    callback (rx_plutosdr.cpp:225-251).  Init follows the reference's
+    strict order — rfbw BEFORE sample rate (rx_plutosdr.cpp:104-120) —
+    then both buffer channels and the bufstream are enabled.  The
+    trampoline interleaves i/q and pushes into the native SPSC ring;
+    `read_block` pops with a stall deadline (the API exposes no
+    is_streaming probe — a pump that delivers nothing for `stall_timeout`
+    seconds is treated as end of stream).
+
+    NOTE the reference additionally ssh-es into the Pluto to insmod its
+    USB-gadget kernel module before opening (rx_plutosdr.cpp:324+,
+    pluto_kernel_patch).  That device-side provisioning is out of scope
+    here: run it once per boot from the shipped module, or use the
+    remote-radio front end (io/net.py) next to the Pluto instead."""
+
+    sample_rate = 9.2e6
+    GAIN_MIN_DB, GAIN_MAX_DB = 0, 71     # AD9361 RX gain range
+
+    def __init__(self, lib_path: str | None = None,
+                 ring_samples: int = 1 << 22, stall_timeout: float = 2.0):
+        self.lib = (ctypes.CDLL(lib_path) if lib_path
+                    else _load("T2_PLUTOSDR_LIB", ["plutosdr_hi_speed_rx",
+                                                   "plutosdr"], "PlutoSDR"))
+        L = self.lib
+        L.plutosdr_get_device_count.restype = ctypes.c_uint32
+        L.plutosdr_get_device_count.argtypes = []
+        L.plutosdr_open.argtypes = [ctypes.POINTER(ctypes.c_void_p),
+                                    ctypes.c_uint8,
+                                    ctypes.POINTER(_PlutoInfo)]
+        L.plutosdr_set_rfbw.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+        L.plutosdr_set_sample_rate.argtypes = [ctypes.c_void_p,
+                                               ctypes.c_uint32]
+        L.plutosdr_set_rxlo.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        L.plutosdr_set_gainctl_manual.argtypes = [ctypes.c_void_p]
+        L.plutosdr_set_gain_mdb.argtypes = [ctypes.c_void_p,
+                                            ctypes.c_uint32]
+        L.plutosdr_buffer_channel_enable.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32]
+        L.plutosdr_bufstream_enable.argtypes = [ctypes.c_void_p,
+                                                ctypes.c_uint32]
+        L.plutosdr_start_rx.argtypes = [ctypes.c_void_p, _PLUTO_CB,
+                                        ctypes.c_void_p]
+        L.plutosdr_stop_rx.argtypes = [ctypes.c_void_p]
+        L.plutosdr_close.argtypes = [ctypes.c_void_p]
+        for fn in ("plutosdr_open", "plutosdr_set_rfbw",
+                   "plutosdr_set_sample_rate", "plutosdr_set_rxlo",
+                   "plutosdr_set_gainctl_manual", "plutosdr_set_gain_mdb",
+                   "plutosdr_buffer_channel_enable",
+                   "plutosdr_bufstream_enable", "plutosdr_start_rx",
+                   "plutosdr_stop_rx", "plutosdr_close"):
+            getattr(L, fn).restype = ctypes.c_int
+        self._dev = ctypes.c_void_p(None)
+        self._ring = None
+        self._ring_samples = ring_samples
+        self._stall_timeout = float(stall_timeout)
+        self.serial = ""
+        self.len_out = 0
+        self.rf_hz = 0.0
+        self.gain_db = 0
+        self.overruns = 0
+        self._started = False
+        self._cb = _PLUTO_CB(self._on_transfer)
+
+    def init(self, frequency_hz: float, gain_db: float = 0.0) -> None:
+        L = self.lib
+        if L.plutosdr_get_device_count() == 0:
+            raise RuntimeError("no PlutoSDR device found")
+        info = _PlutoInfo()
+        info.samples_type = _PLUTO_SAMPLES_IQ
+        err = L.plutosdr_open(ctypes.byref(self._dev), 0,
+                              ctypes.byref(info))
+        if err:
+            raise RuntimeError(f"plutosdr_open: {err}")
+        self.serial = bytes(info.serial_number[:info.serial_number_len]
+                            ).decode("ascii", "replace")
+        self.len_out = int(info.len_out)
+        self.rf_hz = float(frequency_hz)
+        self.gain_db = int(np.clip(round(gain_db), self.GAIN_MIN_DB,
+                                   self.GAIN_MAX_DB))
+        # set rfbw FIRST (the reference marks this order as mandatory)
+        for call, args in ((L.plutosdr_set_rfbw, (8_000_000,)),
+                           (L.plutosdr_set_sample_rate,
+                            (int(self.sample_rate),)),
+                           (L.plutosdr_set_rxlo, (int(self.rf_hz),)),
+                           (L.plutosdr_set_gainctl_manual, ()),
+                           (L.plutosdr_set_gain_mdb,
+                            (self.gain_db * 1000,)),
+                           (L.plutosdr_buffer_channel_enable, (0, 1)),
+                           (L.plutosdr_buffer_channel_enable, (1, 1)),
+                           (L.plutosdr_bufstream_enable, (1,))):
+            err = call(self._dev, *args)
+            if err:
+                raise RuntimeError(
+                    f"plutosdr init call {call.__name__} failed: {err}")
+        from .. import native
+        self._ring = native.IQRing(self._ring_samples)
+
+    def _on_transfer(self, transfer) -> int:
+        t = transfer.contents
+        n = t.sample_count
+        if not t.i_samples or not t.q_samples or n <= 0:
+            return 0
+        i = np.ctypeslib.as_array(t.i_samples, shape=(n,))
+        q = np.ctypeslib.as_array(t.q_samples, shape=(n,))
+        # 12-bit ADC: +-2048 LSB full scale (dvbt2_demodulator.cpp:45-47)
+        took = self._ring.push_int16(_interleave_int16(i, q),
+                                     scale=1.0 / 2048.0)
+        if took < n:
+            self.overruns += 1
+        return 0
+
+    def start(self) -> None:
+        if not self._started:
+            err = self.lib.plutosdr_start_rx(self._dev, self._cb, None)
+            if err:
+                raise RuntimeError(f"plutosdr_start_rx: {err}")
+            self._started = True
+
+    def read_block(self, n: int) -> np.ndarray | None:
+        if self._ring is None:
+            return None
+        self.start()
+        out = []
+        have = 0
+        deadline = time.monotonic() + self._stall_timeout
+        while have < n:
+            got = self._ring.pop(n - have)
+            if len(got):
+                out.append(got)
+                have += len(got)
+                deadline = time.monotonic() + self._stall_timeout
+                continue
+            if time.monotonic() > deadline:
+                break  # pump silent past the stall deadline: stream ended
+            time.sleep(0.001)
+        if not out:
+            return None
+        return np.concatenate(out)
+
+    def tune(self, frequency_hz: float) -> None:
+        # the rxlo register is integer Hz: store what the hardware got
+        self.rf_hz = float(round(frequency_hz))
+        self.lib.plutosdr_set_rxlo(self._dev, int(self.rf_hz))
+
+    def apply(self, est: SignalEstimate) -> None:
+        if est.change_frequency:
+            # move the LO onto the discovered offset (rx_plutosdr.cpp:182)
+            self.tune(self.rf_hz + est.coarse_freq_offset)
+        if est.change_gain:
+            self.gain_db = int(np.clip(
+                round(self.gain_db + est.gain_offset),
+                self.GAIN_MIN_DB, self.GAIN_MAX_DB))
+            self.lib.plutosdr_set_gain_mdb(self._dev, self.gain_db * 1000)
+
+    def flush(self) -> None:
+        if self._ring is not None:
+            self._ring.flush()
+
+    def stop(self) -> None:
+        if self._started:
+            self.lib.plutosdr_stop_rx(self._dev)
+            self._started = False
+        if self._dev:
+            self.lib.plutosdr_close(self._dev)
             self._dev = ctypes.c_void_p(None)
         if self._ring is not None:
             self._ring.close()

@@ -121,6 +121,21 @@ class IQRing:
     def fill(self) -> int:
         return self._lib.ring_fill(self._h)
 
+    def flush(self) -> int:
+        """Drop everything currently buffered (consumer side); returns the
+        number of samples discarded.  Used on hardware retunes: samples
+        captured at the old LO must not be re-measured (the reference
+        resets its elastic buffer the same way)."""
+        dropped = 0
+        while True:
+            n = self.fill
+            if n <= 0:
+                return dropped
+            got = self.pop(min(n, 1 << 16))
+            if not len(got):
+                return dropped
+            dropped += len(got)
+
     @property
     def overruns(self) -> int:
         return self._lib.ring_overruns(self._h)

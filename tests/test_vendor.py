@@ -30,7 +30,7 @@ _SRC = pathlib.Path(__file__).parent / "fake_drivers"
 def fake_libs(tmp_path_factory):
     d = tmp_path_factory.mktemp("fakedrv")
     libs = {}
-    for name in ("fake_mir_sdr", "fake_airspy"):
+    for name in ("fake_mir_sdr", "fake_airspy", "fake_plutosdr"):
         out = d / f"lib{name}.so"
         cmd = ["gcc", "-O2", "-shared", "-fPIC", "-o", str(out),
                str(_SRC / f"{name}.c"), "-lm", "-lpthread"]
@@ -162,6 +162,79 @@ def test_airspy_streaming_decode(fake_libs, tmp_path, monkeypatch):
     assert len(ts) >= 10 * 188
     np.testing.assert_array_equal(ts, flat[:len(ts)])
     assert dev.overruns == 0 and dev.dropped_samples == 0
+    dev.stop()
+
+
+def test_pluto_streaming_decode(fake_libs, tmp_path, monkeypatch):
+    """The custom hi-speed libusb Pluto driver chain: PLANAR int16
+    transfers (separate i/q arrays, unlike AirSpy) interleaved by the
+    trampoline into the native ring, with the reference's mandatory init
+    order honored (rfbw before sample rate, both buffer channels + the
+    bufstream enabled before start_rx — the fake refuses to stream
+    otherwise, mirroring rx_plutosdr.cpp:91-128)."""
+    flat, samples, p = _waveform(6)
+    cap = tmp_path / "cap.ci16"
+    # 12-bit ADC full scale = 2048 LSB
+    _write_capture(cap, samples, 9.2e6, lsb_rms=500.0)
+    monkeypatch.setenv("FAKE_PLUTOSDR_CAPTURE", str(cap))
+    monkeypatch.setenv("T2_PLUTOSDR_LIB", fake_libs["fake_plutosdr"])
+    dev = devices.DEVICES["plutosdr"]()
+    dev.init(frequency_hz=600e6, gain_db=30)
+    assert dev.serial == "FAKEPLUTO001" and dev.len_out == 16384
+    st, ts = _stream(dev, agc=False)
+    fake = ctypes.CDLL(fake_libs["fake_plutosdr"])
+    fake.fake_pluto_get_rxlo.restype = ctypes.c_double
+    fake.fake_pluto_get_gain_mdb.restype = ctypes.c_uint32
+    fake.fake_pluto_get_rfbw.restype = ctypes.c_uint32
+    fake.fake_pluto_get_samplerate.restype = ctypes.c_double
+    fake.fake_pluto_get_gainctl_manual.restype = ctypes.c_int
+    fake.fake_pluto_get_bufstream.restype = ctypes.c_int
+    fake.fake_pluto_get_closes.restype = ctypes.c_int
+    fake.fake_pluto_is_streaming.restype = ctypes.c_int
+    assert fake.fake_pluto_get_rfbw() == 8_000_000
+    assert fake.fake_pluto_get_samplerate() == 9.2e6
+    assert fake.fake_pluto_get_rxlo() == 600e6
+    assert fake.fake_pluto_get_gainctl_manual() == 1
+    assert fake.fake_pluto_get_gain_mdb() == 30_000
+    assert st.frames_decoded >= 4
+    assert len(ts) >= 10 * 188
+    np.testing.assert_array_equal(ts, flat[:len(ts)])
+    dev.stop()
+    assert fake.fake_pluto_get_closes() >= 1
+    assert fake.fake_pluto_is_streaming() == 0
+
+
+def test_pluto_retune_and_gain_feedback(fake_libs, tmp_path, monkeypatch):
+    """A 25 kHz LO error triggers the retune path: the binding steps
+    plutosdr_set_rxlo to the absolute corrected LO (rx_plutosdr.cpp:182)
+    and the shifted baseband decodes; a gain SignalEstimate lands in
+    plutosdr_set_gain_mdb (millidB) clamped to the AD9361 range."""
+    flat, samples, p = _waveform(10)
+    cap = tmp_path / "cap.ci16"
+    _write_capture(cap, samples, 9.2e6, lsb_rms=500.0, lo_offset_hz=25e3)
+    monkeypatch.setenv("FAKE_PLUTOSDR_CAPTURE", str(cap))
+    monkeypatch.setenv("T2_PLUTOSDR_LIB", fake_libs["fake_plutosdr"])
+    # pace the pump near the CI consumer's (far-below-real-time) speed so
+    # the retune-flush backlog models the hardware relationship; see the
+    # pump comment in fake_plutosdr.c
+    monkeypatch.setenv("FAKE_PLUTOSDR_RATE_SPS", "200000")
+    dev = devices.DEVICES["plutosdr"]()
+    dev.init(frequency_hz=600e6, gain_db=30)
+    st, ts = _stream(dev, agc=False)
+    fake = ctypes.CDLL(fake_libs["fake_plutosdr"])
+    fake.fake_pluto_get_rxlo.restype = ctypes.c_double
+    fake.fake_pluto_get_gain_mdb.restype = ctypes.c_uint32
+    assert st.retune_requests >= 1
+    assert abs(fake.fake_pluto_get_rxlo() - (600e6 + 25e3)) < 500.0
+    assert abs(dev.rf_hz - fake.fake_pluto_get_rxlo()) < 1e-6
+    assert st.frames_decoded >= 5
+    tail = bytes(np.asarray(ts[-4 * 188:], np.uint8))
+    assert bytes(flat).find(tail) >= 0
+    # gain semantics: positive offset RAISES gain (not mir_sdr reduction)
+    dev.apply(devices.SignalEstimate(gain_offset=6.0, change_gain=True))
+    assert dev.gain_db == 36 and fake.fake_pluto_get_gain_mdb() == 36_000
+    dev.apply(devices.SignalEstimate(gain_offset=100.0, change_gain=True))
+    assert dev.gain_db == dev.GAIN_MAX_DB
     dev.stop()
 
 
