@@ -705,13 +705,15 @@ def build_l1(p: T2Params, plps, num_frames: int = 2,
                   sub_slices_per_frame=max(
                       [c.sub_slices for c in plps if c.plp_type == 2],
                       default=1),
-                  dyn=dyn)
+                  dyn=dyn,
+                  fef=(tuple(int(v) for v in p.fef) if p.fef else None))
     eta = L1_MOD_BITS[l1_post_mod]
     info_size = post.info_bits(repetition=l1_repetition)
     n_post, _ = l1post_fec_geometry(info_size + 32, eta)
     pre = L1Pre(
         l1_repetition_flag=int(l1_repetition),
         bwt_ext=int(p.extended_carrier),
+        s2_field2=1 if p.fef else 0,
         s1=1 if p.miso else 0,
         s2_field1={1024: 3, 2048: 0, 4096: 2, 8192: 1, 16384: 4, 32768: 5}[
             p.fft_size],

@@ -231,6 +231,19 @@ class T2Params:
     miso_group: int = 0
     n_data: int = 59  # data symbols per frame excl. P1/P2
     preamble: Preamble = Preamble.T2_SISO
+    # FEF parts (clause 8.4): (fef_type, fef_length, fef_interval) or None.
+    # fef_length in elementary periods incl. the FEF P1; a FEF part follows
+    # every T2-frame whose (FRAME_IDX+1) mod FEF_INTERVAL == 0.  The
+    # reference receiver does not support FEF at all; here both the
+    # modulator and the receivers schedule around them.
+    fef: tuple | None = None
+
+    def fef_after(self, frame_idx: int) -> int:
+        """Elementary periods of FEF part following T2-frame `frame_idx`
+        (0 when none)."""
+        if self.fef is None or self.fef[2] <= 0:
+            return 0
+        return int(self.fef[1]) if (frame_idx + 1) % self.fef[2] == 0 else 0
 
     # --- derived, all properties so the dataclass stays tiny/hashable ---
     @property

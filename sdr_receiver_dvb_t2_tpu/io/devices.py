@@ -277,6 +277,17 @@ class StreamStats:
     debug: dict | None = None     # one captured frame for stage plots
 
 
+def _advance_grid(lock, start: int) -> None:
+    """Advance the frame grid from the frame at `start` to the next one:
+    nominal frame length plus any FEF part scheduled after this frame
+    (clause 8.3.1 — the signalled FEF_LENGTH follows every
+    FEF_INTERVAL-th T2-frame).  The predicted FRAME_IDX counter wraps at
+    NUM_T2_FRAMES like the on-air field."""
+    p = lock.params
+    lock.frame_start = start + p.frame_samples + p.fef_after(lock.frame_idx)
+    lock.frame_idx = (lock.frame_idx + 1) % max(lock.l1pre.num_t2_frames, 1)
+
+
 class _DirectSource:
     """Synchronous block reader (no thread)."""
 
@@ -491,7 +502,7 @@ class StreamingReceiver:
                 if m is None or m.quality < self.P1_QUALITY_MIN:
                     lock.fail_streak += 1
                     st.frames_skipped += 1
-                    lock.frame_start = start + fsamp
+                    _advance_grid(lock, start)
                     if lock.fail_streak >= self.MAX_FAILS:
                         return None
                     continue
@@ -535,8 +546,11 @@ class StreamingReceiver:
                 if hasattr(self.receiver, "decode_frames_batch") else 0
             while True:
                 want = batch_n if batch_n >= 2 else 1
+                # FEF parts lengthen the span a batch of frames occupies
+                fef_extra = (0 if p.fef is None
+                             else (want // max(p.fef[2], 1) + 1) * p.fef[1])
                 if (want >= 2 and not final
-                        and lock.frame_start + want * fsamp
+                        and lock.frame_start + want * fsamp + fef_extra
                         + rxp1.P1_LEN + 64 > len(pending)):
                     # batch mode trades latency for the F-frame superstep:
                     # wait until a full batch of samples is buffered
@@ -547,7 +561,7 @@ class StreamingReceiver:
                     if fs_ is None:
                         break
                     starts.append(fs_)
-                    lock.frame_start = fs_ + fsamp
+                    _advance_grid(lock, fs_)
                 if not starts:
                     return lock.fail_streak < self.MAX_FAILS
                 done = 0

@@ -37,6 +37,7 @@ def params_from_l1(p1_fft: FFTMode, pre: l1mod.L1Pre,
         papr=PAPR(pre.papr) if pre.papr in (0, 1, 2, 3) else PAPR.OFF,
         miso=pre.s1 == 1,
         n_data=pre.num_data_symbols,
+        fef=(tuple(post.fef) if (pre.s2_field2 and post.fef) else None),
     )
     plps = []
     for cfg in post.plp:

@@ -237,6 +237,13 @@ def acquire_p1(x: np.ndarray) -> P1Result | None:
                 continue
             res = decode_p1(x, start, metric[peak])
             if res is not None:
+                if res.preamble not in (Preamble.T2_SISO,
+                                        Preamble.T2_MISO):
+                    # a decodable P1 announcing a non-T2 transmission:
+                    # a FEF part (clause 8.4) or a neighbouring non-T2
+                    # signal.  Not ours — keep scanning (its plateau is
+                    # suppressed with the other failures below)
+                    continue
                 return res
         for peak in peaks:
             mag[max(0, peak - 2 * P1_LEN):peak + 2 * P1_LEN] = 0.0

@@ -51,6 +51,8 @@ class LockState:
     sco: float            # residual fractional sample-clock offset
     snr_db: float
     fail_streak: int = 0  # consecutive tracking failures (unlock gate)
+    frame_idx: int = 0    # L1 FRAME_IDX of the frame at frame_start; the
+    # streaming tracker advances it per frame to schedule around FEF parts
 
 
 @dataclass
@@ -150,7 +152,8 @@ class T2Receiver:
         # dvbt2_demodulator.cpp:430-439) -- we measure feed-forward and
         # resample the whole block once, then re-acquire.
         if _sco_pass:
-            sco = self._measure_sco(x, p1.start, params, dres.timing_offset)
+            sco = self._measure_sco(x, p1.start, params, dres.timing_offset,
+                                    frame_idx0=l1post.dyn.frame_idx)
             if 2e-6 < abs(sco) < 5e-3:
                 from . import frontend
                 # zero headroom: repeated resampling walks the first
@@ -169,6 +172,7 @@ class T2Receiver:
         assembler = bbframe.TSAssembler()
         frame_start = p1.start
         frame_idx = 0
+        idx0 = l1post.dyn.frame_idx  # absolute L1 FRAME_IDX of frame 0
         self._last_l1post = l1post
         while frame_start + params.frame_samples <= len(x):
             ok = self._decode_frame(x, frame_start, params, plps, l1pre,
@@ -177,7 +181,11 @@ class T2Receiver:
             if not ok:
                 break
             frame_idx += 1
-            frame_start += params.frame_samples
+            # FEF parts sit between T2-frames (clause 8.3.1): the stride to
+            # the next frame start includes the signalled FEF_LENGTH after
+            # every FEF_INTERVAL-th frame
+            frame_start += params.frame_samples \
+                + params.fef_after(idx0 + frame_idx - 1)
             # sample-clock-offset retiming: when the pilot-slope timing
             # estimate shows the windows drifting (the reference nudges its
             # Farrow resampler +-8e-9/symbol instead,
@@ -210,24 +218,28 @@ class T2Receiver:
                         return cand
         return None
 
-    def _measure_sco(self, x, p1_start, params, t0) -> float:
+    def _measure_sco(self, x, p1_start, params, t0,
+                     frame_idx0: int = 0) -> float:
         """Sample-clock offset from the pilot-slope timing drift between
         consecutive frames (sub-sample precision); 0.0 when the buffer is
-        too short or two gap estimates disagree (corrupted frame guard)."""
+        too short or two gap estimates disagree (corrupted frame guard).
+        Frame gaps include any FEF parts between them."""
         nominal = params.frame_samples
-        if p1_start + 2 * nominal > len(x):
+        gap1 = nominal + params.fef_after(frame_idx0)
+        gap2 = nominal + params.fef_after(frame_idx0 + 1)
+        if p1_start + gap1 + nominal > len(x):
             return 0.0
         car1 = rxdemod.extract_carriers(
-            params, x, p1_start + nominal + rxp1.P1_LEN)
+            params, x, p1_start + gap1 + rxp1.P1_LEN)
         t1 = rxdemod.equalize_frame(params, car1).timing_offset
-        sco = (t1 - t0) / nominal
-        if p1_start + 3 * nominal <= len(x):
+        sco = (t1 - t0) / gap1
+        if p1_start + gap1 + gap2 + nominal <= len(x):
             # a corrupted frame gives a garbage slope; demand two
             # consistent frame-gap estimates before acting on it
             car2 = rxdemod.extract_carriers(
-                params, x, p1_start + 2 * nominal + rxp1.P1_LEN)
+                params, x, p1_start + gap1 + gap2 + rxp1.P1_LEN)
             t2 = rxdemod.equalize_frame(params, car2).timing_offset
-            sco_b = (t2 - t1) / nominal
+            sco_b = (t2 - t1) / gap2
             if not (abs(sco_b - sco) < 0.3 * max(abs(sco), abs(sco_b))):
                 return 0.0
         return float(sco)
@@ -272,12 +284,14 @@ class T2Receiver:
         if l1post is None:
             return None
         params, plps = rxdecode.params_from_l1(p1.fft_mode, l1pre, l1post)
-        sco = self._measure_sco(x, p1.start, params, dres.timing_offset)
+        sco = self._measure_sco(x, p1.start, params, dres.timing_offset,
+                                frame_idx0=l1post.dyn.frame_idx)
         self._last_l1post = l1post
         return LockState(params=params, plps=plps, l1pre=l1pre,
                          l1post=l1post, frame_start=int(p1.start),
                          cfo_hz=float(cfo), sco=float(sco),
-                         snr_db=float(dres.snr_db))
+                         snr_db=float(dres.snr_db),
+                         frame_idx=int(l1post.dyn.frame_idx))
 
     def _sco_ladder(self, x):
         """Trial resample ratios for large sample-clock offsets (the

@@ -130,6 +130,7 @@ class T2Modulator:
                 sub_slices_per_frame=max(
                     [c.sub_slices for c in self.plps if c.plp_type == 2],
                     default=1),
+                fef=l1post_template.fef,
                 dyn=make_dyn(fidx), dyn_next=dyn_next)
             l1posts.append(l1post)
             l1_cells = np.concatenate([
@@ -149,6 +150,15 @@ class T2Modulator:
             else:
                 carriers = txframe.symbols_to_carriers(p, symbols)
                 frames_samples.append(txofdm.frame_to_samples(p, carriers))
+            if p.fef_after(fidx):
+                # FEF part after this frame (clause 8.3.1); in MISO both
+                # transmitter groups emit the same FEF content
+                fef = txofdm.generate_fef_part(
+                    p, rms=float(np.sqrt(np.mean(
+                        np.abs(frames_samples[-1]) ** 2))), seed=fidx)
+                frames_samples.append(fef)
+                if p.miso:
+                    frames_samples2.append(fef)
         return ModulatorOutput(samples=np.concatenate(frames_samples),
                                l1pre=l1pre, l1post_frames=l1posts,
                                n_frames=n_frames,

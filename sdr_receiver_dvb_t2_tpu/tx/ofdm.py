@@ -155,7 +155,14 @@ def generate_p1(p: T2Params) -> np.ndarray:
     s1 = {Preamble.T2_SISO: 0, Preamble.T2_MISO: 1, Preamble.NON_T2: 2,
           Preamble.T2_LITE_SISO: 3, Preamble.T2_LITE_MISO: 4}[p.preamble]
     fft_field = _S2_FIELD1_BY_FFT[p.fft_mode] & 0x7
-    s2 = (fft_field << 1) | 0  # field2=0: preambles all of this type
+    # S2 field2 = 1 when the preambles are of mixed types (FEF present)
+    s2 = (fft_field << 1) | (1 if p.fef else 0)
+    return p1_from_signalling(s1, s2)
+
+
+def p1_from_signalling(s1: int, s2: int) -> np.ndarray:
+    """P1 symbol from raw S1/S2 field values (also used for FEF-part P1s,
+    whose S1 announces a non-T2 transmission)."""
     bits = p1_signalling_bits(s1, s2)
     # differential encode: d[-1]=+1, transition on bit=1; then scramble
     d = np.where(np.cumsum(bits) % 2 == 1, -1.0, 1.0)
@@ -335,3 +342,23 @@ def frame_to_samples(p: T2Params, carriers: np.ndarray) -> np.ndarray:
     """Full T2 frame: P1 + all OFDM symbols, flattened sample stream."""
     body = ofdm_modulate(p, carriers).reshape(-1)
     return np.concatenate([generate_p1(p), body])
+
+
+def generate_fef_part(p: T2Params, rms: float, seed: int = 0) -> np.ndarray:
+    """Future Extension Frame part (clause 8.4): its own P1 announcing a
+    non-T2 transmission (S1=2, the value a T2 receiver's acquisition must
+    skip), followed by arbitrary future-extension content — modelled as
+    complex noise at the T2 frames' RMS so level/AGC loops see a
+    continuous signal.  FEF_LENGTH counts elementary periods INCLUDING
+    the P1.  The reference has no FEF support at all (SURVEY.md: FEF
+    unsupported); real broadcasts use FEF parts to multiplex T2-Lite."""
+    fef_type, fef_length, _ = p.fef
+    if fef_length < P1_LEN:
+        raise ValueError("FEF_LENGTH must cover at least the FEF P1")
+    fft_field = _S2_FIELD1_BY_FFT[p.fft_mode] & 0x7
+    p1 = p1_from_signalling(2, (fft_field << 1) | 1)
+    rng = np.random.default_rng(0xFEF00 + seed)
+    n = fef_length - P1_LEN
+    filler = (rng.normal(0, rms / np.sqrt(2), n)
+              + 1j * rng.normal(0, rms / np.sqrt(2), n))
+    return np.concatenate([p1, filler]).astype(np.complex64)

@@ -1,0 +1,126 @@
+"""Future Extension Frame (FEF) support, clause 8.4 of EN 302 755.
+
+FEF parts — arbitrary non-T2 content with their own NON_T2 P1, inserted
+after every FEF_INTERVAL-th T2-frame — are how real networks multiplex
+T2-Lite and other services into a T2 signal.  The reference receiver has
+NO FEF support (it would lose lock at the first FEF part); here the
+modulator inserts and signals them (L1-pre S2_FIELD2 + L1-post
+FEF_TYPE/LENGTH/INTERVAL) and both receiver paths schedule the frame grid
+around them: acquisition skips the FEF P1 (S1 announces non-T2), the
+one-shot and streaming trackers stride FRAME_LENGTH + FEF_LENGTH after
+qualifying frames, and the SCO estimator measures over the true gaps.
+"""
+import numpy as np
+import pytest
+
+from sdr_receiver_dvb_t2_tpu.dvbt2.params import (
+    CodeRate, Constellation, FECFrame, FFTMode, GuardInterval, PilotPattern,
+    PLPParams, T2Params)
+from sdr_receiver_dvb_t2_tpu.io import devices
+from sdr_receiver_dvb_t2_tpu.rx import p1_detect as rxp1
+from sdr_receiver_dvb_t2_tpu.rx.receiver import T2Receiver
+from sdr_receiver_dvb_t2_tpu.tx.modulator import T2Modulator, awgn
+
+FEF_LEN = 30000
+FEF_INTERVAL = 2
+
+
+def _fef_waveform(n_frames=6, seed=5, interval=FEF_INTERVAL,
+                  fef_len=FEF_LEN):
+    p = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                 pilot_pattern=PilotPattern.PP1, extended_carrier=False,
+                 n_data=9, fef=(0, fef_len, interval))
+    plp = PLPParams(constellation=Constellation.QAM16, rate=CodeRate.C1_2,
+                    fec_frame=FECFrame.SHORT, num_blocks_max=3,
+                    time_il_length=1)
+    mod = T2Modulator(p, [plp])
+    rng = np.random.default_rng(seed)
+    ts = rng.integers(0, 256, (mod.packets_needed(n_frames) + 4, 188)
+                      ).astype(np.uint8)
+    ts[:, 0] = 0x47
+    ts[:, 1] &= 0x7F
+    out = mod.modulate(ts.reshape(-1), n_frames)
+    return ts.reshape(-1), out.samples, p
+
+
+def test_fef_tx_structure_and_signalling():
+    """The emitted stream is lengthened by exactly the FEF parts, each FEF
+    part starts with a NON_T2 P1, and L1 signals the FEF geometry."""
+    n = 4
+    flat, samples, p = _fef_waveform(n)
+    n_fef = sum(1 for f in range(n) if (f + 1) % FEF_INTERVAL == 0)
+    assert len(samples) == n * p.frame_samples + n_fef * FEF_LEN
+    # FEF P1 is decodable and announces a non-T2 transmission
+    fef_start = FEF_INTERVAL * p.frame_samples + (0) * FEF_LEN
+    # a peak metric with the structural phase only = zero measured CFO
+    m0 = np.exp(2j * np.pi * rxp1.P1_C / rxp1.P1_A)
+    res = rxp1.decode_p1(samples, fef_start, m0)
+    assert res is not None and res.s1 == 2 and res.s2_field2 == 1
+    # the T2 frames' own P1s flag mixed preamble types (S2 field2)
+    res0 = rxp1.decode_p1(samples, 0, m0)
+    assert res0 is not None and res0.s1 == 0 and res0.s2_field2 == 1
+    # L1 signalling round-trip
+    mod = T2Modulator(p, [PLPParams(constellation=Constellation.QAM16,
+                                    rate=CodeRate.C1_2,
+                                    fec_frame=FECFrame.SHORT,
+                                    num_blocks_max=3, time_il_length=1)])
+    from sdr_receiver_dvb_t2_tpu.dvbt2 import l1 as l1mod
+    pre, post = l1mod.build_l1(p, mod.plps, num_frames=n)
+    assert pre.s2_field2 == 1
+    assert post.fef == (0, FEF_LEN, FEF_INTERVAL)
+
+
+def test_fef_oneshot_receive_bit_exact():
+    """One-shot receive() strides over the FEF parts: every T2-frame
+    decodes, TS bit-exact, under AWGN."""
+    flat, samples, p = _fef_waveform(6)
+    x = awgn(samples, 25.0, seed=1)
+    res = T2Receiver().receive(x)
+    assert res.stats.frames_decoded == 6
+    assert res.stats.ts_errors == 0
+    got = res.ts
+    assert len(got) >= 30 * 188
+    np.testing.assert_array_equal(got, flat[:len(got)])
+    assert res.params.fef == (0, FEF_LEN, FEF_INTERVAL)
+
+
+def test_fef_streaming_no_reacquisition():
+    """The streaming tracker's predicted FRAME_IDX counter schedules the
+    grid around FEF parts: all frames decode across block boundaries with
+    zero reacquisitions and zero skips."""
+    flat, samples, p = _fef_waveform(6)
+    dev = devices.SimulatedDevice(samples, snr_db=30)
+    got = []
+    sr = devices.StreamingReceiver(dev, acq_seconds=0.025,
+                                   block_seconds=0.007)
+    st = sr.run(ts_sink=got.append)
+    assert st.frames_decoded == 6
+    assert st.frames_skipped == 0
+    assert st.reacquisitions == 0
+    assert st.ts_errors == 0
+    ts = np.concatenate(got)
+    np.testing.assert_array_equal(ts, flat[:len(ts)])
+
+
+def test_fef_acquisition_skips_fef_p1():
+    """A capture that BEGINS just before a FEF part: the first decodable
+    P1 is the FEF's NON_T2 P1.  Acquisition must reject it (S1 gate) and
+    lock onto the following T2 frame."""
+    flat, samples, p = _fef_waveform(6)
+    # cut 256 samples before the first FEF part (after frame idx 1)
+    cut = 2 * p.frame_samples - 256
+    x = samples[cut:]
+    res = T2Receiver().receive(x)
+    # frames 2..5 remain after the cut
+    assert res.stats.frames_decoded == 4
+    assert res.stats.ts_errors == 0
+    tail = bytes(np.asarray(res.ts[: 8 * 188], np.uint8))
+    assert bytes(flat).find(tail) % 188 == 0
+
+
+def test_fef_interval_one_every_frame():
+    """FEF_INTERVAL=1 (a FEF part after every T2-frame) still tracks."""
+    flat, samples, p = _fef_waveform(4, interval=1, fef_len=12000)
+    res = T2Receiver().receive(samples)
+    assert res.stats.frames_decoded == 4
+    np.testing.assert_array_equal(res.ts, flat[:len(res.ts)])
