@@ -118,6 +118,27 @@ def test_fef_acquisition_skips_fef_p1():
     assert bytes(flat).find(tail) % 188 == 0
 
 
+def test_fef_device_path_supersteps():
+    """The fused TPU streaming path (DeviceT2Receiver, F-frame
+    supersteps) across FEF parts: batch starts are non-contiguous (the
+    gap between consecutive frames includes FEF_LENGTH) and every frame
+    still decodes bit-exact with the batched path engaged."""
+    from sdr_receiver_dvb_t2_tpu.rx.device_receiver import DeviceT2Receiver
+    flat, samples, p = _fef_waveform(8)
+    dev = devices.SimulatedDevice(samples, snr_db=32)
+    rx = DeviceT2Receiver(stream_batch=3)
+    got = []
+    sr = devices.StreamingReceiver(dev, acq_seconds=0.025,
+                                   block_seconds=0.007, receiver=rx)
+    st = sr.run(ts_sink=got.append)
+    assert st.frames_decoded == 8
+    assert st.frames_skipped == 0
+    assert st.reacquisitions == 0
+    assert rx.batch_supersteps >= 1
+    ts = np.concatenate(got)
+    np.testing.assert_array_equal(ts, flat[:len(ts)])
+
+
 def test_fef_interval_one_every_frame():
     """FEF_INTERVAL=1 (a FEF part after every T2-frame) still tracks."""
     flat, samples, p = _fef_waveform(4, interval=1, fef_len=12000)
