@@ -277,3 +277,71 @@ class IQStreamServer:
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=3.0)
+
+    def wait(self, timeout: float | None = None) -> bool:
+        """Block until the serve loop ends (client disconnect / capture
+        exhausted / close()); True when it ended within `timeout`."""
+        self._thread.join(timeout=timeout)
+        return not self._thread.is_alive()
+
+
+def main(argv=None) -> int:
+    """`t2radio`: the radio-side daemon.  Run next to the SDR hardware and
+    point the receive host at it:
+
+        radio$  t2radio --device sdrplay --frequency 634e6 --gain 40
+        tpu$    t2rx tcp://radio:47392 --stream --device-path --out out.ts
+
+    This is the deployment topology replacing the reference's USB-attached
+    PlutoSDR (rx_plutosdr.cpp): the vendor read loop runs here, the DSP
+    runs on the TPU host, and the streaming receiver's AGC/retune feedback
+    crosses the socket upstream."""
+    import argparse
+
+    from . import devices as devmod
+
+    ap = argparse.ArgumentParser(
+        prog="t2radio", description="DVB-T2 radio-side IQ stream daemon")
+    ap.add_argument("--device", default="file",
+                    choices=sorted(devmod.DEVICES),
+                    help="SDR front end (vendor drivers need the vendor "
+                         "library installed on this machine)")
+    ap.add_argument("--input", default=None,
+                    help="capture path (file device) / sample source")
+    ap.add_argument("--format", default="cf32", choices=("cf32", "ci16"))
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=47392)
+    ap.add_argument("--frequency", type=float, default=0.0,
+                    help="initial center frequency (Hz)")
+    ap.add_argument("--gain", type=float, default=0.0)
+    ap.add_argument("--block", type=int, default=65536)
+    ap.add_argument("--max-seconds", type=float, default=0.0,
+                    help="exit after this long (0 = serve until killed)")
+    args = ap.parse_args(argv)
+
+    if args.device == "file":
+        if not args.input:
+            ap.error("--device file needs --input CAPTURE")
+        dev = devmod.FileDevice(args.input, fmt=args.format)
+    elif args.device == "sim":
+        ap.error("sim device is test-only; use --device file")
+    else:
+        dev = devmod.DEVICES[args.device]()
+    dev.init(frequency_hz=args.frequency, gain_db=args.gain)
+    srv = IQStreamServer(dev, host=args.host, port=args.port,
+                         block=args.block)
+    print(f"t2radio: serving {args.device} on {args.host}:{srv.port} "
+          f"(freq {args.frequency:.0f} Hz, gain {args.gain:g} dB)",
+          flush=True)
+    try:
+        srv.wait(timeout=args.max_seconds or None)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.close()
+        dev.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

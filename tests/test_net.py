@@ -200,3 +200,41 @@ def test_streaming_receiver_over_network_decodes_and_retunes():
     finally:
         dev.stop()
         srv.close()
+
+
+def test_t2radio_cli_daemon_serves_capture(tmp_path):
+    """The `t2radio` radio-side daemon as a real subprocess: serves a file
+    capture over the wire protocol; `NetworkDevice` (the t2rx tcp://
+    ingest) connects and the stream decodes TS bit-exact through the full
+    streaming receiver."""
+    import re
+    import subprocess
+    import sys
+
+    flat, samples = _waveform(n_frames=3, seed=3)
+    cap = tmp_path / "cap.cf32"
+    samples.astype(np.complex64).tofile(cap)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "sdr_receiver_dvb_t2_tpu.io.net",
+         "--device", "file", "--input", str(cap), "--host", "127.0.0.1",
+         "--port", "0", "--max-seconds", "120"],
+        stdout=subprocess.PIPE, text=True)
+    try:
+        line = proc.stdout.readline()
+        m = re.search(r":(\d+) \(", line)
+        assert m, f"no port announced: {line!r}"
+        port = int(m.group(1))
+        dev = NetworkDevice(port=port, timeout=120.0)
+        dev.init(frequency_hz=0.0)
+        sr = StreamingReceiver(dev, block_seconds=0.25, agc=False,
+                               acq_seconds=0.2)
+        chunks = []
+        st = sr.run(ts_sink=chunks.append)
+        got = (np.concatenate(chunks) if chunks else np.zeros(0, np.uint8))
+        assert st.frames_decoded >= 2
+        assert st.ts_errors == 0
+        np.testing.assert_array_equal(got, flat[:len(got)])
+        dev.stop()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
