@@ -368,12 +368,12 @@ def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # tinfo_in
             pl.BlockSpec(memory_space=pltpu.VMEM),   # tpar_in
-            pl.BlockSpec(memory_space=pltpu.ANY),    # c2v_in (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # c2v_in (HBM)
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((E, 360, B), jnp.float32),    # msgs
@@ -650,8 +650,8 @@ def make_pallas_layered_vmem_adaptive(frame: FECFrame, rate: CodeRate,
 
     call = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=(
             jax.ShapeDtypeStruct((G + 1, 360, B), jnp.float32),
@@ -800,8 +800,8 @@ def make_pallas_layered_vmem(frame: FECFrame, rate: CodeRate, iters: int,
         scratch.append(pltpu.SemaphoreType.DMA)
     call = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
         out_shape=tuple(out_shape),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
@@ -879,8 +879,8 @@ def make_decoder_nb_fused_io(frame: FECFrame, rate: CodeRate, iters: int,
 
     call = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_shape=(
             jax.ShapeDtypeStruct((G + 1, 360, B), jnp.float32),
             jax.ShapeDtypeStruct((q, 360, B), jnp.float32),
