@@ -32,6 +32,10 @@ def _dump_l1(res) -> str:
         out.append("--- L1-post ---")
         p = res.l1post
         out.append(f"  NUM_PLP               {p.num_plp}")
+        if p.fef:
+            out.append(f"  FEF_TYPE              {p.fef[0]}")
+            out.append(f"  FEF_LENGTH            {p.fef[1]}")
+            out.append(f"  FEF_INTERVAL          {p.fef[2]}")
         for i, plp in enumerate(p.plp):
             for k, v in dataclasses.asdict(plp).items():
                 out.append(f"  [{i}] {k.upper():20s} {v}")

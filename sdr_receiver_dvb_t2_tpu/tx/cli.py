@@ -48,6 +48,10 @@ def main(argv=None):
     ap.add_argument("--inband", action="store_true",
                     help="carry in-band type-A signalling (clause 5.2.3) in "
                          "each Interleaving Frame's first BB frame")
+    ap.add_argument("--fef", default=None, metavar="LEN[:INTERVAL[:TYPE]]",
+                    help="insert FEF parts (clause 8.4): LEN elementary "
+                         "periods incl. the FEF P1, after every INTERVAL-th "
+                         "frame (default 2), signalled type TYPE (default 0)")
     ap.add_argument("--format", choices=iqio.FORMATS, default=None)
     args = ap.parse_args(argv)
 
@@ -55,9 +59,15 @@ def main(argv=None):
     ext = args.extended
     if ext is None:
         ext = fft in (FFTMode.FFT_32K,)  # common broadcast config
+    fef = None
+    if args.fef:
+        parts = [int(v) for v in args.fef.split(":")]
+        fef = (parts[2] if len(parts) > 2 else 0,      # FEF_TYPE
+               parts[0],                               # FEF_LENGTH
+               parts[1] if len(parts) > 1 else 2)      # FEF_INTERVAL
     p = T2Params(fft_mode=fft, guard=_GI[args.guard],
                  pilot_pattern=PilotPattern(args.pp - 1),
-                 extended_carrier=ext, n_data=args.n_data)
+                 extended_carrier=ext, n_data=args.n_data, fef=fef)
     plp = PLPParams(
         constellation=_MOD[args.mod], rate=_RATE[args.rate],
         fec_frame=FECFrame.SHORT if args.short_fec else FECFrame.NORMAL,
