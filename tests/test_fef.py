@@ -145,3 +145,43 @@ def test_fef_interval_one_every_frame():
     res = T2Receiver().receive(samples)
     assert res.stats.frames_decoded == 4
     np.testing.assert_array_equal(res.ts, flat[:len(res.ts)])
+
+
+def test_fef_multiplp_inband_streaming():
+    """Integration: FEF parts + two PLPs + in-band type-A signalling
+    through the streaming receiver — the features must compose (FEF
+    strides between frames, per-PLP slices inside them, in-band payloads
+    in the BB padding)."""
+    from sdr_receiver_dvb_t2_tpu.tx.modulator import T2Modulator
+    p = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                 pilot_pattern=PilotPattern.PP1, extended_carrier=False,
+                 n_data=9, fef=(0, 20000, 2))
+    plps = [PLPParams(plp_id=0, constellation=Constellation.QAM16,
+                      rate=CodeRate.C1_2, fec_frame=FECFrame.SHORT,
+                      num_blocks_max=2, time_il_length=1, in_band_a=True),
+            PLPParams(plp_id=1, constellation=Constellation.QPSK,
+                      rate=CodeRate.C1_2, fec_frame=FECFrame.SHORT,
+                      rotated=False, num_blocks_max=1, time_il_length=1)]
+    mod = T2Modulator(p, plps)
+    rng = np.random.default_rng(11)
+    n_frames = 6
+    ts = rng.integers(0, 256, (mod.packets_needed(n_frames) + 6, 188)
+                      ).astype(np.uint8)
+    ts[:, 0] = 0x47
+    ts[:, 1] &= 0x7F
+    out = mod.modulate(ts.reshape(-1), n_frames)
+    dev = devices.SimulatedDevice(out.samples, snr_db=30)
+    got = []
+    sr = devices.StreamingReceiver(dev, acq_seconds=0.025,
+                                   block_seconds=0.007)
+    st = sr.run(ts_sink=got.append)
+    assert st.frames_decoded == n_frames
+    assert st.reacquisitions == 0
+    assert st.ts_errors == 0
+    # every recovered packet is a source packet (two PLPs interleave the
+    # source round-robin, so exact ordering is per-PLP)
+    src = {p_.tobytes() for p_ in ts}
+    rec = np.concatenate(got)
+    assert len(rec) >= 20 * 188
+    for pkt in rec.reshape(-1, 188):
+        assert pkt.tobytes() in src
