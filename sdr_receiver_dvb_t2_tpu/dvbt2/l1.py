@@ -35,7 +35,8 @@ from dataclasses import dataclass, field as dfield
 import numpy as np
 
 from . import bbframe, bch, interleavers, ldpc
-from .params import CodeRate, Constellation, FECFrame, T2Params, fec_params
+from .params import (CodeRate, Constellation, FECFrame, Preamble, T2Params,
+                     fec_params)
 
 CRC32_POLY = 0x04C11DB7
 L1_PRE_CELLS = 1840
@@ -714,7 +715,10 @@ def build_l1(p: T2Params, plps, num_frames: int = 2,
         l1_repetition_flag=int(l1_repetition),
         bwt_ext=int(p.extended_carrier),
         s2_field2=1 if p.fef else 0,
-        s1=1 if p.miso else 0,
+        # S1 mirrors the P1 field: T2-Lite profiles use 3 (SISO) / 4 (MISO)
+        s1=((4 if p.miso else 3)
+            if p.preamble in (Preamble.T2_LITE_SISO, Preamble.T2_LITE_MISO)
+            else (1 if p.miso else 0)),
         s2_field1={1024: 3, 2048: 0, 4096: 2, 8192: 1, 16384: 4, 32768: 5}[
             p.fft_size],
         guard_interval=int(p.guard),

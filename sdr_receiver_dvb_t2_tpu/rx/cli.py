@@ -58,6 +58,10 @@ def main(argv=None):
                     default="raw", help="device preset for the sample rate")
     ap.add_argument("--out", default="udp://127.0.0.1:7654",
                     help="TS sink: udp://host:port or a file path")
+    ap.add_argument("--profile", choices=("base", "lite"), default="base",
+                    help="which service to select by preamble type: the "
+                         "base T2 signal or a T2-Lite service in its FEF "
+                         "parts (no reference equivalent)")
     ap.add_argument("--plp", type=int, default=None,
                     help="decode only this PLP id")
     ap.add_argument("--l1-dump", action="store_true",
@@ -133,9 +137,9 @@ def main(argv=None):
         sink = ts_io.open_sink(args.out)
         if args.device_path:
             from .device_receiver import DeviceT2Receiver
-            rx = DeviceT2Receiver(plp_filter=args.plp)
+            rx = DeviceT2Receiver(plp_filter=args.plp, profile=args.profile)
         else:
-            rx = T2Receiver(plp_filter=args.plp)
+            rx = T2Receiver(plp_filter=args.plp, profile=args.profile)
         sr = devices.StreamingReceiver(
             dev, rx, agc=not args.no_agc, use_ring=args.ring,
             checkpoint_path=args.checkpoint)
@@ -198,7 +202,8 @@ def main(argv=None):
             return lambda llrs: np.asarray(
                 dec(np.asarray(llrs, np.float32)))
 
-    rx = T2Receiver(plp_filter=args.plp, ldpc_decode_fn_factory=factory)
+    rx = T2Receiver(plp_filter=args.plp, ldpc_decode_fn_factory=factory,
+                    profile=args.profile)
     res = rx.receive(x)
     dt = time.time() - t0
 

@@ -21,7 +21,7 @@ import numpy as np
 from ..dvbt2 import bbframe, bch, interleavers, l1 as l1mod, ldpc, tables
 from ..dvbt2.params import (CodeRate, Constellation, FECFrame, FFTMode,
                             GuardInterval, PAPR, PilotPattern, PLPParams,
-                            T2Params)
+                            Preamble, T2Params)
 
 
 def params_from_l1(p1_fft: FFTMode, pre: l1mod.L1Pre,
@@ -35,7 +35,9 @@ def params_from_l1(p1_fft: FFTMode, pre: l1mod.L1Pre,
         pilot_pattern=PilotPattern(pre.pilot_pattern),
         extended_carrier=bool(pre.bwt_ext),
         papr=PAPR(pre.papr) if pre.papr in (0, 1, 2, 3) else PAPR.OFF,
-        miso=pre.s1 == 1,
+        miso=pre.s1 in (1, 4),
+        preamble=(Preamble(pre.s1) if 0 <= pre.s1 <= 4
+                  else Preamble.T2_SISO),
         n_data=pre.num_data_symbols,
         fef=(tuple(post.fef) if (pre.s2_field2 and post.fef) else None),
     )

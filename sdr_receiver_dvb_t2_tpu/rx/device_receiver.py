@@ -28,8 +28,8 @@ from .receiver import T2Receiver
 class DeviceT2Receiver(T2Receiver):
     def __init__(self, plp_filter: int | None = None,
                  ldpc_max_iters: int = 24, adaptive: bool = True,
-                 stream_batch: int = 4):
-        super().__init__(plp_filter=plp_filter)
+                 stream_batch: int = 4, profile: str = "base"):
+        super().__init__(plp_filter=plp_filter, profile=profile)
         self.ldpc_max_iters = ldpc_max_iters
         self.adaptive = adaptive
         # F-frame superstep size for the streaming loop (the bench's F=96

@@ -208,7 +208,12 @@ def p1_candidate_peaks(mag: np.ndarray, threshold_ratio: float = 0.1,
     return peaks
 
 
-def acquire_p1(x: np.ndarray) -> P1Result | None:
+BASE_PREAMBLES = (Preamble.T2_SISO, Preamble.T2_MISO)
+LITE_PREAMBLES = (Preamble.T2_LITE_SISO, Preamble.T2_LITE_MISO)
+
+
+def acquire_p1(x: np.ndarray,
+               accept: tuple = BASE_PREAMBLES) -> P1Result | None:
     """Search + decode; robust to interference bursts.
 
     Tries candidate plateaus earliest-first; when none decodes, the tried
@@ -216,7 +221,13 @@ def acquire_p1(x: np.ndarray) -> P1Result | None:
     can out-correlate every real P1, so thresholding against the global
     maximum alone would never see them).  This is the recorded-block form
     of the reference's continuous P1 hunt with begin/end hysteresis
-    (p1_symbol.cpp:92-172)."""
+    (p1_symbol.cpp:92-172).
+
+    `accept` selects which preamble types are OURS: base-profile
+    receivers lock on T2 P1s and skip T2-Lite/FEF ones, a lite-profile
+    receiver (`accept=LITE_PREAMBLES`) does the reverse — that is how a
+    T2-Lite service multiplexed into the FEF parts of a base T2 signal
+    is selected (clause 8.4; no reference equivalent)."""
     mag, metric = p1_correlate(x)
     if len(mag) == 0:
         return None
@@ -237,12 +248,12 @@ def acquire_p1(x: np.ndarray) -> P1Result | None:
                 continue
             res = decode_p1(x, start, metric[peak])
             if res is not None:
-                if res.preamble not in (Preamble.T2_SISO,
-                                        Preamble.T2_MISO):
-                    # a decodable P1 announcing a non-T2 transmission:
-                    # a FEF part (clause 8.4) or a neighbouring non-T2
-                    # signal.  Not ours — keep scanning (its plateau is
-                    # suppressed with the other failures below)
+                if res.preamble not in accept:
+                    # a decodable P1 of a preamble type this receiver is
+                    # not selecting: a FEF part, the other profile of a
+                    # base+lite multiplex, or a neighbouring signal.
+                    # Not ours — keep scanning (its plateau is suppressed
+                    # with the other failures below)
                     continue
                 return res
         for peak in peaks:

@@ -70,10 +70,19 @@ class T2Receiver:
     SURVEY.md §5 config)."""
 
     def __init__(self, plp_filter: int | None = None,
-                 ldpc_decode_fn_factory=None):
+                 ldpc_decode_fn_factory=None, profile: str = "base"):
         self.plp_filter = plp_filter
         # factory: (plp: PLPParams) -> batched decoder fn, or None
         self.ldpc_decode_fn_factory = ldpc_decode_fn_factory
+        # which preamble types this receiver selects: "base" locks on T2
+        # P1s, "lite" on T2-Lite P1s — a T2-Lite service multiplexed into
+        # the base signal's FEF parts is received with profile="lite"
+        # (the reference supports neither T2-Lite nor FEF)
+        if profile not in ("base", "lite"):
+            raise ValueError(f"profile must be base|lite, got {profile!r}")
+        self.profile = profile
+        self._accept = (rxp1.LITE_PREAMBLES if profile == "lite"
+                        else rxp1.BASE_PREAMBLES)
         self._last_l1post = None
         self._inband_prev = {}   # plp_id -> last frame's InBandA (or None)
 
@@ -82,7 +91,7 @@ class T2Receiver:
         stats = ReceiverStats()
         self._inband_prev = {}
         x = np.asarray(x)
-        p1 = rxp1.acquire_p1(x)
+        p1 = rxp1.acquire_p1(x, accept=self._accept)
         if p1 is None:
             return ReceiveResult(ts=np.zeros(0, np.uint8), stats=stats)
         cfo = p1.fractional_cfo_hz \
@@ -252,7 +261,7 @@ class T2Receiver:
         survive block boundaries; `receive` stays the one-shot whole-buffer
         entry point."""
         x = np.asarray(x)
-        p1 = rxp1.acquire_p1(x)
+        p1 = rxp1.acquire_p1(x, accept=self._accept)
         if p1 is None:
             return None
         cfo = p1.fractional_cfo_hz \
@@ -315,7 +324,8 @@ class T2Receiver:
         try:
             cand = T2Params(fft_mode=p1.fft_mode, guard=gi,
                             pilot_pattern=PilotPattern(pp),
-                            extended_carrier=ext, miso=p1.s1 == 1)
+                            extended_carrier=ext, miso=p1.s1 in (1, 4),
+                            preamble=p1.preamble)
             _ = cand.c_data  # raises on illegal combos
         except (ValueError, KeyError):
             return None
@@ -340,7 +350,8 @@ class T2Receiver:
                 pilot_pattern=PilotPattern(pre.pilot_pattern),
                 extended_carrier=bool(pre.bwt_ext),
                 papr=PAPR(pre.papr) if pre.papr in (0, 1, 2, 3) else PAPR.OFF,
-                miso=p1.s1 == 1,
+                miso=p1.s1 in (1, 4),
+                preamble=p1.preamble,
                 n_data=pre.num_data_symbols)
             _ = params.c_data
         except (ValueError, KeyError):

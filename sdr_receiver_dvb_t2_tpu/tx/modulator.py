@@ -30,17 +30,23 @@ class ModulatorOutput:
     l1post_frames: list          # per-frame L1Post (dynamic differs)
     n_frames: int
     samples2: np.ndarray | None = None   # MISO TX group 2 stream
+    frames: list | None = None   # per-T2-frame sample arrays (no FEF parts);
+    # lets a multiplexer interleave its own FEF content (tx/mux.py)
 
 
 class T2Modulator:
     def __init__(self, p: T2Params, plps: list[PLPParams],
                  l1_post_mod: int = 1, hem: bool = False,
-                 l1_repetition: bool = False):
+                 l1_repetition: bool = False, fef_insert: bool = True):
         self.p = p
         self.plps = plps
         self.l1_post_mod = l1_post_mod
         self.hem = hem
         self.l1_repetition = l1_repetition
+        # fef_insert=False emits the FEF *signalling* but no placeholder
+        # FEF samples — a multiplexer (tx/mux.py) supplies the FEF content
+        # (e.g. a T2-Lite signal) between the returned per-frame arrays
+        self.fef_insert = fef_insert
         self.adapters = [bbframe.ModeAdapter(kbch=c.fec.k_bch, hem=hem,
                                              isi=c.plp_id)
                          for c in plps]
@@ -70,6 +76,7 @@ class T2Modulator:
         # distribute TS packets: round-robin by need per adapter
         pos = 0
         frames_samples = []
+        t2_frames = []           # group-1 T2 frames only, no FEF parts
         frames_samples2 = []
         l1pre, l1post_template = l1mod.build_l1(
             p, self.plps, num_frames=n_frames, l1_post_mod=self.l1_post_mod,
@@ -150,7 +157,8 @@ class T2Modulator:
             else:
                 carriers = txframe.symbols_to_carriers(p, symbols)
                 frames_samples.append(txofdm.frame_to_samples(p, carriers))
-            if p.fef_after(fidx):
+            t2_frames.append(frames_samples[-1])
+            if p.fef_after(fidx) and self.fef_insert:
                 # FEF part after this frame (clause 8.3.1); in MISO both
                 # transmitter groups emit the same FEF content
                 fef = txofdm.generate_fef_part(
@@ -163,7 +171,8 @@ class T2Modulator:
                                l1pre=l1pre, l1post_frames=l1posts,
                                n_frames=n_frames,
                                samples2=(np.concatenate(frames_samples2)
-                                         if p.miso else None))
+                                         if p.miso else None),
+                               frames=t2_frames)
 
 
 def awgn(samples: np.ndarray, snr_db: float, seed: int = 0) -> np.ndarray:

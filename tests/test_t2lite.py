@@ -1,0 +1,125 @@
+"""T2-Lite profile + base/lite FEF multiplexing (annex I + clause 8.4).
+
+Real networks carry a mobile T2-Lite service in the FEF parts of a base
+T2 signal.  The reference supports neither T2-Lite preambles nor FEF —
+it cannot lock on such a multiplex.  Here the mux (tx/mux.py) builds the
+combined stream and each service is selected purely by preamble type:
+`T2Receiver(profile="base"|"lite")`.
+"""
+import dataclasses
+
+import numpy as np
+
+from sdr_receiver_dvb_t2_tpu.dvbt2.params import (
+    CodeRate, Constellation, FECFrame, FFTMode, GuardInterval, PilotPattern,
+    PLPParams, Preamble, T2Params)
+from sdr_receiver_dvb_t2_tpu.io import devices
+from sdr_receiver_dvb_t2_tpu.rx.receiver import T2Receiver
+from sdr_receiver_dvb_t2_tpu.tx import mux as txmux
+from sdr_receiver_dvb_t2_tpu.tx.modulator import T2Modulator, awgn
+
+N_BASE = 4
+INTERVAL = 2
+
+
+def _mk_ts(mod, n_frames, seed):
+    rng = np.random.default_rng(seed)
+    ts = rng.integers(0, 256, (mod.packets_needed(n_frames) + 4, 188)
+                      ).astype(np.uint8)
+    ts[:, 0] = 0x47
+    ts[:, 1] &= 0x7F
+    return ts.reshape(-1)
+
+
+def _mux():
+    base_p0 = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                       pilot_pattern=PilotPattern.PP1,
+                       extended_carrier=False, n_data=9)
+    lite_p = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                      pilot_pattern=PilotPattern.PP1,
+                      extended_carrier=False, n_data=4,
+                      preamble=Preamble.T2_LITE_SISO,
+                      fef=(0, INTERVAL * base_p0.frame_samples, 1))
+    base_p = dataclasses.replace(
+        base_p0, fef=(0, lite_p.frame_samples, INTERVAL))
+    base_plp = PLPParams(constellation=Constellation.QAM16,
+                         rate=CodeRate.C1_2, fec_frame=FECFrame.SHORT,
+                         num_blocks_max=3, time_il_length=1)
+    lite_plp = PLPParams(constellation=Constellation.QPSK,
+                         rate=CodeRate.C1_2, fec_frame=FECFrame.SHORT,
+                         rotated=False, num_blocks_max=1, time_il_length=1)
+    m = txmux.BaseLiteMux(base_p, [base_plp], lite_p, [lite_plp])
+    ts_base = _mk_ts(m.base_mod, N_BASE, 21)
+    ts_lite = _mk_ts(m.lite_mod, m.lite_frames_for(N_BASE), 22)
+    samples, base_out, lite_out = m.modulate(ts_base, ts_lite, N_BASE)
+    return samples, ts_base, ts_lite, base_p, lite_p
+
+
+def test_mux_structure():
+    samples, ts_base, ts_lite, base_p, lite_p = _mux()
+    n_lite = sum(1 for f in range(N_BASE) if (f + 1) % INTERVAL == 0)
+    assert len(samples) == (N_BASE * base_p.frame_samples
+                            + n_lite * lite_p.frame_samples)
+
+
+def test_base_service_decodes_from_mux():
+    """Base-profile receive: locks on T2 P1s, strides over the embedded
+    lite frames (its L1 declares them as FEF parts), TS bit-exact."""
+    samples, ts_base, ts_lite, base_p, lite_p = _mux()
+    res = T2Receiver().receive(awgn(samples, 28.0, seed=2))
+    assert res.stats.frames_decoded == N_BASE
+    assert res.stats.ts_errors == 0
+    np.testing.assert_array_equal(res.ts, ts_base[:len(res.ts)])
+    assert res.params.preamble == Preamble.T2_SISO
+
+
+def test_lite_service_decodes_from_mux():
+    """Lite-profile receive of the SAME capture: locks on the T2-Lite
+    P1s inside the FEF parts, strides over the base frames (the lite L1
+    declares them as ITS FEF parts), TS bit-exact."""
+    samples, ts_base, ts_lite, base_p, lite_p = _mux()
+    res = T2Receiver(profile="lite").receive(awgn(samples, 28.0, seed=3))
+    assert res.stats.frames_decoded == 2
+    assert res.stats.ts_errors == 0
+    assert len(res.ts) > 0
+    np.testing.assert_array_equal(res.ts, ts_lite[:len(res.ts)])
+    assert res.params.preamble == Preamble.T2_LITE_SISO
+    # the lite signal's own L1 declares the base frames as its FEFs
+    assert res.params.fef == (0, INTERVAL * base_p.frame_samples, 1)
+
+
+def test_lite_streaming_from_mux():
+    """Streaming lite-profile receive through StreamingReceiver: the
+    FEF-aware frame grid strides over the base frames continuously."""
+    samples, ts_base, ts_lite, base_p, lite_p = _mux()
+    dev = devices.SimulatedDevice(samples, snr_db=30)
+    got = []
+    sr = devices.StreamingReceiver(dev, acq_seconds=0.06,
+                                   block_seconds=0.01,
+                                   receiver=T2Receiver(profile="lite"))
+    st = sr.run(ts_sink=got.append)
+    assert st.frames_decoded == 2
+    assert st.ts_errors == 0
+    ts = np.concatenate(got) if got else np.zeros(0, np.uint8)
+    np.testing.assert_array_equal(ts, ts_lite[:len(ts)])
+
+
+def test_lite_standalone_loopback():
+    """A pure T2-Lite signal (no base, no FEF) round-trips: the lite
+    preamble alone must not break anything."""
+    p = T2Params(fft_mode=FFTMode.FFT_4K, guard=GuardInterval.GI_1_16,
+                 pilot_pattern=PilotPattern.PP3, extended_carrier=False,
+                 n_data=8, preamble=Preamble.T2_LITE_SISO)
+    plp = PLPParams(constellation=Constellation.QAM16, rate=CodeRate.C1_2,
+                    fec_frame=FECFrame.SHORT, num_blocks_max=2,
+                    time_il_length=1)
+    mod = T2Modulator(p, [plp])
+    ts = _mk_ts(mod, 2, 7)
+    out = mod.modulate(ts, 2)
+    # base-profile receiver must NOT see it...
+    res_base = T2Receiver().receive(out.samples)
+    assert res_base.stats.frames_decoded == 0
+    # ...the lite-profile receiver decodes it bit-exact
+    res = T2Receiver(profile="lite").receive(out.samples)
+    assert res.stats.frames_decoded == 2
+    np.testing.assert_array_equal(res.ts, ts[:len(res.ts)])

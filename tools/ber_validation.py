@@ -5,8 +5,11 @@ flooding decoder (25 iters) near the code threshold.
 Evidence that the fast layered schedule + reduced precision do not cost
 operating-point performance (the reference runs <=25 layered iterations in
 int8, ldpc_decoder.h:62)."""
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
