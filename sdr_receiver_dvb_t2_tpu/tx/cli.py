@@ -52,6 +52,9 @@ def main(argv=None):
                     help="insert FEF parts (clause 8.4): LEN elementary "
                          "periods incl. the FEF P1, after every INTERVAL-th "
                          "frame (default 2), signalled type TYPE (default 0)")
+    ap.add_argument("--lite", action="store_true",
+                    help="emit a T2-Lite profile signal (S1=T2-Lite "
+                         "preamble); receive with t2rx --profile lite")
     ap.add_argument("--format", choices=iqio.FORMATS, default=None)
     args = ap.parse_args(argv)
 
@@ -65,9 +68,12 @@ def main(argv=None):
         fef = (parts[2] if len(parts) > 2 else 0,      # FEF_TYPE
                parts[0],                               # FEF_LENGTH
                parts[1] if len(parts) > 1 else 2)      # FEF_INTERVAL
+    from ..dvbt2.params import Preamble
     p = T2Params(fft_mode=fft, guard=_GI[args.guard],
                  pilot_pattern=PilotPattern(args.pp - 1),
-                 extended_carrier=ext, n_data=args.n_data, fef=fef)
+                 extended_carrier=ext, n_data=args.n_data, fef=fef,
+                 preamble=(Preamble.T2_LITE_SISO if args.lite
+                           else Preamble.T2_SISO))
     plp = PLPParams(
         constellation=_MOD[args.mod], rate=_RATE[args.rate],
         fec_frame=FECFrame.SHORT if args.short_fec else FECFrame.NORMAL,

@@ -123,3 +123,21 @@ def test_lite_standalone_loopback():
     res = T2Receiver(profile="lite").receive(out.samples)
     assert res.stats.frames_decoded == 2
     np.testing.assert_array_equal(res.ts, ts[:len(res.ts)])
+
+
+def test_mux_auto_constructor():
+    """BaseLiteMux.auto derives the reciprocal FEF tuples from the two
+    modes' frame lengths."""
+    base_p = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                      pilot_pattern=PilotPattern.PP1,
+                      extended_carrier=False, n_data=9)
+    lite_p = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                      pilot_pattern=PilotPattern.PP1,
+                      extended_carrier=False, n_data=4,
+                      preamble=Preamble.T2_LITE_SISO)
+    plp = PLPParams(constellation=Constellation.QPSK, rate=CodeRate.C1_2,
+                    fec_frame=FECFrame.SHORT, rotated=False,
+                    num_blocks_max=1, time_il_length=1)
+    m = txmux.BaseLiteMux.auto(base_p, [plp], lite_p, [plp], interval=3)
+    assert m.base_p.fef == (0, m.lite_p.frame_samples, 3)
+    assert m.lite_p.fef == (0, 3 * m.base_p.frame_samples, 1)
