@@ -641,8 +641,11 @@ class StreamingReceiver:
             alive = track_and_decode(final=eof)
             flush_ts()
             notify()
-            # compact: keep a small lookback for the next P1 measurement
-            keep_from = max(0, lock.frame_start - 64)
+            # compact: keep a small lookback for the next P1 measurement.
+            # NB frame_start may point BEYOND the buffered samples (a FEF
+            # part separates this frame from the next, _advance_grid) —
+            # clamp, or the slice below would silently drop the position
+            keep_from = max(0, min(lock.frame_start, len(pending)) - 64)
             if keep_from:
                 consumed += keep_from
                 pending = pending[keep_from:]

@@ -185,3 +185,44 @@ def test_fef_multiplp_inband_streaming():
     assert len(rec) >= 20 * 188
     for pkt in rec.reshape(-1, 188):
         assert pkt.tobytes() in src
+
+
+def test_fef_checkpoint_resume(tmp_path):
+    """Checkpoint/resume across a FEF-bearing stream: the resumed run
+    re-acquires (fresh FRAME_IDX from its own L1) and the concatenated TS
+    equals the uninterrupted run's."""
+    from sdr_receiver_dvb_t2_tpu.utils.checkpoint import StreamCheckpoint
+    flat, samples, p = _fef_waveform(8)
+    ck_path = str(tmp_path / "fef.ck")
+
+    dev0 = devices.SimulatedDevice(samples, snr_db=32)
+    got0 = []
+    sr0 = devices.StreamingReceiver(dev0, acq_seconds=0.025,
+                                    block_seconds=0.007)
+    st0 = sr0.run(ts_sink=got0.append)
+    assert st0.frames_decoded == 8
+    ts_full = np.concatenate(got0)
+
+    dev1 = devices.SimulatedDevice(samples, snr_db=32)
+    got1 = []
+    sr1 = devices.StreamingReceiver(dev1, acq_seconds=0.025,
+                                    block_seconds=0.007,
+                                    checkpoint_path=ck_path,
+                                    checkpoint_every=2)
+    sr1.run(ts_sink=got1.append, max_blocks=6)
+    ck = StreamCheckpoint.load(ck_path)
+    assert ck.frames_decoded >= 2
+
+    dev2 = devices.SimulatedDevice(samples, snr_db=32)
+    got2 = []
+    sr2 = devices.StreamingReceiver(dev2, acq_seconds=0.025,
+                                    block_seconds=0.007)
+    st2 = sr2.run(ts_sink=got2.append, resume=ck_path)
+    assert st2.frames_decoded >= 1
+
+    ts1 = (np.concatenate(got1) if got1 else np.zeros(0, np.uint8)
+           )[:ck.ts_packets * 188]
+    ts2 = np.concatenate(got2) if got2 else np.zeros(0, np.uint8)
+    joined = np.concatenate([ts1, ts2])
+    np.testing.assert_array_equal(joined, ts_full[:len(joined)])
+    assert len(joined) >= len(ts_full) - 2 * 188
