@@ -226,3 +226,40 @@ def test_fef_checkpoint_resume(tmp_path):
     joined = np.concatenate([ts1, ts2])
     np.testing.assert_array_equal(joined, ts_full[:len(joined)])
     assert len(joined) >= len(ts_full) - 2 * 188
+
+
+def test_fef_miso_streaming():
+    """MISO + FEF: both transmitter groups emit the same FEF part; the
+    combined two-path channel stream decodes with the FEF-aware grid."""
+    from sdr_receiver_dvb_t2_tpu.dvbt2.params import Preamble
+    p = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                 pilot_pattern=PilotPattern.PP1, extended_carrier=False,
+                 n_data=9, miso=True, preamble=Preamble.T2_MISO,
+                 fef=(0, 25000, 2))
+    plp = PLPParams(constellation=Constellation.QAM16, rate=CodeRate.C1_2,
+                    fec_frame=FECFrame.SHORT, rotated=True,
+                    num_blocks_max=3, time_il_length=1)
+    mod = T2Modulator(p, [plp])
+    rng = np.random.default_rng(23)
+    ts = rng.integers(0, 256, (mod.packets_needed(4) + 4, 188)
+                      ).astype(np.uint8)
+    ts[:, 0] = 0x47
+    ts[:, 1] &= 0x7F
+    out = mod.modulate(ts.reshape(-1), 4)
+    assert len(out.samples) == len(out.samples2)
+
+    def ch(x, taps):
+        return np.convolve(x, taps)[:len(x)].astype(np.complex64)
+
+    y = (ch(out.samples, [1.0, 0.08j])
+         + ch(out.samples2, [0.0, 0.0, 0.6 * np.exp(0.7j), -0.05]))
+    dev = devices.SimulatedDevice(y, snr_db=30)
+    got = []
+    sr = devices.StreamingReceiver(dev, acq_seconds=0.025,
+                                   block_seconds=0.007)
+    st = sr.run(ts_sink=got.append)
+    assert st.frames_decoded == 4
+    assert st.ts_errors == 0
+    flat = ts.reshape(-1)
+    rec = np.concatenate(got)
+    np.testing.assert_array_equal(rec, flat[:len(rec)])
