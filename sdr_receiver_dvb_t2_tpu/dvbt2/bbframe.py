@@ -325,6 +325,19 @@ class TSAssembler:
             self._subs[key] = a
         return a
 
+    def flush_safe_count(self) -> int:
+        """Leading packets that can no longer be amended and are safe to
+        flush to a sink.  Each (sub-)assembler's NEWEST packet may still
+        receive a TEI back-mark when the next frame's CRC byte arrives
+        (NM mode, see push:461) — in multi-PLP streaming every sub shares
+        the parent's `packets` list, so holding back only the single
+        globally-newest packet would let a sub amend an already-flushed
+        copy."""
+        idxs = [a._last_idx
+                for a in [self, *self._subs.values()]
+                if a._last_idx is not None]
+        return min(idxs) if idxs else len(self.packets)
+
     def error_count(self) -> int:
         return self.errors + sum(a.errors for a in self._subs.values())
 

@@ -16,10 +16,11 @@ plane TPU-side:
     exactly like stepping a real LO/attenuator, so the closed-loop
     acquisition state machine can be exercised without hardware,
   - live vendor front ends live in io/vendor.py: `SdrplayDevice`
-    (mir_sdr blocking ReadPacket loop) and `AirspyDevice` (libairspy
-    async callback into the native ring), registered here as "sdrplay" /
-    "airspy"; the Pluto topology is served by the network front end
-    (io/net.py).
+    (mir_sdr blocking ReadPacket loop), `AirspyDevice` (libairspy async
+    callback into the native ring) and `PlutoDevice` (the reference's
+    custom hi-speed libusb API, planar int16 transfers), registered here
+    as "sdrplay" / "airspy" / "plutosdr"; for a radio on another machine
+    use the network front end (io/net.py, `t2radio`).
 
 Streaming consumption is in `StreamingReceiver` below: blocks -> elastic
 buffer -> acquisition -> block decode -> TS sink, with feedback applied
@@ -473,10 +474,12 @@ class StreamingReceiver:
 
         def flush_ts(final_flush: bool = False):
             nonlocal emitted
-            # hold back the newest packet: its NM transport-error flag is
-            # only known once the NEXT packet's CRC byte arrives, and a
-            # flushed copy could no longer be amended
-            avail = len(assembler.packets) - (0 if final_flush else 1)
+            # hold back each (sub-)assembler's newest packet: its NM
+            # transport-error flag is only known once the NEXT packet's
+            # CRC byte arrives, and a flushed copy could no longer be
+            # amended (multi-PLP subs share the packets list)
+            avail = (len(assembler.packets) if final_flush
+                     else assembler.flush_safe_count())
             if ts_sink is not None and avail > emitted:
                 ts_sink(np.concatenate(assembler.packets[emitted:avail]))
                 emitted = avail

@@ -35,6 +35,19 @@ from .devices import SDRDevice, SignalEstimate
 
 SCALE = 2048.0          # 12-bit ADC full scale (Pluto convention)
 _BYTES_PER_SAMPLE = 4   # int16 I + int16 Q
+# stream header sent by the server on connect: magic + version + pad +
+# float64 sample rate (Hz).  Lets the client run its rate conversion for
+# vendor front ends whose native rate differs from the elementary rate
+# (sdrplay 9.2 Msps, airspy 10 Msps); a header-less legacy stream is
+# detected by the magic and treated as elementary-rate raw samples.
+_HDR_MAGIC = b"T2IQ"
+_HDR_LEN = 16
+
+
+def _pack_header(rate_hz: float) -> bytes:
+    import struct
+    return _HDR_MAGIC + struct.pack("<HH", 1, 0) + struct.pack(
+        "<d", float(rate_hz))
 
 
 class NetworkDevice(SDRDevice):
@@ -66,6 +79,7 @@ class NetworkDevice(SDRDevice):
         self._sock = socket.create_connection((self.host, self.port),
                                               timeout=self.timeout)
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self._read_header()
         # absolute tune and relative retune are distinct commands: FREQ is
         # a retune OFFSET (SignalEstimate.coarse_freq_offset semantics);
         # the initial center frequency goes out as TUNE <hz>
@@ -73,6 +87,27 @@ class NetworkDevice(SDRDevice):
             self._send(f"TUNE {frequency_hz!r}\n")
         if gain_db:
             self._send(f"GAIN {gain_db!r}\n")
+
+    def _read_header(self) -> None:
+        """Parse the server's rate announcement; a stream without one
+        (legacy/foreign daemon) is raw samples at the constructed rate."""
+        import struct
+        buf = b""
+        while len(buf) < _HDR_LEN:
+            try:
+                b = self._sock.recv(_HDR_LEN - len(buf))
+            except (socket.timeout, OSError):
+                break
+            if not b:
+                break
+            buf += b
+        if len(buf) >= _HDR_LEN and buf[:4] == _HDR_MAGIC:
+            (rate,) = struct.unpack("<d", buf[8:16])
+            if rate > 0:
+                self.sample_rate = float(rate)
+        else:
+            # not a header: those bytes are samples
+            self._rem = buf
 
     def _send(self, line: str) -> None:
         if self._sock is not None:
@@ -101,8 +136,11 @@ class NetworkDevice(SDRDevice):
             try:
                 b = self._sock.recv(need)
             except socket.timeout:
-                if len(chunks) > 1 or self._rem:
+                if len(chunks) > 1:
                     break          # partial block: deliver what arrived
+                # NB a leftover sub-sample remainder alone is NOT progress:
+                # breaking on it would return empty blocks forever on a
+                # stalled link and the max_stall deadline would never fire
                 stalled += self.timeout
                 if stalled >= self.max_stall:
                     raise TimeoutError(
@@ -207,18 +245,33 @@ class IQStreamServer:
         return rest
 
     def _serve(self) -> None:
+        """Accept clients until close(): one client at a time, re-accept
+        after a disconnect (daemon semantics); device EOF (capture
+        exhausted) ends the serve loop entirely."""
         self._lsock.settimeout(0.2)
-        conn = None
         try:
             while not self._stop.is_set():
                 try:
                     conn, _ = self._lsock.accept()
-                    break
                 except socket.timeout:
                     continue
-            if conn is None:
-                return
+                if self._serve_client(conn):
+                    return      # device stream ended
+        finally:
+            self._lsock.close()
+
+    def _serve_client(self, conn) -> bool:
+        """Serve one client; True when the DEVICE ended (EOF), False when
+        the client disconnected (caller re-accepts)."""
+        device_eof = False
+        try:
             conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            # announce the device's native rate so the client's rate
+            # conversion engages for vendor front ends
+            try:
+                conn.sendall(_pack_header(self.device.sample_rate))
+            except OSError:
+                return False
             self.device.start()
             cmdbuf = b""
             import select
@@ -237,6 +290,7 @@ class IQStreamServer:
                     break
                 blk = self.device.read_block(self.block)
                 if blk is None:
+                    device_eof = True
                     # capture exhausted: half-close so the client sees EOF,
                     # but keep applying late feedback (a retune decided
                     # after the last block still reaches the radio)
@@ -266,21 +320,21 @@ class IQStreamServer:
                 except OSError:
                     break
         finally:
-            if conn is not None:
-                try:
-                    conn.shutdown(socket.SHUT_WR)
-                except OSError:
-                    pass
-                conn.close()
-            self._lsock.close()
+            try:
+                conn.shutdown(socket.SHUT_WR)
+            except OSError:
+                pass
+            conn.close()
+        return device_eof or self._stop.is_set()
 
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=3.0)
 
     def wait(self, timeout: float | None = None) -> bool:
-        """Block until the serve loop ends (client disconnect / capture
-        exhausted / close()); True when it ended within `timeout`."""
+        """Block until the serve loop ends (device stream exhausted or
+        close()); a client disconnect does NOT end it — the daemon
+        re-accepts.  True when it ended within `timeout`."""
         self._thread.join(timeout=timeout)
         return not self._thread.is_alive()
 

@@ -126,7 +126,11 @@ class SdrplayDevice(SDRDevice):
         if err:
             raise RuntimeError(f"mir_sdr_DCoffsetIQimbalanceControl: {err}")
         self.rf_hz = float(frequency_hz)
-        self.gr_db = 78 if gain_db < 0 else int(round(gain_db))
+        # clamp to the valid gain-reduction range: the real mir_sdr_Init
+        # rejects out-of-range gRdB (a default --gain 0 would otherwise
+        # pass 0, below GR_MIN=20)
+        self.gr_db = 78 if gain_db < 0 else int(np.clip(
+            round(gain_db), self.GR_MIN, self.GR_MAX))
         spp = ctypes.c_int(0)
         err = L.mir_sdr_Init(self.gr_db, self.sample_rate / 1e6,
                              self.rf_hz / 1e6, self.BW_8_MHZ, self.IF_ZERO,

@@ -162,7 +162,8 @@ class T2Receiver:
         # resample the whole block once, then re-acquire.
         if _sco_pass:
             sco = self._measure_sco(x, p1.start, params, dres.timing_offset,
-                                    frame_idx0=l1post.dyn.frame_idx)
+                                    frame_idx0=l1post.dyn.frame_idx,
+                                    n_t2=l1pre.num_t2_frames)
             if 2e-6 < abs(sco) < 5e-3:
                 from . import frontend
                 # zero headroom: repeated resampling walks the first
@@ -182,6 +183,7 @@ class T2Receiver:
         frame_start = p1.start
         frame_idx = 0
         idx0 = l1post.dyn.frame_idx  # absolute L1 FRAME_IDX of frame 0
+        n_t2 = max(int(l1pre.num_t2_frames), 1)
         self._last_l1post = l1post
         while frame_start + params.frame_samples <= len(x):
             ok = self._decode_frame(x, frame_start, params, plps, l1pre,
@@ -192,9 +194,11 @@ class T2Receiver:
             frame_idx += 1
             # FEF parts sit between T2-frames (clause 8.3.1): the stride to
             # the next frame start includes the signalled FEF_LENGTH after
-            # every FEF_INTERVAL-th frame
+            # every FEF_INTERVAL-th frame.  FRAME_IDX wraps at
+            # NUM_T2_FRAMES on air — mirror it (matters when NUM_T2_FRAMES
+            # is not a multiple of FEF_INTERVAL)
             frame_start += params.frame_samples \
-                + params.fef_after(idx0 + frame_idx - 1)
+                + params.fef_after((idx0 + frame_idx - 1) % n_t2)
             # sample-clock-offset retiming: when the pilot-slope timing
             # estimate shows the windows drifting (the reference nudges its
             # Farrow resampler +-8e-9/symbol instead,
@@ -228,14 +232,16 @@ class T2Receiver:
         return None
 
     def _measure_sco(self, x, p1_start, params, t0,
-                     frame_idx0: int = 0) -> float:
+                     frame_idx0: int = 0, n_t2: int = 1 << 30) -> float:
         """Sample-clock offset from the pilot-slope timing drift between
         consecutive frames (sub-sample precision); 0.0 when the buffer is
         too short or two gap estimates disagree (corrupted frame guard).
-        Frame gaps include any FEF parts between them."""
+        Frame gaps include any FEF parts between them (FRAME_IDX wraps at
+        NUM_T2_FRAMES like the on-air field)."""
         nominal = params.frame_samples
-        gap1 = nominal + params.fef_after(frame_idx0)
-        gap2 = nominal + params.fef_after(frame_idx0 + 1)
+        n_t2 = max(int(n_t2), 1)
+        gap1 = nominal + params.fef_after(frame_idx0 % n_t2)
+        gap2 = nominal + params.fef_after((frame_idx0 + 1) % n_t2)
         if p1_start + gap1 + nominal > len(x):
             return 0.0
         car1 = rxdemod.extract_carriers(
@@ -294,7 +300,8 @@ class T2Receiver:
             return None
         params, plps = rxdecode.params_from_l1(p1.fft_mode, l1pre, l1post)
         sco = self._measure_sco(x, p1.start, params, dres.timing_offset,
-                                frame_idx0=l1post.dyn.frame_idx)
+                                frame_idx0=l1post.dyn.frame_idx,
+                                n_t2=l1pre.num_t2_frames)
         self._last_l1post = l1post
         return LockState(params=params, plps=plps, l1pre=l1pre,
                          l1post=l1post, frame_start=int(p1.start),

@@ -238,3 +238,56 @@ def test_t2radio_cli_daemon_serves_capture(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_vendor_rate_announced_and_converted():
+    """A device-rate stream (sdrplay 9.2 Msps) over the wire: the server
+    announces its native rate in the stream header, NetworkDevice adopts
+    it, and the streaming receiver's rate conversion engages — the full
+    t2radio --device sdrplay topology, hardware-free."""
+    from sdr_receiver_dvb_t2_tpu.rx import frontend
+
+    flat, samples = _waveform(n_frames=3, seed=5)
+    x92 = frontend.sinc_resample(samples.astype(np.complex64),
+                                 9.142857e6 / 9.2e6)
+    sim = SimulatedDevice(x92, snr_db=30.0, sample_rate=9.2e6)
+    srv = IQStreamServer(sim, block=65536)
+    dev = NetworkDevice(port=srv.port, timeout=120.0)
+    try:
+        dev.init(frequency_hz=0.0)
+        assert dev.sample_rate == 9.2e6   # announced by the header
+        sr = StreamingReceiver(dev, block_seconds=0.25, agc=False,
+                               acq_seconds=0.2)
+        chunks = []
+        st = sr.run(ts_sink=chunks.append)
+        got = (np.concatenate(chunks) if chunks else np.zeros(0, np.uint8))
+        assert st.frames_decoded >= 2
+        assert st.ts_errors == 0
+        np.testing.assert_array_equal(got, flat[:len(got)])
+    finally:
+        dev.stop()
+        srv.close()
+
+
+def test_server_reaccepts_after_client_disconnect():
+    """Daemon semantics: a second client can connect after the first
+    disconnects mid-stream (the serve loop re-accepts; only device EOF or
+    close() ends it)."""
+    rng = np.random.default_rng(3)
+    x = (rng.normal(0, 0.3, 400000)
+         + 1j * rng.normal(0, 0.3, 400000)).astype(np.complex64)
+    sim = SimulatedDevice(x, snr_db=None)
+    srv = IQStreamServer(sim, block=4096)
+    try:
+        d1 = NetworkDevice(port=srv.port, timeout=30.0)
+        d1.init(frequency_hz=0.0)
+        b1 = d1.read_block(8192)
+        assert b1 is not None and len(b1) == 8192
+        d1.stop()                     # client 1 walks away mid-stream
+        d2 = NetworkDevice(port=srv.port, timeout=30.0)
+        d2.init(frequency_hz=0.0)     # must connect again
+        b2 = d2.read_block(8192)
+        assert b2 is not None and len(b2) == 8192
+        d2.stop()
+    finally:
+        srv.close()
