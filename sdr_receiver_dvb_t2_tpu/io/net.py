@@ -15,7 +15,10 @@ reference's device thread actuates mir_sdr/libairspy
 (rx_sdrplay.cpp:158-197).
 
 Wire protocol (deliberately minimal, one socket):
-  server -> client: interleaved int16 I,Q pairs, little-endian, full-scale
+  server -> client: a 16-byte header (b"T2IQ" magic + version + float64
+                    native sample rate, so the client's rate conversion
+                    engages for 9.2/10 Msps vendor front ends), then
+                    interleaved int16 I,Q pairs, little-endian, full-scale
                     `SCALE` (Pluto's 12-bit ADC convention)
   client -> server: ASCII command lines  b"TUNE <abs_hz>\n" (absolute
                     center frequency) | b"FREQ <offset_hz>\n" (relative
