@@ -23,6 +23,56 @@ from fractions import Fraction
 T_PERIOD = 7.0 / 64.0 * 1e-6
 SAMPLE_RATE = 1.0 / T_PERIOD  # 9.142857.. Msps
 
+
+class Bandwidth(enum.Enum):
+    """Channel bandwidths with their elementary periods T (EN 302 755's
+    per-bandwidth elementary-period table; T in us as a rational, e.g.
+    7/64 us for 8 MHz, 71/131 us for 1.7 MHz).  The reference application
+    is hardwired to the 8 MHz rate (dvbt2_definition.h:29-31); here every
+    bandwidth the standard defines is a first-class mode.  The sample-domain
+    structure (carriers, GI, frame lengths in elementary periods) is
+    bandwidth-invariant — only the seconds<->samples scale changes, so the
+    bandwidth enters exclusively through `sample_rate` at the Hz boundaries
+    (CFO reporting, device retunes, front-end resampling)."""
+    BW_1_7 = (71, 131)   # T2-Lite mobile/audio channels
+    BW_5 = (7, 40)
+    BW_6 = (7, 48)
+    BW_7 = (7, 56)
+    BW_8 = (7, 64)
+    BW_10 = (7, 80)      # professional/non-broadcast use
+
+    @property
+    def t_period(self) -> float:
+        num, den = self.value
+        return num / den * 1e-6
+
+    @property
+    def sample_rate(self) -> float:
+        num, den = self.value
+        return den / num * 1e6
+
+    @property
+    def mhz(self) -> float:
+        return {"BW_1_7": 1.7, "BW_5": 5.0, "BW_6": 6.0, "BW_7": 7.0,
+                "BW_8": 8.0, "BW_10": 10.0}[self.name]
+
+    @classmethod
+    def from_mhz(cls, mhz: float) -> "Bandwidth":
+        for bw in cls:
+            if abs(bw.mhz - mhz) < 0.05:
+                return bw
+        raise ValueError(f"no DVB-T2 bandwidth {mhz} MHz "
+                         f"(valid: 1.7, 5, 6, 7, 8, 10)")
+
+    @classmethod
+    def from_rate(cls, fs: float) -> "Bandwidth | None":
+        """Nearest bandwidth whose elementary rate matches `fs` (None if
+        no standard bandwidth is within 1%)."""
+        for bw in cls:
+            if abs(bw.sample_rate - fs) <= 0.01 * bw.sample_rate:
+                return bw
+        return None
+
 FEC_SIZE_NORMAL = 64800
 FEC_SIZE_SHORT = 16200
 L1_PRE_CELL = 1840
@@ -237,6 +287,16 @@ class T2Params:
     # reference receiver does not support FEF at all; here both the
     # modulator and the receivers schedule around them.
     fef: tuple | None = None
+    # Channel bandwidth: sets the elementary period only (the sample-domain
+    # mode structure is bandwidth-invariant).  Not signalled on-air — the
+    # tuner's channel raster determines it, so receivers take it as an
+    # input-side declaration (t2rx --bandwidth).
+    bandwidth: Bandwidth = Bandwidth.BW_8
+
+    @property
+    def sample_rate(self) -> float:
+        """Elementary sample rate in Hz for this mode's bandwidth."""
+        return self.bandwidth.sample_rate
 
     def fef_after(self, frame_idx: int) -> int:
         """Elementary periods of FEF part following T2-frame `frame_idx`

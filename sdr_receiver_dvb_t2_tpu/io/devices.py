@@ -409,7 +409,7 @@ class StreamingReceiver:
 
     def _acq_need(self) -> int:
         # default: P1 + >=2 frames of the largest mode (SCO measurement)
-        return int(SAMPLE_RATE * self.acq_seconds)
+        return int(self.receiver.fs * self.acq_seconds)
 
     def run(self, ts_sink=None, max_blocks: int | None = None,
             resume: str | None = None,
@@ -429,7 +429,8 @@ class StreamingReceiver:
         dev.start()
         assembler = bbframe.TSAssembler()
         rxstats = rxr.ReceiverStats()
-        chain = frontend.CorrectorChain(in_rate=dev.sample_rate)
+        fs = self.receiver.fs  # true elementary rate (bandwidth-dependent)
+        chain = frontend.CorrectorChain(in_rate=dev.sample_rate, out_rate=fs)
         base_ratio = chain.ratio
         block_len = max(4096, int(dev.sample_rate * self.block_seconds))
         resume_base = 0   # raw device samples consumed before this run
@@ -501,7 +502,7 @@ class StreamingReceiver:
                 start = lock.frame_start
                 with st.metrics.stage("track"):
                     m = rxp1.measure_p1(pending, start,
-                                        search=self.P1_SEARCH)
+                                        search=self.P1_SEARCH, fs=fs)
                 if m is None or m.quality < self.P1_QUALITY_MIN:
                     lock.fail_streak += 1
                     st.frames_skipped += 1
@@ -531,7 +532,7 @@ class StreamingReceiver:
                     seg = pending[start:]
                     n = np.arange(len(seg))
                     pending[start:] = (seg * np.exp(
-                        -2j * np.pi * df * n / SAMPLE_RATE)
+                        -2j * np.pi * df * n / fs)
                     ).astype(np.complex64)
                     chain.add_frequency(df, len(pending) - start)
                 return start
@@ -760,7 +761,7 @@ class StreamingReceiver:
             if abs(ls.cfo_hz) > 1e-3:
                 n = np.arange(len(pending))
                 pending = (pending * np.exp(
-                    -2j * np.pi * ls.cfo_hz * n / SAMPLE_RATE)
+                    -2j * np.pi * ls.cfo_hz * n / self.receiver.fs)
                 ).astype(np.complex64)
                 chain.add_frequency(ls.cfo_hz, len(pending))
                 ls.cfo_hz = 0.0
@@ -787,8 +788,8 @@ class StreamingReceiver:
             + int(round(next_frame_abs * chain.ratio)),
             cfo_hz=float(chain.freq_hz),
             sco_ppm=float((chain.ratio
-                           / (self.device.sample_rate / SAMPLE_RATE) - 1.0)
-                          * 1e6),
+                           / (self.device.sample_rate / self.receiver.fs)
+                           - 1.0) * 1e6),
             ts_buf=[int(b) for b in assembler._buf],
             ts_prev_crc=assembler._prev_crc,
             ts_lost=bool(assembler._lost),

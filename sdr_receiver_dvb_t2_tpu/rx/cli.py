@@ -15,7 +15,6 @@ import time
 
 import numpy as np
 
-from ..dvbt2.params import SAMPLE_RATE
 from ..io import iq as iqio
 from ..io import ts_io
 from . import frontend
@@ -51,9 +50,15 @@ def main(argv=None):
     ap.add_argument("input", help="IQ capture file (.cf32 | .ci16)")
     ap.add_argument("--format", choices=iqio.FORMATS, default=None,
                     help="input sample format (default: from extension)")
-    ap.add_argument("--rate", type=float, default=SAMPLE_RATE,
+    ap.add_argument("--rate", type=float, default=None,
                     help="capture sample rate in Hz (device rate; "
-                         "resampled to 9.142857 Msps)")
+                         "resampled to the bandwidth's elementary rate; "
+                         "default: the elementary rate itself)")
+    ap.add_argument("--bandwidth", type=float, default=8.0,
+                    choices=(1.7, 5.0, 6.0, 7.0, 8.0, 10.0),
+                    help="channel bandwidth in MHz (sets the elementary "
+                         "rate, EN 302 755; the reference supports 8 MHz "
+                         "only)")
     ap.add_argument("--device", choices=list(frontend.DEVICE_RATES) + ["raw"],
                     default="raw", help="device preset for the sample rate")
     ap.add_argument("--out", default="udp://127.0.0.1:7654",
@@ -123,6 +128,9 @@ def main(argv=None):
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    from ..dvbt2.params import Bandwidth
+    fs = Bandwidth.from_mhz(args.bandwidth).sample_rate
+
     if args.stream or args.input.startswith("sdr:"):
         from ..io import devices
         if args.input.startswith("sdr:"):
@@ -137,9 +145,11 @@ def main(argv=None):
         sink = ts_io.open_sink(args.out)
         if args.device_path:
             from .device_receiver import DeviceT2Receiver
-            rx = DeviceT2Receiver(plp_filter=args.plp, profile=args.profile)
+            rx = DeviceT2Receiver(plp_filter=args.plp, profile=args.profile,
+                                  fs=fs)
         else:
-            rx = T2Receiver(plp_filter=args.plp, profile=args.profile)
+            rx = T2Receiver(plp_filter=args.plp, profile=args.profile,
+                            fs=fs)
         sr = devices.StreamingReceiver(
             dev, rx, agc=not args.no_agc, use_ring=args.ring,
             checkpoint_path=args.checkpoint)
@@ -184,12 +194,14 @@ def main(argv=None):
         return 0 if st.frames_decoded > 0 else 1
 
     x = iqio.read_iq(args.input, args.format)
-    rate = frontend.DEVICE_RATES.get(args.device, args.rate)
+    rate = frontend.DEVICE_RATES.get(
+        args.device, args.rate if args.rate is not None else fs)
     print(f"read {len(x)} samples @ {rate/1e6:.4f} Msps", file=sys.stderr)
     t0 = time.time()
-    if abs(rate - SAMPLE_RATE) > 1.0:
-        x = frontend.device_to_elementary(x, rate)
-        print(f"front end -> {len(x)} samples @ 9.1429 Msps", file=sys.stderr)
+    if abs(rate - fs) > 1.0:
+        x = frontend.device_to_elementary(x, rate, target_rate=fs)
+        print(f"front end -> {len(x)} samples @ {fs/1e6:.4f} Msps",
+              file=sys.stderr)
 
     factory = None
     if args.jax_ldpc:
@@ -203,7 +215,7 @@ def main(argv=None):
                 dec(np.asarray(llrs, np.float32)))
 
     rx = T2Receiver(plp_filter=args.plp, ldpc_decode_fn_factory=factory,
-                    profile=args.profile)
+                    profile=args.profile, fs=fs)
     res = rx.receive(x)
     dt = time.time() - t0
 

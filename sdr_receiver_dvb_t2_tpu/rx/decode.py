@@ -25,11 +25,15 @@ from ..dvbt2.params import (CodeRate, Constellation, FECFrame, FFTMode,
 
 
 def params_from_l1(p1_fft: FFTMode, pre: l1mod.L1Pre,
-                   post: l1mod.L1Post) -> tuple[T2Params, list[PLPParams]]:
+                   post: l1mod.L1Post,
+                   bandwidth=None) -> tuple[T2Params, list[PLPParams]]:
     """Rebuild the transmission parameters a receiver needs from L1
     (the reference flow: p1 -> fft mode, l1-pre -> GI/PP/PAPR/bwt_ext,
-    l1-post -> per-PLP mod/cod/fec/TI)."""
+    l1-post -> per-PLP mod/cod/fec/TI).  Bandwidth is never signalled
+    on-air; callers pass the receiver's declared one."""
+    from ..dvbt2.params import Bandwidth
     p = T2Params(
+        bandwidth=bandwidth or Bandwidth.BW_8,
         fft_mode=p1_fft,
         guard=GuardInterval(pre.guard_interval),
         pilot_pattern=PilotPattern(pre.pilot_pattern),

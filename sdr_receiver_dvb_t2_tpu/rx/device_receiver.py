@@ -28,8 +28,11 @@ from .receiver import T2Receiver
 class DeviceT2Receiver(T2Receiver):
     def __init__(self, plp_filter: int | None = None,
                  ldpc_max_iters: int = 24, adaptive: bool = True,
-                 stream_batch: int = 4, profile: str = "base"):
-        super().__init__(plp_filter=plp_filter, profile=profile)
+                 stream_batch: int = 4, profile: str = "base",
+                 fs: float | None = None):
+        from ..dvbt2.params import SAMPLE_RATE
+        super().__init__(plp_filter=plp_filter, profile=profile,
+                         fs=SAMPLE_RATE if fs is None else fs)
         self.ldpc_max_iters = ldpc_max_iters
         self.adaptive = adaptive
         # F-frame superstep size for the streaming loop (the bench's F=96
@@ -263,7 +266,7 @@ class DeviceT2Receiver(T2Receiver):
         stats.last_cells_label = "L1-post cells (eq, device)"
         # per-frame timing from the frame's own P1 (whole-sample grid
         # drift, feeds the SCO retiming in receive()'s frame loop)
-        m = rxp1.measure_p1(np.asarray(x), frame_start)
+        m = rxp1.measure_p1(np.asarray(x), frame_start, fs=self.fs)
         stats.timing_offset.append(float(m.offset) if m is not None else 0.0)
         snr_seen = None
         if l1post_cached is not None:

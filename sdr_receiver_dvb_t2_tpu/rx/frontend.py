@@ -333,8 +333,11 @@ def fir_decimate(x: np.ndarray, factor: int = 2,
 
 
 def device_to_elementary(x: np.ndarray, device_rate: float,
-                         cfo_hz: float = 0.0) -> np.ndarray:
-    """Full front-end: device-rate complex in, elementary-rate out."""
+                         cfo_hz: float = 0.0,
+                         target_rate: float = SAMPLE_RATE) -> np.ndarray:
+    """Full front-end: device-rate complex in, elementary-rate out.
+    `target_rate` is the bandwidth's elementary rate (params.Bandwidth;
+    9.142857 Msps for 8 MHz channels)."""
     x, _ = remove_dc(x)
     g, c = estimate_iq_imbalance(x)
     # only correct when the imbalance is material (estimator noise floor)
@@ -342,9 +345,9 @@ def device_to_elementary(x: np.ndarray, device_rate: float,
         x = correct_iq_imbalance(x, g, c)
     if cfo_hz:
         x = derotate(x, cfo_hz, fs=device_rate)
-    if device_rate >= 1.5 * SAMPLE_RATE:
+    if device_rate >= 1.5 * target_rate:
         x = fir_decimate(x, 2)
         device_rate = device_rate / 2.0
-    if abs(device_rate - SAMPLE_RATE) > 1.0:
-        x = farrow_resample(x, device_rate / SAMPLE_RATE)
+    if abs(device_rate - target_rate) > 1.0:
+        x = farrow_resample(x, device_rate / target_rate)
     return x

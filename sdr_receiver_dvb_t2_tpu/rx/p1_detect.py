@@ -91,9 +91,10 @@ def p1_correlate(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return np.abs(metric), metric
 
 
-def decode_p1(x: np.ndarray, start: int, peak_metric: complex
-              ) -> P1Result | None:
-    """Decode the P1 at `start` (start of C part)."""
+def decode_p1(x: np.ndarray, start: int, peak_metric: complex,
+              fs: float = SAMPLE_RATE) -> P1Result | None:
+    """Decode the P1 at `start` (start of C part).  `fs` is the true
+    elementary rate (bandwidth-dependent) so reported CFOs are true Hz."""
     # fractional CFO from the correlation angle: the C branch contributes a
     # phase 2*pi*df*Tc*T, the B branch 2*pi*df*Tb*T -> total over
     # (Tc+Tb)=1024 sample delays, plus a deterministic structural offset of
@@ -101,11 +102,11 @@ def decode_p1(x: np.ndarray, start: int, peak_metric: complex
     # p1_correlate's docstring conventions).
     struct = np.exp(-2j * np.pi * P1_C / P1_A)
     frac_cfo = float(np.angle(peak_metric * struct)) / (2 * np.pi) \
-        * SAMPLE_RATE / P1_A
+        * fs / P1_A
     # derotate the A part and FFT
     a = np.array(x[start + P1_C:start + P1_C + P1_A], dtype=np.complex128)
     n = np.arange(P1_A)
-    a = a * np.exp(-2j * np.pi * frac_cfo * n / SAMPLE_RATE)
+    a = a * np.exp(-2j * np.pi * frac_cfo * n / fs)
     spec = np.fft.fftshift(np.fft.fft(a) / np.sqrt(P1_A))
     # integer CFO: slide first-carrier index 76..96 (p1_symbol.cpp:117-126)
     best, best_pow = P1_FIRST_CARRIER, -1.0
@@ -152,8 +153,8 @@ class P1Measure:
     quality: float     # normalized correlation (~1 clean, ~0 no P1)
 
 
-def measure_p1(x: np.ndarray, start: int, search: int = 32
-               ) -> P1Measure | None:
+def measure_p1(x: np.ndarray, start: int, search: int = 32,
+               fs: float = SAMPLE_RATE) -> P1Measure | None:
     """Tracking-phase P1 measurement at a KNOWN frame grid position.
 
     Once locked, every frame starts with a P1 at a predicted index; this
@@ -179,7 +180,7 @@ def measure_p1(x: np.ndarray, start: int, search: int = 32
     quality = float(mag[peak]) / max(norm, 1e-30)
     struct = np.exp(-2j * np.pi * P1_C / P1_A)
     cfo = float(np.angle(metric[peak] * struct)) / (2 * np.pi) \
-        * SAMPLE_RATE / P1_A
+        * fs / P1_A
     return P1Measure(cfo_hz=cfo, offset=peak - expect, quality=quality)
 
 
@@ -213,7 +214,8 @@ LITE_PREAMBLES = (Preamble.T2_LITE_SISO, Preamble.T2_LITE_MISO)
 
 
 def acquire_p1(x: np.ndarray,
-               accept: tuple = BASE_PREAMBLES) -> P1Result | None:
+               accept: tuple = BASE_PREAMBLES,
+               fs: float = SAMPLE_RATE) -> P1Result | None:
     """Search + decode; robust to interference bursts.
 
     Tries candidate plateaus earliest-first; when none decodes, the tried
@@ -246,7 +248,7 @@ def acquire_p1(x: np.ndarray,
                 start = 0
             if start < 0 or start + P1_LEN > len(x):
                 continue
-            res = decode_p1(x, start, metric[peak])
+            res = decode_p1(x, start, metric[peak], fs=fs)
             if res is not None:
                 if res.preamble not in accept:
                     # a decodable P1 of a preamble type this receiver is

@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..dvbt2 import bbframe, l1 as l1mod
-from ..dvbt2.params import T2Params, PLPParams, SAMPLE_RATE
+from ..dvbt2.params import Bandwidth, T2Params, PLPParams, SAMPLE_RATE
 from . import decode as rxdecode
 from . import demod as rxdemod
 from . import p1_detect as rxp1
@@ -70,8 +70,14 @@ class T2Receiver:
     SURVEY.md §5 config)."""
 
     def __init__(self, plp_filter: int | None = None,
-                 ldpc_decode_fn_factory=None, profile: str = "base"):
+                 ldpc_decode_fn_factory=None, profile: str = "base",
+                 fs: float = SAMPLE_RATE):
         self.plp_filter = plp_filter
+        # true elementary rate in Hz: SAMPLE_RATE for 8 MHz channels, the
+        # bandwidth's rate otherwise (params.Bandwidth; t2rx --bandwidth).
+        # Only the Hz boundaries depend on it — CFO reporting/derotation
+        # and retune feedback; the sample-domain demod is bandwidth-blind.
+        self.fs = float(fs)
         # factory: (plp: PLPParams) -> batched decoder fn, or None
         self.ldpc_decode_fn_factory = ldpc_decode_fn_factory
         # which preamble types this receiver selects: "base" locks on T2
@@ -91,15 +97,15 @@ class T2Receiver:
         stats = ReceiverStats()
         self._inband_prev = {}
         x = np.asarray(x)
-        p1 = rxp1.acquire_p1(x, accept=self._accept)
+        p1 = rxp1.acquire_p1(x, accept=self._accept, fs=self.fs)
         if p1 is None:
             return ReceiveResult(ts=np.zeros(0, np.uint8), stats=stats)
         cfo = p1.fractional_cfo_hz \
-            + p1.integer_cfo_carriers * SAMPLE_RATE / rxp1.P1_A
+            + p1.integer_cfo_carriers * self.fs / rxp1.P1_A
         stats.cfo_hz = cfo
         if abs(cfo) > 1e-3:
             n = np.arange(len(x))
-            x = x * np.exp(-2j * np.pi * cfo * n / SAMPLE_RATE)
+            x = x * np.exp(-2j * np.pi * cfo * n / self.fs)
 
         # bootstrap params: enough to demod a P2 symbol we can parse L1 from.
         # GI is unknown before L1-pre; like the reference we try GI candidates
@@ -152,7 +158,9 @@ class T2Receiver:
             stats.l1_failures += 1
             return ReceiveResult(ts=np.zeros(0, np.uint8), stats=stats,
                                  params=params, l1pre=l1pre)
-        params, plps = rxdecode.params_from_l1(p1.fft_mode, l1pre, l1post)
+        params, plps = rxdecode.params_from_l1(
+            p1.fft_mode, l1pre, l1post,
+            bandwidth=Bandwidth.from_rate(self.fs))
 
         # sample-clock-offset measurement: locate the next frame's P1 and
         # compare the spacing with the nominal frame length; a material
@@ -267,14 +275,14 @@ class T2Receiver:
         survive block boundaries; `receive` stays the one-shot whole-buffer
         entry point."""
         x = np.asarray(x)
-        p1 = rxp1.acquire_p1(x, accept=self._accept)
+        p1 = rxp1.acquire_p1(x, accept=self._accept, fs=self.fs)
         if p1 is None:
             return None
         cfo = p1.fractional_cfo_hz \
-            + p1.integer_cfo_carriers * SAMPLE_RATE / rxp1.P1_A
+            + p1.integer_cfo_carriers * self.fs / rxp1.P1_A
         if abs(cfo) > 1e-3:
             n = np.arange(len(x))
-            x = x * np.exp(-2j * np.pi * cfo * n / SAMPLE_RATE)
+            x = x * np.exp(-2j * np.pi * cfo * n / self.fs)
         scan = self._scan_mode(x, p1)
         if scan is None:
             return None
@@ -298,7 +306,9 @@ class T2Receiver:
             l1post = l1mod.l1post_decode_soft(l1_cells, l1pre, nvar=nvar)
         if l1post is None:
             return None
-        params, plps = rxdecode.params_from_l1(p1.fft_mode, l1pre, l1post)
+        params, plps = rxdecode.params_from_l1(
+            p1.fft_mode, l1pre, l1post,
+            bandwidth=Bandwidth.from_rate(self.fs))
         sco = self._measure_sco(x, p1.start, params, dres.timing_offset,
                                 frame_idx0=l1post.dyn.frame_idx,
                                 n_t2=l1pre.num_t2_frames)
@@ -351,6 +361,7 @@ class T2Receiver:
         # candidate only in ways that didn't corrupt the P2 demod)
         from ..dvbt2.params import GuardInterval, PAPR
         try:
+            from ..dvbt2.params import Bandwidth
             params = T2Params(
                 fft_mode=p1.fft_mode,
                 guard=GuardInterval(pre.guard_interval),
@@ -359,7 +370,10 @@ class T2Receiver:
                 papr=PAPR(pre.papr) if pre.papr in (0, 1, 2, 3) else PAPR.OFF,
                 miso=p1.s1 in (1, 4),
                 preamble=p1.preamble,
-                n_data=pre.num_data_symbols)
+                n_data=pre.num_data_symbols,
+                # bandwidth is not signalled: tag the discovered mode with
+                # the declared elementary rate when it matches a standard BW
+                bandwidth=Bandwidth.from_rate(self.fs) or Bandwidth.BW_8)
             _ = params.c_data
         except (ValueError, KeyError):
             return None
