@@ -116,3 +116,64 @@ def test_device_capture_resampled_to_lite_rate():
     assert res.stats.frames_decoded >= 2
     np.testing.assert_array_equal(res.ts, flat[:len(res.ts)])
     assert len(res.ts) > 0
+
+
+def test_lite_mux_at_1p7mhz_both_services():
+    """The flagship narrow-band story: a base + T2-Lite FEF multiplex on
+    the 1.7 MHz mobile raster with a real 60 Hz LO error.  Both services
+    decode bit-exact from the same capture with receivers declared at the
+    lite elementary rate; the base receiver reports the CFO in true Hz."""
+    import dataclasses
+    from sdr_receiver_dvb_t2_tpu.dvbt2.params import Preamble
+    from sdr_receiver_dvb_t2_tpu.tx import mux as txmux
+
+    fs = Bandwidth.BW_1_7.sample_rate
+    base_p0 = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                       pilot_pattern=PilotPattern.PP1,
+                       extended_carrier=False, n_data=9,
+                       bandwidth=Bandwidth.BW_1_7)
+    lite_p = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                      pilot_pattern=PilotPattern.PP1,
+                      extended_carrier=False, n_data=4,
+                      preamble=Preamble.T2_LITE_SISO,
+                      bandwidth=Bandwidth.BW_1_7,
+                      fef=(0, 2 * base_p0.frame_samples, 1))
+    base_p = dataclasses.replace(
+        base_p0, fef=(0, lite_p.frame_samples, 2))
+    plp_b = PLPParams(constellation=Constellation.QAM16, rate=CodeRate.C1_2,
+                      fec_frame=FECFrame.SHORT, num_blocks_max=3,
+                      time_il_length=1)
+    plp_l = PLPParams(constellation=Constellation.QPSK, rate=CodeRate.C1_2,
+                      fec_frame=FECFrame.SHORT, rotated=False,
+                      num_blocks_max=1, time_il_length=1)
+    m = txmux.BaseLiteMux(base_p, [plp_b], lite_p, [plp_l])
+
+    def mk_ts(mod, n_frames, seed):
+        rng = np.random.default_rng(seed)
+        ts = rng.integers(0, 256, (mod.packets_needed(n_frames) + 4, 188)
+                          ).astype(np.uint8)
+        ts[:, 0] = 0x47
+        ts[:, 1] &= 0x7F
+        return ts.reshape(-1)
+
+    n_base = 4
+    ts_base = mk_ts(m.base_mod, n_base, 31)
+    ts_lite = mk_ts(m.lite_mod, m.lite_frames_for(n_base), 32)
+    samples, _, _ = m.modulate(ts_base, ts_lite, n_base)
+    # real captures do not end exactly on the frame grid: pad the tail so
+    # the spurious sub-ppm SCO resample the CFO induces cannot push the
+    # final lite frame (the last thing in the mux) past the buffer end
+    samples = np.concatenate([samples, np.zeros(4096, samples.dtype)])
+    n = np.arange(len(samples))
+    x = (samples * np.exp(2j * np.pi * 60.0 * n / fs)).astype(np.complex64)
+
+    res_b = T2Receiver(fs=fs).receive(x)
+    assert res_b.stats.frames_decoded == n_base
+    np.testing.assert_array_equal(res_b.ts, ts_base[:len(res_b.ts)])
+    assert len(res_b.ts) > 0
+    assert res_b.stats.cfo_hz == pytest.approx(60.0, abs=15.0)
+
+    res_l = T2Receiver(profile="lite", fs=fs).receive(x)
+    assert res_l.stats.frames_decoded == m.lite_frames_for(n_base)
+    np.testing.assert_array_equal(res_l.ts, ts_lite[:len(res_l.ts)])
+    assert len(res_l.ts) > 0
