@@ -55,6 +55,11 @@ def main(argv=None):
     ap.add_argument("--lite", action="store_true",
                     help="emit a T2-Lite profile signal (S1=T2-Lite "
                          "preamble); receive with t2rx --profile lite")
+    ap.add_argument("--bandwidth", type=float, default=8.0,
+                    choices=(1.7, 5.0, 6.0, 7.0, 8.0, 10.0),
+                    help="channel bandwidth in MHz (sets the elementary "
+                         "rate the capture plays at; sample-domain output "
+                         "is bandwidth-invariant)")
     ap.add_argument("--format", choices=iqio.FORMATS, default=None)
     args = ap.parse_args(argv)
 
@@ -68,10 +73,11 @@ def main(argv=None):
         fef = (parts[2] if len(parts) > 2 else 0,      # FEF_TYPE
                parts[0],                               # FEF_LENGTH
                parts[1] if len(parts) > 1 else 2)      # FEF_INTERVAL
-    from ..dvbt2.params import Preamble
+    from ..dvbt2.params import Bandwidth, Preamble
     p = T2Params(fft_mode=fft, guard=_GI[args.guard],
                  pilot_pattern=PilotPattern(args.pp - 1),
                  extended_carrier=ext, n_data=args.n_data, fef=fef,
+                 bandwidth=Bandwidth.from_mhz(args.bandwidth),
                  preamble=(Preamble.T2_LITE_SISO if args.lite
                            else Preamble.T2_SISO))
     plp = PLPParams(
@@ -91,7 +97,8 @@ def main(argv=None):
                        if len(ts) >= (need + 4) * 188 else ts, args.frames)
     iqio.write_iq(args.iq_output, out.samples, args.format)
     print(f"wrote {len(out.samples)} samples "
-          f"({len(out.samples)/9.142857e6:.3f} s of air time) "
+          f"({len(out.samples)/p.sample_rate:.3f} s of air time "
+          f"@ {p.sample_rate/1e6:.4f} Msps) "
           f"-> {args.iq_output}", file=sys.stderr)
     return 0
 
