@@ -37,7 +37,8 @@ class ModulatorOutput:
 class T2Modulator:
     def __init__(self, p: T2Params, plps: list[PLPParams],
                  l1_post_mod: int = 1, hem: bool = False,
-                 l1_repetition: bool = False, fef_insert: bool = True):
+                 l1_repetition: bool = False, fef_insert: bool = True,
+                 bb_tap=None, bb_injector=None):
         self.p = p
         self.plps = plps
         self.l1_post_mod = l1_post_mod
@@ -47,6 +48,18 @@ class T2Modulator:
         # FEF samples — a multiplexer (tx/mux.py) supplies the FEF content
         # (e.g. a T2-Lite signal) between the returned per-frame arrays
         self.fef_insert = fef_insert
+        # T2-MI gateway/modulator split (tx/t2mi.py): `bb_tap(fidx, plp_id,
+        # bb_stack)` observes every mode-adapted BB-frame stack (the T2-MI
+        # gateway serializes them); `bb_injector(fidx, plp_id, nb) ->
+        # (nb, kbch) bits` replaces mode adaptation entirely (a T2-MI
+        # modulator plays received BB frames instead of segmenting TS)
+        self.bb_tap = bb_tap
+        self.bb_injector = bb_injector
+        # `l1_injector(fidx) -> (L1Pre, L1Post)` replaces build_l1/dynamic
+        # generation: a T2-MI modulator transmits the gateway's signalling
+        # verbatim; the physical slice layout is still computed locally and
+        # checked against the signalled dynamic (tx/t2mi.py)
+        self.l1_injector = None
         self.adapters = [bbframe.ModeAdapter(kbch=c.fec.k_bch, hem=hem,
                                              isi=c.plp_id)
                          for c in plps]
@@ -78,9 +91,13 @@ class T2Modulator:
         frames_samples = []
         t2_frames = []           # group-1 T2 frames only, no FEF parts
         frames_samples2 = []
-        l1pre, l1post_template = l1mod.build_l1(
-            p, self.plps, num_frames=n_frames, l1_post_mod=self.l1_post_mod,
-            l1_repetition=self.l1_repetition)
+        if self.l1_injector is not None:
+            l1pre, l1post_template = self.l1_injector(0)
+        else:
+            l1pre, l1post_template = l1mod.build_l1(
+                p, self.plps, num_frames=n_frames,
+                l1_post_mod=self.l1_post_mod,
+                l1_repetition=self.l1_repetition)
         l1posts = []
         # in-band type-A payloads (clause 5.2.3): this modulator's frame
         # scheduling is constant, so the next Interleaving Frame's dynamic
@@ -104,16 +121,30 @@ class T2Modulator:
             plp_slices = []
             for a, cfg in zip(self.adapters, self.plps):
                 nb = self.blocks_per_frame(cfg)
-                npkt = a.packets_needed(nb)
-                if npkt:
-                    take = npkt * bbframe.TS_PACKET
-                    if pos + take > len(ts):
-                        raise ValueError("not enough TS input")
-                    a.push_packets(ts[pos:pos + take])
-                    pos += take
-                ib = inband_bits.get(cfg.plp_id)
-                bb = np.stack([a.next_frame(padding_bits=ib if j == 0 else None)
-                               for j in range(nb)])
+                if self.bb_injector is not None:
+                    # T2-MI playout: BB frames arrive fully mode-adapted
+                    # (BBHEADER + data field + any in-band padding) from the
+                    # gateway; no TS segmentation happens in the modulator
+                    bb = np.asarray(self.bb_injector(fidx, cfg.plp_id, nb),
+                                    dtype=np.uint8)
+                    if bb.shape != (nb, cfg.fec.k_bch):
+                        raise ValueError(
+                            f"injected BB stack {bb.shape} != "
+                            f"({nb}, {cfg.fec.k_bch})")
+                else:
+                    npkt = a.packets_needed(nb)
+                    if npkt:
+                        take = npkt * bbframe.TS_PACKET
+                        if pos + take > len(ts):
+                            raise ValueError("not enough TS input")
+                        a.push_packets(ts[pos:pos + take])
+                        pos += take
+                    ib = inband_bits.get(cfg.plp_id)
+                    bb = np.stack(
+                        [a.next_frame(padding_bits=ib if j == 0 else None)
+                         for j in range(nb)])
+                if self.bb_tap is not None:
+                    self.bb_tap(fidx, cfg.plp_id, bb)
                 cells = txfec.plp_encode(cfg, bb)
                 plp_slices.append(txframe.interleave_plp_frame(cfg, cells))
             plp_slices, starts, ss_interval, t2_start = \
@@ -128,17 +159,28 @@ class T2Modulator:
                     sub_slice_interval=ss_interval, type_2_start=t2_start)
 
             dyn_next = None
-            if self.l1_repetition:
-                # constant scheduling: next frame's dynamic differs only in
-                # frame_idx (clause 7.2.3.1 L1 repetition)
-                dyn_next = make_dyn((fidx + 1) % max(n_frames, 1))
-            l1post = l1mod.L1Post(
-                num_plp=len(self.plps), plp=l1post_template.plp,
-                sub_slices_per_frame=max(
-                    [c.sub_slices for c in self.plps if c.plp_type == 2],
-                    default=1),
-                fef=l1post_template.fef,
-                dyn=make_dyn(fidx), dyn_next=dyn_next)
+            if self.l1_injector is not None:
+                # T2-MI playout: transmit the gateway's signalling verbatim,
+                # but verify it against the locally computed physical layout
+                # (a schedule mismatch here means a corrupt/incoherent feed)
+                l1post = self.l1_injector(fidx)[1]
+                for dp in l1post.dyn.plp:
+                    if int(dp.start) != int(starts[dp.id]):
+                        raise ValueError(
+                            f"T2-MI L1 dynamic start {dp.start} for PLP "
+                            f"{dp.id} != local layout {starts[dp.id]}")
+            else:
+                if self.l1_repetition:
+                    # constant scheduling: next frame's dynamic differs only
+                    # in frame_idx (clause 7.2.3.1 L1 repetition)
+                    dyn_next = make_dyn((fidx + 1) % max(n_frames, 1))
+                l1post = l1mod.L1Post(
+                    num_plp=len(self.plps), plp=l1post_template.plp,
+                    sub_slices_per_frame=max(
+                        [c.sub_slices for c in self.plps if c.plp_type == 2],
+                        default=1),
+                    fef=l1post_template.fef,
+                    dyn=make_dyn(fidx), dyn_next=dyn_next)
             l1posts.append(l1post)
             l1_cells = np.concatenate([
                 l1mod.l1pre_encode(l1pre),

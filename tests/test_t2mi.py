@@ -1,0 +1,160 @@
+"""T2-MI (TS 102 773) gateway/playout chain.
+
+The distribution interface of a real DVB-T2 network: mode adaptation +
+scheduling happen once at the gateway; every SFN modulator plays the same
+T2-MI stream into the identical waveform.  The reference application has
+no modulator, let alone this interface.  Provenance caveats for the packet
+layout are disclosed in dvbt2/t2mi.py (loopback-validated)."""
+import numpy as np
+import pytest
+
+from sdr_receiver_dvb_t2_tpu.dvbt2 import t2mi as mi
+from sdr_receiver_dvb_t2_tpu.dvbt2.params import (
+    CodeRate, Constellation, FECFrame, FFTMode, GuardInterval, PilotPattern,
+    PLPParams, T2Params)
+from sdr_receiver_dvb_t2_tpu.rx.receiver import T2Receiver
+from sdr_receiver_dvb_t2_tpu.tx.t2mi import T2MIGateway, T2MIPlayer
+
+
+def _mk_packets(n=5, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        pay = rng.integers(0, 2, size=int(rng.integers(10, 4000))
+                           ).astype(np.uint8)
+        out.append(mi.T2MIPacket(packet_type=int(rng.integers(0, 3)) * 0x10,
+                                 packet_count=i, superframe_idx=i % 16,
+                                 payload=pay))
+    return out
+
+
+def test_packet_roundtrip_and_crc_rejection():
+    pkts = _mk_packets(5)
+    blob = np.concatenate([mi.pack_packet(p) for p in pkts])
+    got, bad = mi.parse_packets(blob)
+    assert bad == 0 and len(got) == 5
+    for a, b in zip(pkts, got):
+        assert a.packet_type == b.packet_type
+        assert a.packet_count == b.packet_count
+        assert a.superframe_idx == b.superframe_idx
+        np.testing.assert_array_equal(a.payload, b.payload)
+    # corrupt one byte inside packet 2: that packet is dropped, the rest
+    # re-synchronize (pack lengths of the survivors still parse)
+    blob2 = blob.copy()
+    off = sum(len(mi.pack_packet(p)) for p in pkts[:2]) + 8
+    blob2[off] ^= 0xFF
+    got2, bad2 = mi.parse_packets(blob2)
+    assert bad2 >= 1
+    kept = [g.packet_count for g in got2]
+    assert 0 in kept and 1 in kept and 4 in kept
+    assert 2 not in kept
+
+
+def test_ts_encapsulation_roundtrip_and_resync():
+    pkts = [mi.pack_packet(p) for p in _mk_packets(6, seed=3)]
+    ts = mi.to_ts(pkts)
+    assert ts.shape[1] == 188 and (ts[:, 0] == 0x47).all()
+    stream, drops = mi.from_ts(ts)
+    assert drops == 0
+    np.testing.assert_array_equal(stream, np.concatenate(pkts))
+    got, bad = mi.parse_packets(stream)
+    assert bad == 0 and len(got) == 6
+    # drop the first two TS packets: the de-encapsulator waits for the next
+    # PUSI and the packet parser recovers the tail packets intact
+    stream2, drops2 = mi.from_ts(ts[2:])
+    got2, _ = mi.parse_packets(stream2)
+    assert len(got2) >= 1
+    assert got2[-1].packet_count == 5
+
+
+def _gateway(plps=None, **kw):
+    p = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                 pilot_pattern=PilotPattern.PP1, extended_carrier=False,
+                 n_data=9)
+    if plps is None:
+        plps = [PLPParams(constellation=Constellation.QAM16,
+                          rate=CodeRate.C1_2, fec_frame=FECFrame.SHORT,
+                          num_blocks_max=3, time_il_length=1)]
+    return T2MIGateway(p, plps, **kw), p, plps
+
+
+def _ts_for(gw, n_frames, seed=11):
+    mod_probe = __import__(
+        "sdr_receiver_dvb_t2_tpu.tx.modulator",
+        fromlist=["T2Modulator"]).T2Modulator(gw.p, gw.plps, hem=gw.hem)
+    rng = np.random.default_rng(seed)
+    ts = rng.integers(0, 256, (mod_probe.packets_needed(n_frames) + 4, 188)
+                      ).astype(np.uint8)
+    ts[:, 0] = 0x47
+    ts[:, 1] &= 0x7F
+    return ts.reshape(-1)
+
+
+def test_gateway_playout_waveform_identical_and_decodes():
+    """The SFN property: the played waveform is bit-identical to the direct
+    modulator's, and the receiver returns the original TS."""
+    gw, p, plps = _gateway()
+    ts = _ts_for(gw, 3)
+    t2mi_ts, direct = gw.build(ts, 3)
+    player = T2MIPlayer(t2mi_ts)
+    assert player.ts_drops == 0 and player.bad_crc == 0
+    assert len(player.frames) == 3
+    assert player.timestamps[0] == 0
+    assert player.timestamps[1] == len(direct.frames[0])
+    out = player.waveform()
+    np.testing.assert_array_equal(out.samples, direct.samples)
+    res = T2Receiver().receive(out.samples)
+    assert res.stats.frames_decoded == 3
+    np.testing.assert_array_equal(res.ts, ts[:len(res.ts)])
+    assert len(res.ts) > 0
+
+
+def test_gateway_playout_multi_plp():
+    plps = [PLPParams(plp_id=0, constellation=Constellation.QAM16,
+                      rate=CodeRate.C1_2, fec_frame=FECFrame.SHORT,
+                      num_blocks_max=2, time_il_length=1),
+            PLPParams(plp_id=1, constellation=Constellation.QPSK,
+                      rate=CodeRate.C1_2, fec_frame=FECFrame.SHORT,
+                      rotated=False, num_blocks_max=1, time_il_length=1)]
+    gw, p, _ = _gateway(plps=plps)
+    ts = _ts_for(gw, 2, seed=13)
+    t2mi_ts, direct = gw.build(ts, 2)
+    out = T2MIPlayer(t2mi_ts).waveform()
+    np.testing.assert_array_equal(out.samples, direct.samples)
+    res = T2Receiver().receive(out.samples)
+    assert res.stats.frames_decoded == 2
+    assert res.stats.ts_errors == 0
+
+
+def test_playout_rejects_tampered_schedule():
+    """A T2-MI feed whose L1 dynamic disagrees with its own BB-frame count
+    is refused (the playout modulator cross-checks schedule vs content)."""
+    gw, p, plps = _gateway()
+    ts = _ts_for(gw, 2, seed=17)
+    t2mi_ts, _ = gw.build(ts, 2)
+    player = T2MIPlayer(t2mi_ts)
+    # drop one BB frame from frame 1
+    player.frames[1]["plps"][0].pop()
+    with pytest.raises(ValueError, match="BB frames"):
+        player.waveform()
+
+
+def test_cli_wrap_play_roundtrip(tmp_path):
+    from sdr_receiver_dvb_t2_tpu.tx import t2mi as t2mi_cli
+    gw, p, plps = _gateway()
+    ts = _ts_for(gw, 2, seed=19)
+    tsf = tmp_path / "in.ts"
+    ts.tofile(tsf)
+    mif = tmp_path / "out.t2mi"
+    iqf = tmp_path / "out.cf32"
+    assert t2mi_cli.main(["wrap", str(tsf), str(mif), "--fft", "8k",
+                          "--guard", "1/32", "--pp", "1", "--mod", "16qam",
+                          "--rate", "1/2", "--short-fec", "--no-rotation",
+                          "--blocks", "3", "--n-data", "9",
+                          "--frames", "2"]) == 0
+    assert t2mi_cli.main(["play", str(mif), str(iqf)]) == 0
+    x = np.fromfile(iqf, np.complex64)
+    res = T2Receiver().receive(x)
+    assert res.stats.frames_decoded == 2
+    np.testing.assert_array_equal(res.ts, ts[:len(res.ts)])
+    assert len(res.ts) > 0
