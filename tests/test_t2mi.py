@@ -158,3 +158,26 @@ def test_cli_wrap_play_roundtrip(tmp_path):
     assert res.stats.frames_decoded == 2
     np.testing.assert_array_equal(res.ts, ts[:len(res.ts)])
     assert len(res.ts) > 0
+
+
+def test_gateway_playout_miso_fef_identity():
+    """T2-MI composes with MISO and FEF: the playout waveform (both MISO
+    transmitter groups) is bit-identical to the direct modulator's."""
+    from sdr_receiver_dvb_t2_tpu.dvbt2.params import Preamble
+    p = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                 pilot_pattern=PilotPattern.PP2, extended_carrier=False,
+                 n_data=9, miso=True, preamble=Preamble.T2_MISO,
+                 fef=(0, 50000, 2))
+    plps = [PLPParams(constellation=Constellation.QAM16, rate=CodeRate.C1_2,
+                      fec_frame=FECFrame.SHORT, num_blocks_max=3,
+                      time_il_length=1)]
+    gw = T2MIGateway(p, plps)
+    ts = _ts_for(gw, 4, seed=23)
+    t2mi_ts, direct = gw.build(ts, 4)
+    out = T2MIPlayer(t2mi_ts).waveform()
+    np.testing.assert_array_equal(out.samples, direct.samples)
+    np.testing.assert_array_equal(out.samples2, direct.samples2)
+    # the timestamps stride over the inserted FEF parts
+    assert out.samples2 is not None
+    step01 = T2MIPlayer(t2mi_ts).timestamps
+    assert step01[2] - step01[1] == len(direct.frames[1]) + 50000
