@@ -110,13 +110,16 @@ def test_gateway_playout_waveform_identical_and_decodes():
 
 
 def test_gateway_playout_multi_plp():
+    """Multi-PLP + HEM + in-band type-A through the T2-MI chain: the
+    in-band payload lives inside the BB frames the gateway distributes,
+    so playout identity covers it for free."""
     plps = [PLPParams(plp_id=0, constellation=Constellation.QAM16,
                       rate=CodeRate.C1_2, fec_frame=FECFrame.SHORT,
-                      num_blocks_max=2, time_il_length=1),
+                      num_blocks_max=2, time_il_length=1, in_band_a=True),
             PLPParams(plp_id=1, constellation=Constellation.QPSK,
                       rate=CodeRate.C1_2, fec_frame=FECFrame.SHORT,
                       rotated=False, num_blocks_max=1, time_il_length=1)]
-    gw, p, _ = _gateway(plps=plps)
+    gw, p, _ = _gateway(plps=plps, hem=True)
     ts = _ts_for(gw, 2, seed=13)
     t2mi_ts, direct = gw.build(ts, 2)
     out = T2MIPlayer(t2mi_ts).waveform()
