@@ -35,8 +35,8 @@ from dataclasses import dataclass, field as dfield
 import numpy as np
 
 from . import bbframe, bch, interleavers, ldpc
-from .params import (CodeRate, Constellation, FECFrame, Preamble, T2Params,
-                     fec_params)
+from .params import (CodeRate, Constellation, FECFrame, FFTMode, Preamble,
+                     T2Params, fec_params)
 
 CRC32_POLY = 0x04C11DB7
 L1_PRE_CELLS = 1840
@@ -719,8 +719,15 @@ def build_l1(p: T2Params, plps, num_frames: int = 2,
         s1=((4 if p.miso else 3)
             if p.preamble in (Preamble.T2_LITE_SISO, Preamble.T2_LITE_MISO)
             else (1 if p.miso else 0)),
-        s2_field1={1024: 3, 2048: 0, 4096: 2, 8192: 1, 16384: 4, 32768: 5}[
-            p.fft_size],
+        # keyed by MODE, not size: the 8K/32K T2GI variants have their own
+        # 3-bit codings (6/7) which a size-keyed map would collapse onto the
+        # base 8K/32K values and break P1<->L1 coherence (and the T2-MI
+        # player's mode reconstruction).  16K_T2GI has no S2 coding; it
+        # signals as 16K, matching generate_p1's & 0x7 truncation.
+        s2_field1={FFTMode.FFT_2K: 0, FFTMode.FFT_8K: 1, FFTMode.FFT_4K: 2,
+                   FFTMode.FFT_1K: 3, FFTMode.FFT_16K: 4, FFTMode.FFT_32K: 5,
+                   FFTMode.FFT_8K_T2GI: 6, FFTMode.FFT_32K_T2GI: 7,
+                   FFTMode.FFT_16K_T2GI: 4}[p.fft_mode],
         guard_interval=int(p.guard),
         papr=int(p.papr),
         l1_post_mod=l1_post_mod,

@@ -221,16 +221,22 @@ def to_ts(t2mi_packets: list[np.ndarray], pid: int = DEFAULT_PID
         pkt[0] = 0x47
         # find first T2-MI start >= pos within what this packet could carry
         k = np.searchsorted(starts_arr, pos)
-        start_here = (k < len(starts_arr)
-                      and starts_arr[k] - pos <= TS_PACKET - 6)
-        if start_here:
-            ptr = int(starts_arr[k] - pos)
+        delta = int(starts_arr[k] - pos) if k < len(starts_arr) else None
+        if delta is not None and delta <= TS_PACKET - 6:
+            ptr = delta
             cap = TS_PACKET - 5  # header(4) + pointer(1)
         else:
             ptr = None
             cap = TS_PACKET - 4
+            if delta is not None and delta < cap:
+                # the start would land at payload offset 183 — one byte too
+                # far for a pointer to reach.  Truncate this packet before
+                # it (the next TS packet then opens with PUSI/ptr=0) so
+                # every T2-MI packet start is PUSI-announced.
+                cap = delta
         take = min(cap, len(stream) - pos)
-        stuff = cap - take
+        # physical payload capacity (stuffing fills whatever take leaves)
+        stuff = (TS_PACKET - 5 if ptr is not None else TS_PACKET - 4) - take
         pkt[1] = (0x40 if ptr is not None else 0) | ((pid >> 8) & 0x1F)
         pkt[2] = pid & 0xFF
         body = []
@@ -264,7 +270,8 @@ def from_ts(packets: np.ndarray, pid: int = DEFAULT_PID
     resynchronize at the next PUSI via its pointer_field; `drops` counts
     the discontinuities seen."""
     packets = np.asarray(packets, np.uint8).reshape(-1, TS_PACKET)
-    chunks: list[np.ndarray] = []
+    done: list[np.ndarray] = []     # flushed, packet-start-aligned spans
+    cur: list[np.ndarray] = []      # bytes since the last known start
     drops = 0
     expect_cc = None
     synced = False
@@ -284,19 +291,25 @@ def from_ts(packets: np.ndarray, pid: int = DEFAULT_PID
             off += 1 + int(pkt[4])
         payload = pkt[off:]
         if expect_cc is not None and cc != expect_cc:
+            # lost TS packet(s): the T2-MI packet(s) being assembled are
+            # missing bytes — discard them rather than splicing the halves
+            # together, and wait for the next announced start
             drops += 1
-            synced = False   # lost bytes: wait for the next packet start
+            cur = []
+            synced = False
         expect_cc = (cc + 1) & 0xF
-        if pusi:
+        if pusi and len(payload) >= 1:
             ptr = int(payload[0])
             rest = payload[1:]
-            if not synced:
-                chunks.append(rest[ptr:])
-                synced = True
-            else:
-                chunks.append(rest)
-        elif synced:
-            chunks.append(payload)
-    stream = (np.concatenate(chunks) if chunks
-              else np.zeros(0, np.uint8))
+            if ptr > len(rest):
+                continue  # corrupt pointer: skip, stay in current state
+            if synced:
+                cur.append(rest[:ptr])
+                done.extend(cur)
+            cur = [rest[ptr:]]
+            synced = True
+        elif synced and len(payload):
+            cur.append(payload)
+    done.extend(cur)
+    stream = np.concatenate(done) if done else np.zeros(0, np.uint8)
     return stream, drops

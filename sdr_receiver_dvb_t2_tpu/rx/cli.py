@@ -140,7 +140,12 @@ def main(argv=None):
             from ..io.net import NetworkDevice
             dev = NetworkDevice.from_url(args.input)
         else:
-            dev = devices.FileDevice(args.input, args.format)
+            # the capture's rate: --rate if declared, else the bandwidth's
+            # elementary rate (a FileDevice defaulting to 9.14 Msps would
+            # make the chain resample a narrow-band capture to mush)
+            dev = devices.FileDevice(
+                args.input, args.format,
+                sample_rate=args.rate if args.rate is not None else fs)
         dev.init(frequency_hz=args.frequency, gain_db=args.gain)
         sink = ts_io.open_sink(args.out)
         if args.device_path:

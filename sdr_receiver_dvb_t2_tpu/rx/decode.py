@@ -19,9 +19,9 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..dvbt2 import bbframe, bch, interleavers, l1 as l1mod, ldpc, tables
-from ..dvbt2.params import (CodeRate, Constellation, FECFrame, FFTMode,
-                            GuardInterval, PAPR, PilotPattern, PLPParams,
-                            Preamble, T2Params)
+from ..dvbt2.params import (Bandwidth, CodeRate, Constellation, FECFrame,
+                            FFTMode, GuardInterval, PAPR, PilotPattern,
+                            PLPParams, Preamble, T2Params)
 
 
 def params_from_l1(p1_fft: FFTMode, pre: l1mod.L1Pre,
@@ -31,7 +31,6 @@ def params_from_l1(p1_fft: FFTMode, pre: l1mod.L1Pre,
     (the reference flow: p1 -> fft mode, l1-pre -> GI/PP/PAPR/bwt_ext,
     l1-post -> per-PLP mod/cod/fec/TI).  Bandwidth is never signalled
     on-air; callers pass the receiver's declared one."""
-    from ..dvbt2.params import Bandwidth
     p = T2Params(
         bandwidth=bandwidth or Bandwidth.BW_8,
         fft_mode=p1_fft,

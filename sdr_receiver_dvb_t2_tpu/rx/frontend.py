@@ -247,6 +247,36 @@ class StreamCorrector:
         return y
 
 
+class StreamDecimator:
+    """Streaming anti-aliased /2 decimator: the block form of
+    `fir_decimate` with the FIR history carried across blocks.
+
+    The sinc interpolator in StreamCorrector has no low-pass, so ratios
+    much above ~1.5 would alias out-of-band energy into the channel; the
+    CorrectorChain prepends one of these per octave instead (a 9.2 Msps
+    device feeding a 1.7 MHz channel needs two).  Exposes the stage
+    interface the chain's accounting uses (`ratio`, `freq_hz`)."""
+
+    def __init__(self, taps: np.ndarray | None = None):
+        self.taps_arr = lowpass_taps() if taps is None else taps
+        self.ratio = 2.0
+        self.freq_hz = 0.0
+        self._hist = np.zeros(0, np.complex64)
+
+    def process(self, block: np.ndarray) -> np.ndarray:
+        x = np.concatenate([self._hist,
+                            np.asarray(block, dtype=np.complex64)])
+        nt = len(self.taps_arr)
+        if len(x) < nt + 1:
+            self._hist = x
+            return np.zeros(0, np.complex64)
+        y = np.convolve(x, self.taps_arr, mode="valid")
+        sel = y[::2].astype(np.complex64)
+        # next output's first tap sits at x[2*len(sel)]: keep from there
+        self._hist = x[2 * len(sel):]
+        return sel
+
+
 class CorrectorChain:
     """Composable StreamCorrector stages for the streaming receiver.
 
@@ -260,9 +290,19 @@ class CorrectorChain:
     def __init__(self, in_rate: float = SAMPLE_RATE,
                  out_rate: float = SAMPLE_RATE, taps: int = 24,
                  dc_iq: bool = True):
+        # per-octave anti-aliased decimation ahead of the interpolator: the
+        # sinc interpolator has no low-pass, so large down-ratios (a wide
+        # device rate feeding a narrow bandwidth's elementary rate) would
+        # fold out-of-band energy into the channel (same split as the
+        # one-shot device_to_elementary)
+        self.pre: list[StreamDecimator] = []
+        ratio = in_rate / out_rate
+        while ratio >= 1.7:
+            self.pre.append(StreamDecimator())
+            ratio /= 2.0
         s = StreamCorrector(fs=out_rate, taps=taps)
-        if abs(in_rate - out_rate) > 1e-6:
-            s.ratio = in_rate / out_rate
+        if abs(ratio - 1.0) > 1e-9:
+            s.ratio = ratio
             s._resampling = True
         # DC/IQ-imbalance correction sits ahead of everything: it operates
         # on the device's analog I/Q axes (dvbt2_demodulator.cpp:187-192)
@@ -278,6 +318,8 @@ class CorrectorChain:
     @property
     def ratio(self) -> float:
         r = 1.0
+        for s in self.pre:
+            r *= s.ratio
         for s in self.stages:
             r *= s.ratio
         return r
@@ -285,6 +327,8 @@ class CorrectorChain:
     def process(self, block: np.ndarray) -> np.ndarray:
         if self.dciq is not None:
             block = self.dciq.process(block)
+        for d in self.pre:
+            block = d.process(block)
         for s in self.stages:
             block = s.process(block)
         return block
@@ -345,7 +389,10 @@ def device_to_elementary(x: np.ndarray, device_rate: float,
         x = correct_iq_imbalance(x, g, c)
     if cfo_hz:
         x = derotate(x, cfo_hz, fs=device_rate)
-    if device_rate >= 1.5 * target_rate:
+    # halve with a real low-pass until the residual ratio is small enough
+    # for the unfiltered interpolator (narrow bandwidths need several
+    # octaves: e.g. 9.2 Msps -> 1.845 Msps is /4 then x1.25)
+    while device_rate >= 1.5 * target_rate:
         x = fir_decimate(x, 2)
         device_rate = device_rate / 2.0
     if abs(device_rate - target_rate) > 1.0:

@@ -361,7 +361,6 @@ class T2Receiver:
         # candidate only in ways that didn't corrupt the P2 demod)
         from ..dvbt2.params import GuardInterval, PAPR
         try:
-            from ..dvbt2.params import Bandwidth
             params = T2Params(
                 fft_mode=p1.fft_mode,
                 guard=GuardInterval(pre.guard_interval),

@@ -177,3 +177,52 @@ def test_lite_mux_at_1p7mhz_both_services():
     assert res_l.stats.frames_decoded == m.lite_frames_for(n_base)
     np.testing.assert_array_equal(res_l.ts, ts_lite[:len(res_l.ts)])
     assert len(res_l.ts) > 0
+
+
+def test_streaming_wide_device_narrow_bandwidth_decimates():
+    """A 10 Msps front end feeding a 1.7 MHz channel (ratio 5.4): the
+    streaming chain inserts per-octave anti-aliased decimators ahead of
+    the interpolator (an unfiltered 5.4x resample would fold wideband
+    noise into the channel).  Decodes bit-exact at 24 dB in-channel SNR."""
+    flat, samples, _ = _waveform(5, bandwidth=Bandwidth.BW_1_7)
+    fs = Bandwidth.BW_1_7.sample_rate
+    dev_rate = 10.0e6
+    x_dev = frontend.farrow_resample(samples.astype(np.complex64),
+                                     fs / dev_rate)
+    # wideband noise at the device rate: the out-of-band part must be
+    # filtered out, not folded in (in-channel SNR stays ~24 dB)
+    rng = np.random.default_rng(4)
+    nv = 10.0 ** (-24.0 / 10.0) * (dev_rate / fs)
+    x_dev = (x_dev * np.sqrt(dev_rate / fs)  # keep in-channel level
+             + (rng.normal(0, np.sqrt(nv / 2), len(x_dev))
+                + 1j * rng.normal(0, np.sqrt(nv / 2), len(x_dev)))
+             ).astype(np.complex64)
+    dev = devices.SimulatedDevice(x_dev, sample_rate=dev_rate)
+    rx = T2Receiver(fs=fs)
+    got = []
+    sr = devices.StreamingReceiver(dev, rx, agc=False, acq_seconds=0.06,
+                                   block_seconds=0.012)
+    st = sr.run(ts_sink=got.append)
+    ts = np.concatenate(got) if got else np.zeros(0, np.uint8)
+    assert st.frames_decoded >= 4
+    assert st.ts_errors == 0
+    np.testing.assert_array_equal(ts, flat[:len(ts)])
+    assert len(ts) > 0
+
+
+def test_stream_cli_file_bandwidth(tmp_path):
+    """t2rx --stream --bandwidth 1.7 on a lite-rate capture: the
+    FileDevice must take the declared rate (a 9.14 Msps default would
+    resample the capture to mush)."""
+    from sdr_receiver_dvb_t2_tpu.rx import cli as rxcli
+    flat, samples, _ = _waveform(5, bandwidth=Bandwidth.BW_1_7)
+    cap = tmp_path / "cap17.cf32"
+    samples.astype(np.complex64).tofile(cap)
+    out = tmp_path / "out.ts"
+    rc = rxcli.main([str(cap), "--stream", "--bandwidth", "1.7",
+                     "--platform", "cpu", "--no-agc",
+                     "--out", str(out)])
+    assert rc == 0
+    got = np.fromfile(out, np.uint8)
+    assert len(got) > 0
+    np.testing.assert_array_equal(got, flat[:len(got)])

@@ -184,3 +184,57 @@ def test_gateway_playout_miso_fef_identity():
     assert out.samples2 is not None
     step01 = T2MIPlayer(t2mi_ts).timestamps
     assert step01[2] - step01[1] == len(direct.frames[1]) + 50000
+
+
+def test_from_ts_mid_stream_drop_discards_partial():
+    """A lost TS packet mid-T2-MI-packet discards the interrupted packet
+    instead of splicing its halves: the survivors parse with ZERO CRC
+    failures and the drop is counted once."""
+    pkts = [mi.pack_packet(p) for p in _mk_packets(8, seed=5)]
+    ts = mi.to_ts(pkts)
+    assert ts.shape[0] >= 5
+    keep = np.concatenate([ts[:2], ts[3:]])   # drop TS packet 2
+    stream, drops = mi.from_ts(keep)
+    assert drops == 1
+    got, bad = mi.parse_packets(stream)
+    assert bad == 0
+    counts = [g.packet_count for g in got]
+    assert counts == sorted(counts)
+    assert len(got) >= 5
+    # every survivor is bit-exact
+    orig = {p.packet_count: p for p in _mk_packets(8, seed=5)}
+    for g in got:
+        np.testing.assert_array_equal(g.payload, orig[g.packet_count].payload)
+
+
+def test_from_ts_corrupt_adaptation_field_no_crash():
+    """A corrupted adaptation-field length that swallows the whole packet
+    (with PUSI set) is skipped, not crashed on."""
+    pkts = [mi.pack_packet(p) for p in _mk_packets(4, seed=9)]
+    ts = mi.to_ts(pkts).copy()
+    ts[0, 3] = 0x30 | (int(ts[0, 3]) & 0xF)   # claim adaptation field
+    ts[0, 4] = 200                             # AF length > packet
+    stream, drops = mi.from_ts(ts)
+    got, _ = mi.parse_packets(stream)
+    assert len(got) >= 1   # later packets still recovered
+
+
+def test_gateway_playout_t2gi_mode_identity():
+    """The 8K T2GI S2 coding (6) survives the L1 -> T2-MI -> playout
+    round-trip: a size-keyed S2 map would collapse it onto plain 8K and
+    the SFN transmitters would emit different P1s."""
+    from sdr_receiver_dvb_t2_tpu.dvbt2.params import Bandwidth
+    p = T2Params(fft_mode=FFTMode.FFT_8K_T2GI, guard=GuardInterval.GI_19_256,
+                 pilot_pattern=PilotPattern.PP2, extended_carrier=False,
+                 n_data=9)
+    plps = [PLPParams(constellation=Constellation.QAM16, rate=CodeRate.C1_2,
+                      fec_frame=FECFrame.SHORT, num_blocks_max=3,
+                      time_il_length=1)]
+    gw = T2MIGateway(p, plps)
+    ts = _ts_for(gw, 2, seed=29)
+    t2mi_ts, direct = gw.build(ts, 2)
+    player = T2MIPlayer(t2mi_ts)
+    assert player.l1pre.s2_field1 == 6
+    out = player.waveform()
+    assert out.l1pre.s2_field1 == 6
+    np.testing.assert_array_equal(out.samples, direct.samples)
