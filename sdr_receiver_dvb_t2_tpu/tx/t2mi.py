@@ -194,18 +194,36 @@ def main(argv=None):
     w.add_argument("--n-data", type=int, default=9)
     w.add_argument("--frames", type=int, default=2)
     w.add_argument("--hem", action="store_true")
+    w.add_argument("--miso", action="store_true")
+    w.add_argument("--lite", action="store_true",
+                   help="T2-Lite preamble (annex I)")
+    w.add_argument("--fef", default=None, metavar="LEN[:INTERVAL[:TYPE]]")
     pl = sub.add_parser("play")
     pl.add_argument("t2mi_input")
     pl.add_argument("iq_output")
     pl.add_argument("--bandwidth", type=float, default=8.0,
                     choices=(1.7, 5.0, 6.0, 7.0, 8.0, 10.0))
+    pl.add_argument("--out2", default=None,
+                    help="second MISO transmitter group's waveform")
     pl.add_argument("--format", choices=iqio.FORMATS, default=None)
     args = ap.parse_args(argv)
 
     if args.cmd == "wrap":
+        from ..dvbt2.params import Preamble
+        fef = None
+        if args.fef:
+            parts = [int(v) for v in args.fef.split(":")]
+            fef = (parts[2] if len(parts) > 2 else 0, parts[0],
+                   parts[1] if len(parts) > 1 else 2)
+        if args.lite:
+            pre = (Preamble.T2_LITE_MISO if args.miso
+                   else Preamble.T2_LITE_SISO)
+        else:
+            pre = Preamble.T2_MISO if args.miso else Preamble.T2_SISO
         p = T2Params(fft_mode=_FFT[args.fft], guard=_GI[args.guard],
                      pilot_pattern=PilotPattern(args.pp - 1),
-                     extended_carrier=args.extended, n_data=args.n_data)
+                     extended_carrier=args.extended, n_data=args.n_data,
+                     miso=args.miso, preamble=pre, fef=fef)
         plp = PLPParams(
             constellation=_MOD[args.mod], rate=_RATE[args.rate],
             fec_frame=FECFrame.SHORT if args.short_fec else FECFrame.NORMAL,
@@ -222,6 +240,8 @@ def main(argv=None):
     player = T2MIPlayer(np.fromfile(args.t2mi_input, dtype=np.uint8))
     out = player.waveform()
     iqio.write_iq(args.iq_output, out.samples, args.format)
+    if args.out2 is not None and out.samples2 is not None:
+        iqio.write_iq(args.out2, out.samples2, args.format)
     fs = Bandwidth.from_mhz(args.bandwidth).sample_rate
     print(f"played {len(player.frames)} frames "
           f"({player.ts_drops} TS drops, {player.bad_crc} bad CRCs): "
