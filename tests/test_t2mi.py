@@ -238,3 +238,24 @@ def test_gateway_playout_t2gi_mode_identity():
     out = player.waveform()
     assert out.l1pre.s2_field1 == 6
     np.testing.assert_array_equal(out.samples, direct.samples)
+
+
+def test_gateway_playout_normal_fec_identity():
+    """NORMAL FEC frames (kbch 32208 bits) stay within the 16-bit
+    payload-length field and round-trip bit-identically (waveform-only:
+    the numpy LDPC reference decode of normal codes is too slow for CI)."""
+    p = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                 pilot_pattern=PilotPattern.PP1, extended_carrier=False,
+                 n_data=9)
+    plps = [PLPParams(constellation=Constellation.QAM64, rate=CodeRate.C1_2,
+                      fec_frame=FECFrame.NORMAL, num_blocks_max=1,
+                      time_il_length=1)]
+    gw = T2MIGateway(p, plps)
+    ts = _ts_for(gw, 2, seed=37)
+    t2mi_ts, direct = gw.build(ts, 2)
+    player = T2MIPlayer(t2mi_ts)
+    assert player.bad_crc == 0
+    bb = player.frames[0]["plps"][0][0]
+    assert len(bb) == 32208
+    out = player.waveform()
+    np.testing.assert_array_equal(out.samples, direct.samples)
