@@ -69,6 +69,11 @@ def main(argv=None):
                          "parts (no reference equivalent)")
     ap.add_argument("--plp", type=int, default=None,
                     help="decode only this PLP id")
+    ap.add_argument("--regen", default=None, metavar="FILE",
+                    help="write a regenerated T2-MI/TS feed of the decoded "
+                         "signal (the regenerative-repeater role: clean BB "
+                         "frames + received L1, REGEN_FLAG incremented; "
+                         "one-shot path only)")
     ap.add_argument("--l1-dump", action="store_true",
                     help="print parsed L1 signalling")
     ap.add_argument("--stats-json", action="store_true",
@@ -221,8 +226,19 @@ def main(argv=None):
 
     rx = T2Receiver(plp_filter=args.plp, ldpc_decode_fn_factory=factory,
                     profile=args.profile, fs=fs)
+    regen = None
+    if args.regen:
+        from ..tx.t2mi import T2MIRegenerator
+        regen = T2MIRegenerator()
+        rx.regen_sink = regen
     res = rx.receive(x)
     dt = time.time() - t0
+    if regen is not None and regen.frames:
+        feed = regen.t2mi_ts()
+        feed.tofile(args.regen)
+        print(f"regenerated {len(regen.frames)} frames -> "
+              f"{feed.shape[0]} T2-MI TS packets -> {args.regen}",
+              file=sys.stderr)
 
     if args.l1_dump:
         print(_dump_l1(res))

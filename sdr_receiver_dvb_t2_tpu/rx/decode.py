@@ -238,15 +238,19 @@ def decode_fec_frames(plp: PLPParams, cw_llrs: np.ndarray,
 def plp_slice_to_ts(plp: PLPParams, slice_cells: np.ndarray, num_blocks: int,
                     assembler: bbframe.TSAssembler,
                     stats: PLPDecodeStats | None = None,
-                    ldpc_decode_fn=None):
+                    ldpc_decode_fn=None, bb_sink=None):
     """Full per-frame decode of one PLP slice into a TS assembler.
     Returns the frame's parsed in-band type-A payload (clause 5.2.3) when
-    the PLP carries one, else None."""
+    the PLP carries one, else None.  `bb_sink(bb)`, when given, observes
+    the frame's decoded (descrambled, mode-adapted) BB-frame bit stack —
+    the tap the T2-MI regenerator uses (tx/t2mi.py)."""
     cells = deinterleave_plp_frame(plp, slice_cells, num_blocks)
     nvar = max(estimate_noise_var(plp, cells), 10.0 ** (-40 / 10.0))
     llrs = llr_demap(plp, cells, nvar)
     cw = bits_from_llrs(plp, llrs)
     bb = decode_fec_frames(plp, cw, stats=stats, ldpc_decode_fn=ldpc_decode_fn)
+    if bb_sink is not None:
+        bb_sink(bb)
     for frame_bits in bb:
         assembler.push(frame_bits)
     ib = None

@@ -91,6 +91,10 @@ class T2Receiver:
                         else rxp1.BASE_PREAMBLES)
         self._last_l1post = None
         self._inband_prev = {}   # plp_id -> last frame's InBandA (or None)
+        # optional T2-MI regenerator (tx.t2mi.T2MIRegenerator): observes
+        # each decoded frame's L1 + BB frames from the numpy decode path
+        # (the DVB regenerative-repeater role, L1-pre regen_flag)
+        self.regen_sink = None
 
     def receive(self, x: np.ndarray, _sco_pass: int = 2,
                 _ladder: bool = True) -> ReceiveResult:
@@ -440,6 +444,8 @@ class T2Receiver:
                 self._last_l1post = l1post
         data_cells = dres.frame_cells[l1mod.L1_PRE_CELLS
                                       + l1pre.l1_post_size:]
+        if self.regen_sink is not None:
+            self.regen_sink.start_frame(params, l1pre, l1post)
         # live-view tap (the GUI constellation feed, main_window.cpp:393-441)
         stride = max(1, len(data_cells) // 1024)
         stats.last_cells = np.array(data_cells[::stride][:1024])
@@ -478,10 +484,14 @@ class T2Receiver:
                 sl = data_cells[dyn.start:dyn.start + n_cells]
             fn = (self.ldpc_decode_fn_factory(plp)
                   if self.ldpc_decode_fn_factory else None)
+            sink = None
+            if self.regen_sink is not None:
+                sink = (lambda bb, pid=dyn.id:
+                        self.regen_sink.add_bb(pid, bb))
             ib = rxdecode.plp_slice_to_ts(
                 plp, sl, dyn.num_blocks,
                 assembler.stream(dyn.id if len(plps) > 1 else None),
-                stats=pstat, ldpc_decode_fn=fn)
+                stats=pstat, ldpc_decode_fn=fn, bb_sink=sink)
             if plp.in_band_a:
                 self._inband_prev[dyn.id] = ib
         stats.frames_decoded += 1

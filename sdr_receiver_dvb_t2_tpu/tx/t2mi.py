@@ -162,6 +162,73 @@ class T2MIPlayer:
                                          len(self.frames))
 
 
+class T2MIRegenerator:
+    """Receiver -> T2-MI: the DVB regenerative-repeater role.
+
+    Attach to a `T2Receiver` (`rx.regen_sink = T2MIRegenerator()`); during
+    `receive()` it observes every decoded frame's L1 signalling and the
+    FEC-corrected, descrambled BB frames.  `t2mi_ts()` then serializes
+    them exactly like the gateway — so a noisy off-air signal becomes a
+    CLEAN T2-MI feed that any playout modulator re-emits bit-exactly
+    (the L1-pre REGEN_FLAG regeneration counter is incremented per hop;
+    caps at 7).  Requires a full decode: no plp_filter, every PLP's BB
+    frames present."""
+
+    def __init__(self, pid: int = mi.DEFAULT_PID):
+        self.pid = pid
+        self.frames: list[dict] = []
+        self.params: T2Params | None = None
+        self.l1pre: l1mod.L1Pre | None = None
+
+    # -- hooks the receiver calls -----------------------------------------
+    def start_frame(self, params, l1pre, l1post) -> None:
+        self.params = params
+        self.l1pre = l1pre
+        self.frames.append({"l1post": l1post, "plps": {}})
+
+    def add_bb(self, plp_id: int, bb: np.ndarray) -> None:
+        self.frames[-1]["plps"][plp_id] = np.asarray(bb, np.uint8)
+
+    # -- serialization (mirrors T2MIGateway.build) ------------------------
+    def t2mi_ts(self) -> np.ndarray:
+        if not self.frames or self.l1pre is None:
+            raise ValueError("no decoded frames to regenerate")
+        import dataclasses
+        pre = dataclasses.replace(
+            self.l1pre, regen_flag=min(int(self.l1pre.regen_flag) + 1, 7))
+        pre_bits = pre.pack()
+        rep = bool(pre.l1_repetition_flag)
+        n_t2 = max(int(pre.num_t2_frames), 1)
+        p = self.params
+        packets: list[np.ndarray] = []
+        count = 0
+        sample_off = 0
+
+        def emit(ptype, payload, sf):
+            nonlocal count
+            packets.append(mi.pack_packet(mi.T2MIPacket(
+                packet_type=ptype, packet_count=count,
+                superframe_idx=sf, payload=payload)))
+            count = (count + 1) % 256
+
+        for i, fr in enumerate(self.frames):
+            l1post = fr["l1post"]
+            frame_idx = int(l1post.dyn.frame_idx)
+            sf = (i // n_t2) & 0xF
+            emit(mi.T2MI_TIMESTAMP,
+                 mi.build_timestamp_payload(sample_off), sf)
+            emit(mi.T2MI_L1_CURRENT, mi.build_l1_current_payload(
+                frame_idx, pre_bits, l1post.pack(repetition=rep)), sf)
+            for plp_id in sorted(fr["plps"]):
+                bb = fr["plps"][plp_id]
+                for j in range(bb.shape[0]):
+                    emit(mi.T2MI_BBFRAME, mi.build_bbframe_payload(
+                        frame_idx, plp_id, bb[j],
+                        intl_frame_start=(j == 0)), sf)
+            sample_off += p.frame_samples + p.fef_after(frame_idx % n_t2)
+        return mi.to_ts(packets, pid=self.pid)
+
+
 # --------------------------------------------------------------------------
 # CLI: t2mi wrap / t2mi play
 # --------------------------------------------------------------------------

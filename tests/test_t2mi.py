@@ -259,3 +259,36 @@ def test_gateway_playout_normal_fec_identity():
     assert len(bb) == 32208
     out = player.waveform()
     np.testing.assert_array_equal(out.samples, direct.samples)
+
+
+def test_regenerator_noisy_rx_to_clean_t2mi():
+    """Regenerative repeater: a 22 dB off-air signal is decoded, the
+    FEC-corrected BB frames + received L1 are re-serialized as T2-MI, and
+    a playout modulator emits a CLEAN signal a second receiver decodes to
+    the identical TS.  REGEN_FLAG counts the hop."""
+    from sdr_receiver_dvb_t2_tpu.tx.modulator import awgn
+    from sdr_receiver_dvb_t2_tpu.tx.t2mi import T2MIRegenerator
+    gw, p, plps = _gateway()
+    ts = _ts_for(gw, 3, seed=41)
+    from sdr_receiver_dvb_t2_tpu.tx.modulator import T2Modulator
+    direct = T2Modulator(p, plps).modulate(ts, 3)
+
+    rx1 = T2Receiver()
+    regen = T2MIRegenerator()
+    rx1.regen_sink = regen
+    res1 = rx1.receive(awgn(direct.samples, 22.0, seed=7))
+    assert res1.stats.frames_decoded == 3
+    np.testing.assert_array_equal(res1.ts, ts[:len(res1.ts)])
+
+    feed = regen.t2mi_ts()
+    player = T2MIPlayer(feed)
+    assert player.l1pre.regen_flag == 1
+    out = player.waveform()
+    # the regenerated waveform is clean: only the L1-pre cells (regen_flag)
+    # differ from the original transmission
+    res2 = T2Receiver().receive(out.samples)
+    assert res2.stats.frames_decoded == 3
+    np.testing.assert_array_equal(res2.ts, ts[:len(res2.ts)])
+    assert len(res2.ts) > 0
+    assert res2.l1pre.regen_flag == 1
+    assert float(np.mean(res2.stats.snr_db)) > 80.0   # noise removed
