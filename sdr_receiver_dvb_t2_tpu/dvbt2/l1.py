@@ -722,8 +722,9 @@ def build_l1(p: T2Params, plps, num_frames: int = 2,
         # keyed by MODE, not size: the 8K/32K T2GI variants have their own
         # 3-bit codings (6/7) which a size-keyed map would collapse onto the
         # base 8K/32K values and break P1<->L1 coherence (and the T2-MI
-        # player's mode reconstruction).  16K_T2GI has no S2 coding; it
-        # signals as 16K, matching generate_p1's & 0x7 truncation.
+        # player's mode reconstruction).  16K_T2GI has no S2 coding of its
+        # own (table 16's '100' covers 16K with every guard set); it signals
+        # 4 like base 16K, the same value generate_p1 transmits.
         s2_field1={FFTMode.FFT_2K: 0, FFTMode.FFT_8K: 1, FFTMode.FFT_4K: 2,
                    FFTMode.FFT_1K: 3, FFTMode.FFT_16K: 4, FFTMode.FFT_32K: 5,
                    FFTMode.FFT_8K_T2GI: 6, FFTMode.FFT_32K_T2GI: 7,

@@ -21,10 +21,10 @@ This module is the transport-agnostic packet layer:
 Provenance: the packet header layout (packet_type(8), packet_count(8),
 superframe_idx(4), rfu(12), payload_len(16, in BITS), payload, CRC-32
 with the MPEG polynomial) and the BBFRAME / L1-current payload heads
-follow TS 102 773 clause 5; the TIMESTAMP payload here is a simplified
-64-bit absolute elementary-sample offset (the spec's T2 timestamp carries
-UTC seconds/subseconds — meaningless in a loopback environment with no
-time reference).  No external T2-MI stream or second implementation is
+follow TS 102 773 clause 5; the TIMESTAMP payload follows the clause
+5.2.3 shape (bandwidth + UTC seconds/subseconds + utco, see
+`build_timestamp_payload`) with a configurable epoch so loopback streams
+need no wall clock.  No external T2-MI stream or second implementation is
 available in this environment, so conformance is validated by loopback
 round-trip (gateway -> playout -> receiver TS bit-exact, playout waveform
 bit-identical to the direct modulator) — disclosed, like the L1
@@ -180,14 +180,66 @@ def parse_l1_current_payload(pay: np.ndarray,
             pay[32 + l1pre_len:])
 
 
-def build_timestamp_payload(sample_offset: int) -> np.ndarray:
-    """TIMESTAMP (0x20), simplified: 64-bit absolute elementary-sample
-    offset of the T2-frame start (see module docstring provenance note)."""
-    return _bits_from_int(int(sample_offset) & ((1 << 64) - 1), 64)
+# T2-MI timestamp (packet type 0x20), clause 5.2.3 shape:
+#   rfu(2) | bandwidth(4) | seconds_since_2000(40) | subseconds(27) |
+#   utco(13)  = 86 bits (payload length is signalled in bits).
+# subseconds counts ELEMENTARY PERIODS within the UTC second — the unit the
+# bandwidth field exists to resolve (2^27 > 10e6 covers every rate).  The
+# epoch is configurable (epoch_seconds) so loopback streams stay
+# deterministic with no wall clock.  Field widths/order reconstructed from
+# the spec's field descriptions; the bandwidth code table below is this
+# repo's ordering of the six EN 302 755 bandwidths — no real T2-MI stream
+# is available here to cross-check (module docstring provenance note), so
+# do not feed this to real SFN playout equipment expecting exact
+# conformance.
+_TS_BW_CODE = {"BW_1_7": 0, "BW_5": 1, "BW_6": 2, "BW_7": 3, "BW_8": 4,
+               "BW_10": 5}
 
 
-def parse_timestamp_payload(pay: np.ndarray) -> int:
-    return _int_from_bits(pay[:64])
+@dataclass
+class T2Timestamp:
+    bw_code: int
+    seconds: int          # seconds since the epoch (spec: since 2000)
+    subseconds: int       # elementary periods within the second
+    utco: int             # UTC-TAI offset, seconds
+
+    def sample_offset(self, bandwidth) -> int:
+        """Back to the absolute elementary-sample offset (exact integer
+        arithmetic on the bandwidth's rational rate)."""
+        num, den = bandwidth.value
+        spn = den * 1_000_000          # samples per `num` seconds
+        start = -(-self.seconds * spn // num)   # ceil
+        return start + self.subseconds
+
+
+def build_timestamp_payload(sample_offset: int, bandwidth=None,
+                            epoch_seconds: int = 0,
+                            utco: int = 0) -> np.ndarray:
+    """TIMESTAMP (0x20): absolute T2-frame start time as
+    seconds/subseconds at the channel's elementary rate."""
+    from .params import Bandwidth
+    bw = bandwidth or Bandwidth.BW_8
+    num, den = bw.value
+    spn = den * 1_000_000
+    off = int(sample_offset)
+    secs = off * num // spn
+    start = -(-secs * spn // num)
+    sub = off - start
+    secs += int(epoch_seconds)
+    return np.concatenate([
+        _bits_from_int(0, 2),
+        _bits_from_int(_TS_BW_CODE[bw.name], 4),
+        _bits_from_int(secs & ((1 << 40) - 1), 40),
+        _bits_from_int(sub & ((1 << 27) - 1), 27),
+        _bits_from_int(utco & ((1 << 13) - 1), 13)])
+
+
+def parse_timestamp_payload(pay: np.ndarray) -> T2Timestamp:
+    return T2Timestamp(
+        bw_code=_int_from_bits(pay[2:6]),
+        seconds=_int_from_bits(pay[6:46]),
+        subseconds=_int_from_bits(pay[46:73]),
+        utco=_int_from_bits(pay[73:86]))
 
 
 # --------------------------------------------------------------------------

@@ -120,6 +120,11 @@ def main(argv=None):
                          "cpu overrides it for host-only runs)")
     args = ap.parse_args(argv)
 
+    if args.regen and args.plp is not None:
+        # a regenerated feed advertises a full clean multiplex; a
+        # plp-filtered decode cannot provide every PLP's BB frames
+        ap.error("--regen requires a full decode: drop --plp")
+
     if args.platform == "cpu" or args.device_path:
         import jax
         if args.platform == "cpu":

@@ -391,8 +391,12 @@ def device_to_elementary(x: np.ndarray, device_rate: float,
         x = derotate(x, cfo_hz, fs=device_rate)
     # halve with a real low-pass until the residual ratio is small enough
     # for the unfiltered interpolator (narrow bandwidths need several
-    # octaves: e.g. 9.2 Msps -> 1.845 Msps is /4 then x1.25)
-    while device_rate >= 1.5 * target_rate:
+    # octaves: e.g. 9.2 Msps -> 1.845 Msps is /4 then x1.25).  Threshold
+    # 1.7 (same as CorrectorChain): decimating at ratios in [1.5, 2)
+    # would land the output rate BELOW the elementary rate, clipping the
+    # ~0.42*fs occupied band edge (the LPF cutoff 0.25*1.7*fs = 0.425*fs
+    # just clears it)
+    while device_rate >= 1.7 * target_rate:
         x = fir_decimate(x, 2)
         device_rate = device_rate / 2.0
     if abs(device_rate - target_rate) > 1.0:

@@ -485,6 +485,7 @@ class T2Receiver:
             fn = (self.ldpc_decode_fn_factory(plp)
                   if self.ldpc_decode_fn_factory else None)
             sink = None
+            fails0 = pstat.ldpc_failures + pstat.bch_failures
             if self.regen_sink is not None:
                 sink = (lambda bb, pid=dyn.id:
                         self.regen_sink.add_bb(pid, bb))
@@ -492,6 +493,11 @@ class T2Receiver:
                 plp, sl, dyn.num_blocks,
                 assembler.stream(dyn.id if len(plps) > 1 else None),
                 stats=pstat, ldpc_decode_fn=fn, bb_sink=sink)
+            if (self.regen_sink is not None
+                    and pstat.ldpc_failures + pstat.bch_failures > fails0):
+                # FEC did not fully converge on this frame: the regenerated
+                # feed must not re-emit corrupted BB frames as clean
+                self.regen_sink.mark_bad()
             if plp.in_band_a:
                 self._inband_prev[dyn.id] = ib
         stats.frames_decoded += 1

@@ -125,7 +125,10 @@ _S2_FIELD1_BY_FFT = {
     FFTMode.FFT_2K: 0, FFTMode.FFT_8K: 1, FFTMode.FFT_4K: 2,
     FFTMode.FFT_1K: 3, FFTMode.FFT_16K: 4, FFTMode.FFT_32K: 5,
     FFTMode.FFT_8K_T2GI: 6, FFTMode.FFT_32K_T2GI: 7,
-    FFTMode.FFT_16K_T2GI: 11,  # S2 field1 coding uses 3 bits; 16K_T2GI n/a
+    # EN 302 755 table 16 has no separate 16K T2-GI code: '100' covers 16K
+    # with EVERY guard set, so 16K_T2GI signals 4 like base 16K (the
+    # receiver learns the guard from L1-pre / brute force)
+    FFTMode.FFT_16K_T2GI: 4,
 }
 
 

@@ -82,7 +82,8 @@ class T2MIGateway:
             l1post = out.l1post_frames[fidx]
             frame_idx = int(l1post.dyn.frame_idx)
             emit(mi.T2MI_TIMESTAMP,
-                 mi.build_timestamp_payload(sample_off), sf)
+                 mi.build_timestamp_payload(sample_off,
+                                            bandwidth=self.p.bandwidth), sf)
             emit(mi.T2MI_L1_CURRENT, mi.build_l1_current_payload(
                 frame_idx, l1pre_bits,
                 l1post.pack(repetition=self.l1_repetition)), sf)
@@ -106,12 +107,19 @@ class T2MIPlayer:
         stream, self.ts_drops = mi.from_ts(t2mi_ts, pid=pid)
         pkts, self.bad_crc = mi.parse_packets(stream)
         self.frames: list[dict] = []   # arrival order; wraps at frame_idx
-        self.timestamps: list[int] = []
+        self.timestamps: list[int] = []      # elementary-sample offsets
+        self.utc_timestamps: list[mi.T2Timestamp] = []
         self.l1pre: l1mod.L1Pre | None = None
         cur = None
+        from ..dvbt2.params import Bandwidth
+        bw_by_code = {c: Bandwidth[n] for n, c in mi._TS_BW_CODE.items()}
         for p in pkts:
             if p.packet_type == mi.T2MI_TIMESTAMP:
-                self.timestamps.append(mi.parse_timestamp_payload(p.payload))
+                t = mi.parse_timestamp_payload(p.payload)
+                self.utc_timestamps.append(t)
+                self.timestamps.append(
+                    t.sample_offset(bw_by_code.get(t.bw_code,
+                                                   Bandwidth.BW_8)))
             elif p.packet_type == mi.T2MI_L1_CURRENT:
                 fidx, pre_bits, post_bits = mi.parse_l1_current_payload(
                     p.payload)
@@ -172,22 +180,33 @@ class T2MIRegenerator:
     CLEAN T2-MI feed that any playout modulator re-emits bit-exactly
     (the L1-pre REGEN_FLAG regeneration counter is incremented per hop;
     caps at 7).  Requires a full decode: no plp_filter, every PLP's BB
-    frames present."""
+    frames present.  Frames whose FEC did not fully converge (any
+    LDPC/BCH failure reported by the receiver) are DROPPED from the feed
+    — a regenerated stream advertises itself as clean (valid CRCs), so
+    re-emitting corrupted BB frames would poison every downstream SFN
+    transmitter; `dropped_frames` counts them."""
 
     def __init__(self, pid: int = mi.DEFAULT_PID):
         self.pid = pid
         self.frames: list[dict] = []
         self.params: T2Params | None = None
         self.l1pre: l1mod.L1Pre | None = None
+        self.dropped_frames = 0
 
     # -- hooks the receiver calls -----------------------------------------
     def start_frame(self, params, l1pre, l1post) -> None:
         self.params = params
         self.l1pre = l1pre
-        self.frames.append({"l1post": l1post, "plps": {}})
+        self.frames.append({"l1post": l1post, "plps": {}, "bad": False})
 
     def add_bb(self, plp_id: int, bb: np.ndarray) -> None:
         self.frames[-1]["plps"][plp_id] = np.asarray(bb, np.uint8)
+
+    def mark_bad(self) -> None:
+        """Current frame carried an LDPC- or BCH-failed BB frame: exclude
+        it from the regenerated feed."""
+        if self.frames:
+            self.frames[-1]["bad"] = True
 
     # -- serialization (mirrors T2MIGateway.build) ------------------------
     def t2mi_ts(self) -> np.ndarray:
@@ -203,6 +222,7 @@ class T2MIRegenerator:
         packets: list[np.ndarray] = []
         count = 0
         sample_off = 0
+        self.dropped_frames = 0
 
         def emit(ptype, payload, sf):
             nonlocal count
@@ -215,8 +235,14 @@ class T2MIRegenerator:
             l1post = fr["l1post"]
             frame_idx = int(l1post.dyn.frame_idx)
             sf = (i // n_t2) & 0xF
+            if fr["bad"]:
+                # FEC-failed frame: advance the clock, emit nothing
+                self.dropped_frames += 1
+                sample_off += p.frame_samples + p.fef_after(frame_idx % n_t2)
+                continue
             emit(mi.T2MI_TIMESTAMP,
-                 mi.build_timestamp_payload(sample_off), sf)
+                 mi.build_timestamp_payload(sample_off,
+                                            bandwidth=p.bandwidth), sf)
             emit(mi.T2MI_L1_CURRENT, mi.build_l1_current_payload(
                 frame_idx, pre_bits, l1post.pack(repetition=rep)), sf)
             for plp_id in sorted(fr["plps"]):
