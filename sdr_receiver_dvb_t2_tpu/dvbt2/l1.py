@@ -35,6 +35,7 @@ from dataclasses import dataclass, field as dfield
 import numpy as np
 
 from . import bbframe, bch, interleavers, ldpc
+from . import params as params_mod
 from .params import (CodeRate, Constellation, FECFrame, FFTMode, Preamble,
                      T2Params, fec_params)
 
@@ -719,16 +720,11 @@ def build_l1(p: T2Params, plps, num_frames: int = 2,
         s1=((4 if p.miso else 3)
             if p.preamble in (Preamble.T2_LITE_SISO, Preamble.T2_LITE_MISO)
             else (1 if p.miso else 0)),
-        # keyed by MODE, not size: the 8K/32K T2GI variants have their own
-        # 3-bit codings (6/7) which a size-keyed map would collapse onto the
-        # base 8K/32K values and break P1<->L1 coherence (and the T2-MI
-        # player's mode reconstruction).  16K_T2GI has no S2 coding of its
-        # own (table 16's '100' covers 16K with every guard set); it signals
-        # 4 like base 16K, the same value generate_p1 transmits.
-        s2_field1={FFTMode.FFT_2K: 0, FFTMode.FFT_8K: 1, FFTMode.FFT_4K: 2,
-                   FFTMode.FFT_1K: 3, FFTMode.FFT_16K: 4, FFTMode.FFT_32K: 5,
-                   FFTMode.FFT_8K_T2GI: 6, FFTMode.FFT_32K_T2GI: 7,
-                   FFTMode.FFT_16K_T2GI: 4}[p.fft_mode],
+        # the table-49 coding is keyed by MODE and PROFILE (the T2GI
+        # variants and the lite column have their own codes; a size-keyed
+        # map would break P1<->L1 coherence and the T2-MI player's mode
+        # reconstruction) — same function generate_p1 transmits
+        s2_field1=params_mod.s2_field1_code(p.fft_mode, p.preamble),
         guard_interval=int(p.guard),
         papr=int(p.papr),
         l1_post_mod=l1_post_mod,

@@ -168,6 +168,56 @@ class Preamble(enum.IntEnum):
     T2_LITE_MISO = 4
 
 
+# --- P1 S2 field 1 coding (EN 302 755 table 49) -----------------------------
+# The 3-bit S2 field 1 announces the FFT size (and which guard-interval SET
+# to expect) and is interpreted per the S1 profile: the base-T2 column is
+# table 16/49's familiar eight codes; for T2-LITE preambles (S1 = 3/4) the
+# codes are reassigned because annex I drops 1K and 32K — code 3 (1K in
+# base) becomes 16K with the T2-GI guard set, and the 32K codes are
+# reserved.  Provenance: the base column is cross-checked against the
+# reference's S2 handling (p1_symbol.cpp:233-284); the lite column is
+# reconstructed from the spec's field descriptions (no EN 302 755 text is
+# available in this environment) and pinned by an independent
+# transcription in tests/test_t2lite.py — disclosed like the L1
+# puncture-order provenance in dvbt2/l1.py.
+_S2_FIELD1_BASE = {
+    FFTMode.FFT_2K: 0, FFTMode.FFT_8K: 1, FFTMode.FFT_4K: 2,
+    FFTMode.FFT_1K: 3, FFTMode.FFT_16K: 4, FFTMode.FFT_32K: 5,
+    FFTMode.FFT_8K_T2GI: 6, FFTMode.FFT_32K_T2GI: 7,
+    # no separate 16K T2-GI code in the base column ('100' covers 16K
+    # with every guard set)
+    FFTMode.FFT_16K_T2GI: 4,
+}
+_S2_FIELD1_LITE = {
+    FFTMode.FFT_2K: 0, FFTMode.FFT_8K: 1, FFTMode.FFT_4K: 2,
+    FFTMode.FFT_16K_T2GI: 3, FFTMode.FFT_16K: 4,
+    FFTMode.FFT_8K_T2GI: 6,
+}
+
+
+def s2_field1_code(fft_mode: "FFTMode", preamble: "Preamble") -> int:
+    """FFT mode -> P1 S2 field 1 (3 bits) for the transmission profile."""
+    if preamble in (Preamble.T2_LITE_SISO, Preamble.T2_LITE_MISO):
+        if fft_mode not in _S2_FIELD1_LITE:
+            raise ValueError(f"{fft_mode.name} is not a T2-Lite FFT size "
+                             f"(annex I allows 2K/4K/8K/16K)")
+        return _S2_FIELD1_LITE[fft_mode]
+    return _S2_FIELD1_BASE[fft_mode]
+
+
+def fft_from_s2_field1(field1: int, lite: bool) -> "FFTMode | None":
+    """P1 S2 field 1 -> FFT mode (None = reserved for that profile)."""
+    if lite:
+        inv = {0: FFTMode.FFT_2K, 1: FFTMode.FFT_8K, 2: FFTMode.FFT_4K,
+               3: FFTMode.FFT_16K_T2GI, 4: FFTMode.FFT_16K,
+               6: FFTMode.FFT_8K_T2GI}
+    else:
+        inv = {0: FFTMode.FFT_2K, 1: FFTMode.FFT_8K, 2: FFTMode.FFT_4K,
+               3: FFTMode.FFT_1K, 4: FFTMode.FFT_16K, 5: FFTMode.FFT_32K,
+               6: FFTMode.FFT_8K_T2GI, 7: FFTMode.FFT_32K_T2GI}
+    return inv.get(int(field1))
+
+
 # (n_p2, c_p2) per FFT mode: {fft_size: (n_p2, c_p2_siso, c_p2_miso)}
 _P2_PARAMS = {
     1024: (16, 558, 546),

@@ -455,13 +455,24 @@ def qc_syndrome_ok(frame: FECFrame, rate: CodeRate, total_info, total_par):
 
 
 def _make_layer_step(tab: QCTables, vti, vtp, c2v, msgs, u_iota, mask0,
-                     off, DT, SD):
+                     off, DT, SD, count_bad: bool = False):
     """Shared statically-unrolled layer body for the VMEM-resident kernels.
 
     Closes over the kernel refs; `layer(t)` runs one check-layer update of
     the offset-min-sum layered schedule (reference semantics:
     LDPC/layered_decoder.hh:83-110) entirely on (360, B) VMEM tiles with
-    static `pltpu.roll` shifts."""
+    static `pltpu.roll` shifts.
+
+    With count_bad=True, `layer(t)` additionally returns this layer's
+    failed-check count (a () int32), computed from the hard decisions of
+    the CURRENT totals as pass 1 visits them — the aligned rolls are
+    already in flight for the message build, so the rolling syndrome
+    costs two VPU ops per edge instead of the separate full
+    `_make_syndrome_count` pass (whose per-edge rolls are the expensive
+    part).  A full sweep whose every layer reports 0 is the adaptive
+    decoder's exit condition; note the totals evolve DURING the sweep, so
+    this is a rolling check, not a snapshot — on a converged batch the
+    two coincide, and the downstream BCH gate covers the margin."""
     from jax.experimental.pallas import tpu as pltpu
 
     q = tab.q
@@ -474,19 +485,29 @@ def _make_layer_step(tab: QCTables, vti, vtp, c2v, msgs, u_iota, mask0,
         et = deg + 2
         # ---- pass 1: v2c messages + running two-minimum scan ----
         min1 = min2 = nneg = None
+        ntot = None
         for j in range(et):
             if j < deg:
                 g, s = int(entry_g[t, j]), int(entry_s[t, j])
                 aligned = pltpu.roll(vti[g], s, axis=0)
                 m = aligned - c2v[t, j].astype(jnp.float32)
+                tot_neg = aligned if count_bad else None
             elif j == deg:
                 m = vtp[t] - c2v[t, j].astype(jnp.float32)
+                tot_neg = vtp[t] if count_bad else None
             else:
                 if t > 0:
                     m = vtp[t - 1] - c2v[t, j].astype(jnp.float32)
+                    tot_neg = vtp[t - 1] if count_bad else None
                 else:
                     prev = pltpu.roll(vtp[q - 1], 1, axis=0)
                     m = prev - c2v[t, j].astype(jnp.float32) + mask0
+                    # check (0, u=0) has no previous-parity edge
+                    tot_neg = (jnp.where(u_iota == 0, 1.0, prev)
+                               if count_bad else None)
+            if count_bad:
+                nb_ = (tot_neg < 0).astype(jnp.int32)
+                ntot = nb_ if ntot is None else jnp.bitwise_xor(ntot, nb_)
             ms = m.astype(SD)
             msgs[j] = ms
             aj = jnp.abs(ms)
@@ -500,6 +521,7 @@ def _make_layer_step(tab: QCTables, vti, vtp, c2v, msgs, u_iota, mask0,
                 min2 = jnp.where(is_new, min1, jnp.minimum(min2, aj))
                 min1 = jnp.where(is_new, aj, min1)
                 nneg = nneg + neg
+        lbad = jnp.sum(ntot) if count_bad else None
 
         sign_all = (1 - 2 * jax.lax.rem(nneg, 2)).astype(SD)
         # offset applied once per layer to both candidate magnitudes
@@ -534,6 +556,7 @@ def _make_layer_step(tab: QCTables, vti, vtp, c2v, msgs, u_iota, mask0,
                     vtp[q - 1] = jnp.where(u_iota == 359, vtp[q - 1],
                                            rolled)
             c2v[t, j] = stored
+        return lbad
 
     return layer
 
@@ -581,7 +604,8 @@ def make_pallas_layered_vmem_adaptive(frame: FECFrame, rate: CodeRate,
                                       offset: float = 0.5,
                                       interpret: bool = False,
                                       dtype=jnp.bfloat16,
-                                      min_iters: int = 0):
+                                      min_iters: int = 0,
+                                      rolling: bool = False):
     """Single-call adaptive layered decoder: the early-exit loop lives INSIDE
     the kernel, so totals and c2v messages stay VMEM-resident for the whole
     decode (the chunked `make_adaptive_decoder_nb` pays a full c2v HBM
@@ -591,6 +615,14 @@ def make_pallas_layered_vmem_adaptive(frame: FECFrame, rate: CodeRate,
     in-kernel, and stops as soon as every codeword is clean (or at
     max_iters).  Matches the reference's TRIALS=25 + per-iteration `bad()`
     semantics (ldpc_decoder.h:62, layered_decoder.hh:65-82).
+
+    With rolling=True the syndrome is instead accumulated INSIDE every
+    layer pass from the aligned totals pass 1 already rolls into place
+    (see `_make_layer_step(count_bad=True)`), so the check runs every
+    iteration for ~2 VPU ops/edge instead of a separate roll-heavy pass
+    every `check_every` — the decoder exits at the EXACT convergence
+    sweep.  The exit condition is "every layer clean at its visit within
+    one sweep" (rolling, not a snapshot); `check_every` is ignored.
 
     Returns fn(total_info, total_par) -> (total_info', total_par',
     iters_used ()) — same totals layout as `make_pallas_layered_vmem`.
@@ -621,28 +653,46 @@ def make_pallas_layered_vmem_adaptive(frame: FECFrame, rate: CodeRate,
         cp_i.wait(); cp_p.wait()
 
         layer = _make_layer_step(tab, vti, vtp, c2v, msgs, u_iota, mask0,
-                                 off, DT, jnp.float32)
-        syndrome_count = _make_syndrome_count(tab, vti, vtp, u_iota)
+                                 off, DT, jnp.float32, count_bad=rolling)
 
-        def chunk_body(ci, carry):
-            @pl.when(done[0] == 0)
-            def _():
-                def it_body(_, c):
-                    for t in range(q):
-                        layer(t)
-                    return c
-                jax.lax.fori_loop(0, check_every, it_body, 0)
-                n_bad = syndrome_count()
-                it_now = (ci + 1) * check_every
-
-                @pl.when(jnp.logical_and(n_bad == 0,
-                                         it_now >= min_iters))
+        if rolling:
+            def sweep_body(it, carry):
+                @pl.when(done[0] == 0)
                 def _():
-                    done[0] = 1
-                    iters_out[0] = it_now
-            return carry
+                    bad = jnp.int32(0)
+                    for t in range(q):
+                        bad = bad + layer(t)
 
-        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+                    @pl.when(jnp.logical_and(bad == 0,
+                                             it + 1 >= min_iters))
+                    def _():
+                        done[0] = 1
+                        iters_out[0] = it + 1
+                return carry
+
+            jax.lax.fori_loop(0, max_iters, sweep_body, 0)
+        else:
+            syndrome_count = _make_syndrome_count(tab, vti, vtp, u_iota)
+
+            def chunk_body(ci, carry):
+                @pl.when(done[0] == 0)
+                def _():
+                    def it_body(_, c):
+                        for t in range(q):
+                            layer(t)
+                        return c
+                    jax.lax.fori_loop(0, check_every, it_body, 0)
+                    n_bad = syndrome_count()
+                    it_now = (ci + 1) * check_every
+
+                    @pl.when(jnp.logical_and(n_bad == 0,
+                                             it_now >= min_iters))
+                    def _():
+                        done[0] = 1
+                        iters_out[0] = it_now
+                return carry
+
+            jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
         cp_oi = pltpu.make_async_copy(vti, tinfo_out, sem_i)
         cp_op = pltpu.make_async_copy(vtp, tpar_out, sem_p)
         cp_oi.start(); cp_op.start()
@@ -687,14 +737,16 @@ def make_adaptive_decoder_nb_fused(frame: FECFrame, rate: CodeRate,
                                    max_iters: int = 24, check_every: int = 2,
                                    batch: int = 128,
                                    interpret: bool = False,
-                                   dtype=jnp.bfloat16, min_iters: int = 0):
+                                   dtype=jnp.bfloat16, min_iters: int = 0,
+                                   rolling: bool = False):
     """(N, B) LLR front door for the in-kernel adaptive decoder.
 
     Returns fn(llrs_t (N,B)) -> (bits (N,B) uint8, iters_used ())."""
     tab = qc_tables(frame, rate)
     core = make_pallas_layered_vmem_adaptive(
         frame, rate, max_iters=max_iters, check_every=check_every,
-        batch=batch, interpret=interpret, dtype=dtype, min_iters=min_iters)
+        batch=batch, interpret=interpret, dtype=dtype, min_iters=min_iters,
+        rolling=rolling)
 
     def decode(llrs_t):
         ti, tp = llrs_nb_to_qc_jnp(tab, llrs_t.astype(jnp.float32))

@@ -29,9 +29,9 @@ from ..tx.ofdm import (P1_A, P1_ACTIVE, P1_ACTIVE_CARRIERS, P1_B, P1_C,
 _S1_TO_PREAMBLE = {0: Preamble.T2_SISO, 1: Preamble.T2_MISO,
                    2: Preamble.NON_T2, 3: Preamble.T2_LITE_SISO,
                    4: Preamble.T2_LITE_MISO}
-_S2F1_TO_FFT = {0: FFTMode.FFT_2K, 1: FFTMode.FFT_8K, 2: FFTMode.FFT_4K,
-                3: FFTMode.FFT_1K, 4: FFTMode.FFT_16K, 5: FFTMode.FFT_32K,
-                6: FFTMode.FFT_8K_T2GI, 7: FFTMode.FFT_32K_T2GI}
+# S2 field 1 -> FFT mode is PROFILE-dependent (table 49: the T2-Lite
+# column reassigns code 3 to 16K with T2-GI guards and reserves the 32K
+# codes — annex I has no 1K/32K); see dvbt2.params.fft_from_s2_field1
 
 
 @dataclass
@@ -137,12 +137,14 @@ def decode_p1(x: np.ndarray, start: int, peak_metric: complex,
     if s1 is None or s2 is None or s1 not in _S1_TO_PREAMBLE:
         return None
     s2_field1 = s2 >> 1
-    if s2_field1 not in _S2F1_TO_FFT:
+    from ..dvbt2.params import fft_from_s2_field1
+    fft_mode = fft_from_s2_field1(s2_field1, lite=s1 in (3, 4))
+    if fft_mode is None:
         return None
     return P1Result(
         start=start, fractional_cfo_hz=frac_cfo,
         integer_cfo_carriers=best - P1_FIRST_CARRIER,
-        preamble=_S1_TO_PREAMBLE[s1], fft_mode=_S2F1_TO_FFT[s2_field1],
+        preamble=_S1_TO_PREAMBLE[s1], fft_mode=fft_mode,
         s1=s1, s2=s2, s2_field2=s2 & 1, correlation=float(np.abs(peak_metric)))
 
 

@@ -16,7 +16,7 @@ import functools
 import numpy as np
 
 from ..dvbt2 import tables
-from ..dvbt2.params import T2Params, FFTMode, Preamble
+from ..dvbt2.params import (T2Params, FFTMode, Preamble, s2_field1_code)
 
 P1_LEN = 2048
 P1_A = 1024
@@ -121,15 +121,8 @@ S2_PATTERNS = [
      0x74, 0x7B, 0x21, 0x2E, 0x47, 0x48, 0x12, 0x1D],
 ]
 
-_S2_FIELD1_BY_FFT = {
-    FFTMode.FFT_2K: 0, FFTMode.FFT_8K: 1, FFTMode.FFT_4K: 2,
-    FFTMode.FFT_1K: 3, FFTMode.FFT_16K: 4, FFTMode.FFT_32K: 5,
-    FFTMode.FFT_8K_T2GI: 6, FFTMode.FFT_32K_T2GI: 7,
-    # EN 302 755 table 16 has no separate 16K T2-GI code: '100' covers 16K
-    # with EVERY guard set, so 16K_T2GI signals 4 like base 16K (the
-    # receiver learns the guard from L1-pre / brute force)
-    FFTMode.FFT_16K_T2GI: 4,
-}
+# S2 field 1 coding lives in dvbt2.params (table 49: base + T2-Lite
+# columns, profile-dependent)
 
 
 @functools.lru_cache(maxsize=None)
@@ -157,7 +150,7 @@ def generate_p1(p: T2Params) -> np.ndarray:
     """P1 preamble symbol: 2048 complex samples (C | A | B)."""
     s1 = {Preamble.T2_SISO: 0, Preamble.T2_MISO: 1, Preamble.NON_T2: 2,
           Preamble.T2_LITE_SISO: 3, Preamble.T2_LITE_MISO: 4}[p.preamble]
-    fft_field = _S2_FIELD1_BY_FFT[p.fft_mode] & 0x7
+    fft_field = s2_field1_code(p.fft_mode, p.preamble)
     # S2 field2 = 1 when the preambles are of mixed types (FEF present)
     s2 = (fft_field << 1) | (1 if p.fef else 0)
     return p1_from_signalling(s1, s2)
@@ -358,7 +351,7 @@ def generate_fef_part(p: T2Params, rms: float, seed: int = 0) -> np.ndarray:
     fef_type, fef_length, _ = p.fef
     if fef_length < P1_LEN:
         raise ValueError("FEF_LENGTH must cover at least the FEF P1")
-    fft_field = _S2_FIELD1_BY_FFT[p.fft_mode] & 0x7
+    fft_field = s2_field1_code(p.fft_mode, p.preamble)
     p1 = p1_from_signalling(2, (fft_field << 1) | 1)
     rng = np.random.default_rng(0xFEF00 + seed)
     n = fef_length - P1_LEN

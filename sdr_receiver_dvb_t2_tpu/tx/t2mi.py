@@ -32,10 +32,9 @@ from ..dvbt2 import t2mi as mi
 from ..dvbt2.params import FFTMode, T2Params, PLPParams
 from .modulator import ModulatorOutput, T2Modulator
 
-# S2 field-1 -> FFT mode (same on-air coding the P1 uses, rx/p1_detect.py)
-_S2F1_TO_FFT = {0: FFTMode.FFT_2K, 1: FFTMode.FFT_8K, 2: FFTMode.FFT_4K,
-                3: FFTMode.FFT_1K, 4: FFTMode.FFT_16K, 5: FFTMode.FFT_32K,
-                6: FFTMode.FFT_8K_T2GI, 7: FFTMode.FFT_32K_T2GI}
+# S2 field-1 -> FFT mode uses the same profile-dependent table-49 coding
+# the P1 carries (dvbt2.params.fft_from_s2_field1; L1-pre's S1 field says
+# which column applies)
 
 
 class T2MIGateway:
@@ -147,9 +146,13 @@ class T2MIPlayer:
 
     def modulator(self) -> T2Modulator:
         pre = self.l1pre
+        from ..dvbt2.params import fft_from_s2_field1
         from ..rx.decode import params_from_l1
-        p, plps = params_from_l1(_S2F1_TO_FFT[pre.s2_field1], pre,
-                                 self.frames[0]["l1post"])
+        fft = fft_from_s2_field1(pre.s2_field1, lite=pre.s1 in (3, 4))
+        if fft is None:
+            raise ValueError(
+                f"reserved S2 field1 {pre.s2_field1} for S1 {pre.s1}")
+        p, plps = params_from_l1(fft, pre, self.frames[0]["l1post"])
 
         def bb_injector(fidx, plp_id, nb):
             got = self.frames[fidx]["plps"].get(plp_id, [])

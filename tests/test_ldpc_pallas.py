@@ -209,3 +209,42 @@ def test_fused_io_decoder_matches():
                              variant="vmem", dtype=jnp.float32)
     bits2 = np.asarray(ref(jnp.asarray(llr.T)))
     np.testing.assert_array_equal(bits, bits2)
+
+
+def test_adaptive_inkernel_rolling_check():
+    """Rolling in-sweep syndrome variant: the check accumulates inside
+    every layer pass (reusing its rolls), exits at the exact convergence
+    sweep, and the decode schedule stays a prefix of the fixed-iteration
+    schedule."""
+    frame, rate = FECFrame.SHORT, CodeRate.C1_2
+    code, cw, llr = _noisy(frame, rate, 8, snr_scale=4.0)
+    dec = qc.make_adaptive_decoder_nb_fused(
+        frame, rate, max_iters=12, batch=8,
+        interpret=True, dtype=jnp.float32, rolling=True)
+    bits, it = dec(jnp.asarray(llr.T))
+    np.testing.assert_array_equal(np.asarray(bits).T, cw)
+    it = int(it)
+    assert 0 < it < 12       # exits at the exact sweep (no even rounding)
+    ref = qc.make_decoder_nb(frame, rate, iters=it, batch=8,
+                             interpret=True, variant="vmem",
+                             dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(bits),
+                                  np.asarray(ref(jnp.asarray(llr.T))))
+    # the non-rolling variant (checks every 2) can only exit at an even
+    # count >= the rolling exit
+    dec2 = qc.make_adaptive_decoder_nb_fused(
+        frame, rate, max_iters=12, check_every=2, batch=8,
+        interpret=True, dtype=jnp.float32)
+    _, it2 = dec2(jnp.asarray(llr.T))
+    assert int(it2) >= it and int(it2) % 2 == 0
+    # garbage input runs to max_iters
+    rng = np.random.default_rng(9)
+    garbage = rng.normal(0, 1, llr.T.shape).astype(np.float32)
+    _, itg = dec(jnp.asarray(garbage))
+    assert int(itg) == 12
+    # min_iters still gates the exit
+    dec3 = qc.make_adaptive_decoder_nb_fused(
+        frame, rate, max_iters=12, batch=8, interpret=True,
+        dtype=jnp.float32, rolling=True, min_iters=7)
+    _, it3 = dec3(jnp.asarray(llr.T))
+    assert int(it3) >= 7
