@@ -413,10 +413,14 @@ class StreamingReceiver:
 
     def run(self, ts_sink=None, max_blocks: int | None = None,
             resume: str | None = None,
-            capture_debug: bool = False, on_block=None) -> StreamStats:
+            capture_debug: bool = False, on_block=None,
+            control=None) -> StreamStats:
         """`on_block(st, lock, rxstats)`: per-block observer hook (the live
         dashboard, utils.live.LiveDashboard.update); counters in `st` are
-        refreshed before each call."""
+        refreshed before each call.  `control`: an io.control.ControlServer
+        polled between blocks — live PLP/TS-sink switching and STOP
+        without losing lock (the reference's set_out path,
+        bb_de_header.cpp:500-525)."""
         from ..rx import frontend, p1_detect as rxp1
         from ..rx import receiver as rxr
         from ..dvbt2 import bbframe
@@ -601,6 +605,19 @@ class StreamingReceiver:
                     return False
 
         while True:
+            if control is not None:
+                st.ts_packets = len(assembler.packets)
+                st.frames_decoded = rxstats.frames_decoded
+                control.publish(dict(
+                    blocks=st.blocks, frames=st.frames_decoded,
+                    ts_packets=st.ts_packets,
+                    locked=lock is not None,
+                    plp=self.receiver.plp_filter,
+                    cfo_hz=chain.freq_hz + total_retuned,
+                    snr_db=(float(np.mean(st.snr_db))
+                            if st.snr_db else None)))
+                if control.poll(self.receiver, flush_ts):
+                    eof = True   # graceful STOP: drain, then exit
             limit = max_blocks is not None and st.blocks >= max_blocks
             raw = None if (limit or eof) else src.read()
             if raw is None:

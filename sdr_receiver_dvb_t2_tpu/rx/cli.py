@@ -95,6 +95,13 @@ def main(argv=None):
                          "thread (elastic buffering)")
     ap.add_argument("--no-agc", action="store_true",
                     help="disable the AGC gain loop")
+    ap.add_argument("--control", type=int, default=None, metavar="PORT",
+                    help="open a runtime control TCP endpoint (0 = pick a "
+                         "free port, printed to stderr): PLP <id>|ALL, "
+                         "OUT <path>, UDP <host:port>, STATUS, STOP — "
+                         "switch the TS sink / PLP selection of the "
+                         "RUNNING receiver without losing lock (stream "
+                         "mode only)")
     ap.add_argument("--checkpoint", default=None, metavar="PATH",
                     help="write streaming resume checkpoints to PATH")
     ap.add_argument("--resume", action="store_true",
@@ -157,7 +164,23 @@ def main(argv=None):
                 args.input, args.format,
                 sample_rate=args.rate if args.rate is not None else fs)
         dev.init(frequency_hz=args.frequency, gain_db=args.gain)
-        sink = ts_io.open_sink(args.out)
+        ctrl = None
+        if args.control is not None:
+            # live control endpoint: PLP/OUT/UDP/STATUS/STOP mid-run
+            # (bb_de_header.cpp:500-525 set_out parity, headless form)
+            from ..io import control as ioctl
+            if args.out.startswith("udp:"):
+                host, _, port = args.out[4:].lstrip("/").rpartition(":")
+                csink = ioctl.SwitchableSink(
+                    udp=(host or "127.0.0.1", int(port)))
+            else:
+                csink = ioctl.SwitchableSink(path=args.out)
+            ctrl = ioctl.ControlServer(csink, port=args.control)
+            print(f"control channel on 127.0.0.1:{ctrl.port}",
+                  file=sys.stderr)
+            sink = None
+        else:
+            sink = ts_io.open_sink(args.out)
         if args.device_path:
             from .device_receiver import DeviceT2Receiver
             rx = DeviceT2Receiver(plp_filter=args.plp, profile=args.profile,
@@ -180,13 +203,19 @@ def main(argv=None):
             from ..utils.live import LiveDashboard
             dash = LiveDashboard()
         with tracer:
-            st = sr.run(ts_sink=sink.write, max_blocks=args.max_blocks,
+            st = sr.run(ts_sink=(ctrl.sink if ctrl else sink.write),
+                        max_blocks=args.max_blocks,
                         resume=args.checkpoint if args.resume else None,
                         capture_debug=args.plots is not None,
-                        on_block=dash.update if dash else None)
+                        on_block=dash.update if dash else None,
+                        control=ctrl)
         if dash:
             dash.close()
-        sink.close()
+        if ctrl is not None:
+            ctrl.close()
+            ctrl.sink.close()
+        else:
+            sink.close()
         if args.plots and st.debug is not None:
             from ..utils import plots
             files = plots.stage_plots(st.debug, st.snr_db, st.timing,
