@@ -19,14 +19,17 @@ Provenance of the shortening/puncturing tables (EN 302 755 V1.4.1):
   clause 7.3.2.2 Table 19.
 - L1-pre shortening is tail-only (KSIG_PRE = 200 is fixed; the pad bits
   fill positions 200..KBCH-1), matching deployed modulators.
-The sequences were first reconstructed from gr-dvbt2 and then
-cross-validated against an independent transcription of the standard's
-tables (tests/test_l1.py::test_l1_group_orders_match_standard_tables);
-the N_punc/N_post sizing follows the clause 7.3.2.1/7.3.2.2 formulas
-directly (l1post_fec_geometry).  Pad/puncture placement only affects the
-*parity* bits of L1 (never the systematic bits a reference-style RX
-hard-parses), so TX<->RX loopback is exact regardless; with the table
-citations above, cross-vendor soft-decode interop is standard-derived.
+The group-order sequences are reconstructed from gr-dvbt2 and pinned
+against a second copy of the literals in
+tests/test_l1.py::test_l1_group_orders_match_standard_tables — that
+pinning guards against divergence but is NOT an independent verification
+of tables 17-19 (no EN 302 755 text is available in this environment).
+The N_punc/N_post sizing IS derived from the clause 7.3.2.1/7.3.2.2
+formulas directly (l1post_fec_geometry).  Pad/puncture placement only
+affects the *parity* bits of L1 (never the systematic bits a
+reference-style RX hard-parses), so TX<->RX loopback is exact
+regardless; cross-vendor soft-decode interop rests on the second-hand
+order lists.
 """
 from __future__ import annotations
 
