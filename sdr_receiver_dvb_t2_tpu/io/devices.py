@@ -276,6 +276,7 @@ class StreamStats:
     timing: list = field(default_factory=list)
     metrics: object = None        # utils.metrics.Metrics
     debug: dict | None = None     # one captured frame for stage plots
+    frontend: str = ""            # corrector chain class actually used
 
 
 def _advance_grid(lock, start: int) -> None:
@@ -434,9 +435,25 @@ class StreamingReceiver:
         assembler = bbframe.TSAssembler()
         rxstats = rxr.ReceiverStats()
         fs = self.receiver.fs  # true elementary rate (bandwidth-dependent)
-        chain = frontend.CorrectorChain(in_rate=dev.sample_rate, out_rate=fs)
-        base_ratio = chain.ratio
         block_len = max(4096, int(dev.sample_rate * self.block_seconds))
+        chain = None
+        if getattr(self.receiver, "wants_device_frontend", False):
+            # the device receive path corrects samples with the SAME
+            # jitted stages the bench measures (ops/frontend_device);
+            # rates outside the device chain's ratio bound (e.g. the
+            # 10 Msps AirSpy's +9.4%) fall back to the host chain
+            try:
+                from ..ops.frontend_device import DeviceFrontendChain
+                chain = DeviceFrontendChain(in_rate=dev.sample_rate,
+                                            out_rate=fs,
+                                            block_len=block_len)
+            except ValueError:
+                chain = None
+        if chain is None:
+            chain = frontend.CorrectorChain(in_rate=dev.sample_rate,
+                                            out_rate=fs)
+        st.frontend = type(chain).__name__
+        base_ratio = chain.ratio
         resume_base = 0   # raw device samples consumed before this run
         if resume is not None:
             # seek BEFORE any reader thread starts pulling from the device
@@ -834,7 +851,10 @@ class StreamingReceiver:
         if ck.cfo_hz:
             chain.add_frequency(ck.cfo_hz, 0)
         if abs(ck.sco_ppm) > 1e-3:
-            chain.stages[0].ratio *= (1.0 + ck.sco_ppm * 1e-6)
-            chain.stages[0]._resampling = True
+            if hasattr(chain, "stages"):     # host CorrectorChain
+                chain.stages[0].ratio *= (1.0 + ck.sco_ppm * 1e-6)
+                chain.stages[0]._resampling = True
+            else:                            # DeviceFrontendChain
+                chain.ratio *= (1.0 + ck.sco_ppm * 1e-6)
         restore_assembler(ck, assembler)
         return int(ck.sample_offset)

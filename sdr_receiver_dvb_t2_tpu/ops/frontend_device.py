@@ -244,3 +244,192 @@ def make_impairer(n_raw: int, fs: float, half: int = 8, deg: int = 7,
         return jnp.round(jnp.clip(x * s, -32767.0, 32767.0)) / s
 
     return impair
+
+
+# --------------------------------------------------------------------------
+# Streaming front-end chain (the CorrectorChain interface, on device)
+# --------------------------------------------------------------------------
+
+class _DCIQView:
+    """chain.dciq duck type (io/devices.py stats surface)."""
+
+    def __init__(self):
+        self.dc = 0.0 + 0.0j
+        self.g = 1.0
+        self.c = 0.0
+
+
+class DeviceFrontendChain:
+    """Streaming sample-domain front end on the accelerator: the
+    rx/frontend.CorrectorChain interface (process / add_frequency /
+    rebase_ratio / freq_hz / ratio / dciq) implemented with the SAME
+    jitted stages the benchmark measures — DC/IQ estimate+apply, NCO
+    derotation, generalized-Farrow resampling — so `t2rx --stream
+    --device-path` runs its per-sample correction on the device instead
+    of host NumPy (VERDICT r3 missing #1, streaming half).
+
+    Streaming design: one jitted block corrector with STATIC shapes — the
+    input bucket is block_len + halo slack (zero-padded), the output
+    bucket is the maximum block yield, and the host tracks the exact
+    float read position / output count (the bookkeeping of
+    rx/frontend.StreamCorrector), slicing the valid prefix.  DC/IQ
+    estimates blend across blocks with an EMA carried as device scalars
+    inside the same call (the feed-forward form of
+    dvbt2_demodulator.cpp:187-192's running averagers).
+
+    Supported ratio: chunked resampling bounds |ratio-1| <= ~0.012
+    (chunk 64) — covers the 9.2 Msps SdrPlay/Pluto rates (+0.625% vs the
+    8 MHz elementary rate) and any capture at the elementary rate with
+    sample-clock error.  Wider ratios (10 Msps AirSpy's +9.4%) keep the
+    host chain (StreamingReceiver falls back automatically).
+    """
+
+    MAX_RATIO_DEV = 0.012
+
+    def __init__(self, in_rate: float, out_rate: float, block_len: int,
+                 taps_half: int = 8, alpha: float = 0.25):
+        import jax
+        import jax.numpy as jnp
+
+        self.fs = out_rate
+        self.in_rate = in_rate
+        self._base_ratio = in_rate / out_rate
+        if abs(self._base_ratio - 1.0) > self.MAX_RATIO_DEV:
+            raise ValueError(
+                f"device chain supports |ratio-1| <= {self.MAX_RATIO_DEV}; "
+                f"{in_rate}/{out_rate} needs the host chain")
+        self.freq_hz = 0.0
+        self.ratio = self._base_ratio
+        self.dciq = _DCIQView()
+        self.alpha = alpha
+        self.half = taps_half
+        self._phase = 0.0           # NCO phase of the next OUTPUT sample
+        self._dphi = 0.0
+        self._halo = np.zeros(0, np.complex64)
+        # start the read position `half` samples in, so the first chunk's
+        # stencil never needs left context the stream doesn't have (the
+        # dynamic_slice clamp would otherwise skew the first few outputs)
+        self._pos = float(taps_half)
+        self._blocks = 0
+        self._dciq_state = jnp.asarray([0.0, 0.0, 1.0, 0.0], jnp.float32)
+        # static buckets: halo stays < taps + ratio slack + chunk drift
+        self._H = 4 * taps_half + 64
+        self._L = block_len + self._H
+        chunk = 64
+        while chunk * 2 * (self.MAX_RATIO_DEV + 1e-4) <= 0.9 \
+                and chunk < 16384:
+            chunk *= 2
+        n_max = int(self._L / (1.0 - self.MAX_RATIO_DEV)) + 2
+        resample = make_resampler(n_max, half=taps_half, chunk=chunk)
+        self._n_max = n_max
+        alpha_c = float(alpha)
+
+        def correct(x2, nvalid, state, ratio, pos0, phase0, dphi, first):
+            # -- DC/IQ: per-block estimate over the valid prefix (the
+            # zero padding contributes zeros to the sums; scale by the
+            # true count), EMA blend, apply --
+            mask = (jnp.arange(self._L) < nvalid).astype(jnp.float32)
+            i, q = x2[..., 0] * mask, x2[..., 1] * mask
+            inv_n = 1.0 / jnp.maximum(nvalid.astype(jnp.float32), 1.0)
+            dc_i = jnp.sum(i) * inv_n
+            dc_q = jnp.sum(q) * inv_n
+            i = (i - dc_i) * mask
+            q = (q - dc_q) * mask
+            ei = jnp.sum(jnp.abs(i)) * inv_n
+            eq = jnp.sum(jnp.abs(q)) * inv_n
+            g_b = ei / jnp.maximum(eq, 1e-12)
+            c_b = jnp.sum(jnp.sign(i) * q) * inv_n / jnp.maximum(ei, 1e-12)
+            w = jnp.where(first > 0, 1.0, alpha_c)
+            new_state = jnp.stack([
+                (1 - w) * state[0] + w * dc_i, (1 - w) * state[1] + w * dc_q,
+                (1 - w) * state[2] + w * g_b, (1 - w) * state[3] + w * c_b])
+            g_s, c_s = new_state[2], new_state[3]
+            q = (q * g_s - c_s * i) / jnp.sqrt(
+                jnp.maximum(1.0 - c_s * c_s, 1e-6))
+            y = resample(jnp.stack([i, q], axis=-1)[None],
+                         ratio, pos0)[0]          # (n_max, 2)
+            # NCO on OUTPUT samples (StreamCorrector order/semantics)
+            ph = phase0 + dphi * jnp.arange(self._n_max, dtype=jnp.float32)
+            cs, sn = jnp.cos(ph), jnp.sin(ph)
+            yi, yq = y[..., 0], y[..., 1]
+            out = jnp.stack([yi * cs + yq * sn, yq * cs - yi * sn], axis=-1)
+            return out, new_state
+
+        self._fn = jax.jit(correct)
+        self._jnp = jnp
+
+    def process(self, block: np.ndarray) -> np.ndarray:
+        jnp = self._jnp
+        x = np.concatenate([self._halo,
+                            np.asarray(block, np.complex64)])
+        n_in = len(x)
+        taps = 2 * self.half + 1
+        n_out = int((n_in - taps - self._pos) / self.ratio)
+        if n_out <= 0:
+            self._halo = x
+            return np.zeros(0, np.complex64)
+        if n_in > self._L or n_out > self._n_max:
+            # oversized call (e.g. a re-fed acquisition buffer): split
+            # into chain-sized pieces, preserving continuity
+            return self.process_raw_split(x, (self._L - self._H) // 2)
+        x2 = np.zeros((self._L, 2), np.float32)
+        x2[:n_in, 0] = x.real
+        x2[:n_in, 1] = x.imag
+        first = 1 if self._blocks == 0 else 0
+        self._blocks += 1
+        out, self._dciq_state = self._fn(
+            jnp.asarray(x2), jnp.int32(n_in), self._dciq_state,
+            jnp.float32(self.ratio), jnp.float32(self._pos),
+            jnp.float32(self._phase), jnp.float32(self._dphi),
+            jnp.int32(first))
+        out = np.asarray(out[:n_out])
+        st = np.asarray(self._dciq_state)
+        self.dciq.dc = complex(st[0], st[1])
+        self.dciq.g = float(st[2])
+        self.dciq.c = float(st[3])
+        adv = self._pos + n_out * self.ratio
+        drop = int(np.floor(adv))
+        self._halo = x[drop:]
+        self._pos = adv - drop
+        self._phase = float(np.mod(self._phase + self._dphi * n_out,
+                                   2.0 * np.pi))
+        return (out[:, 0] + 1j * out[:, 1]).astype(np.complex64)
+
+    def process_raw_split(self, x: np.ndarray, cut: int) -> np.ndarray:
+        """Feed an oversized buffer through in chain-sized pieces."""
+        self._halo = np.zeros(0, np.complex64)
+        outs = []
+        i = 0
+        # re-feed including the former halo content
+        while i < len(x):
+            outs.append(self.process(x[i:i + cut]))
+            i += cut
+        return np.concatenate([o for o in outs if len(o)]) \
+            if outs else np.zeros(0, np.complex64)
+
+    def add_frequency(self, df_hz: float, applied_samples: int = 0) -> None:
+        self.freq_hz += df_hz
+        self._dphi = 2.0 * np.pi * self.freq_hz / self.fs
+        self._phase = float(np.mod(
+            self._phase + 2.0 * np.pi * df_hz / self.fs * applied_samples,
+            2.0 * np.pi))
+
+    def rebase_ratio(self, pending: np.ndarray, factor: float) -> np.ndarray:
+        """SCO re-lock splice: fold the new factor into the chain's ratio
+        and resample the caller's pending buffer once on host (the rare
+        re-acquisition event; the steady-state path stays on device)."""
+        from ..rx import frontend as hostfe
+        self.ratio *= factor
+        pending = np.asarray(pending, np.complex64)
+        taps = 24
+        n_out = int((len(pending) - taps) / factor)
+        if n_out <= 0:
+            self._halo = np.concatenate([self._halo, pending])
+            return np.zeros(0, np.complex64)
+        out = hostfe._sinc_interp(pending, 0.0, factor, n_out, taps)
+        adv = n_out * factor
+        drop = int(np.floor(adv))
+        # the splice tail continues through the device path at the new ratio
+        self._halo = pending[drop:]
+        self._pos = adv - drop
+        return out

@@ -35,6 +35,10 @@ class DeviceT2Receiver(T2Receiver):
                          fs=SAMPLE_RATE if fs is None else fs)
         self.ldpc_max_iters = ldpc_max_iters
         self.adaptive = adaptive
+        # streaming: correct samples on device too (ops/frontend_device,
+        # the stages the bench measures); StreamingReceiver falls back to
+        # the host chain when the device rate is outside the chain's bound
+        self.wants_device_frontend = True
         # F-frame superstep size for the streaming loop (the bench's F=96
         # shape scaled to test captures); the streaming receiver calls
         # decode_frames_batch whenever this many tracked frames are pending

@@ -501,3 +501,49 @@ def test_stream_device_type2_superstep_per_plp_bit_exact():
         assert len(got) >= 188, pid
         for pkt in got.reshape(-1, 188):
             assert pkt.tobytes() in src
+
+
+def test_stream_device_frontend_chain():
+    """`--device-path` streaming now corrects samples with the DEVICE
+    front-end chain (ops/frontend_device.DeviceFrontendChain — the same
+    jitted stages the bench measures) instead of host NumPy: a 9.2 Msps
+    capture (the SdrPlay/Pluto rate, +0.625% vs elementary) with CFO,
+    DC offset and IQ imbalance decodes TS bit-exact, and the estimates
+    the chain surfaced match the injected impairments."""
+    from sdr_receiver_dvb_t2_tpu.rx.device_receiver import DeviceT2Receiver
+    from sdr_receiver_dvb_t2_tpu.rx import frontend as hostfe
+    flat, samples, p = _waveform(8)
+    # a true 9.2 Msps capture (SimulatedDevice only declares its rate)
+    dev_samples = hostfe.sinc_resample(samples, devices.SAMPLE_RATE / 9.2e6)
+    dev = devices.SimulatedDevice(dev_samples, snr_db=32,
+                                  sample_rate=9.2e6,
+                                  lo_offset_hz=700.0,
+                                  dc_offset=0.012 - 0.008j,
+                                  iq_gain=1.02, iq_skew=0.012)
+    rx = DeviceT2Receiver(stream_batch=3)
+    st, ts = _stream(dev, receiver=rx)
+    assert st.frontend == "DeviceFrontendChain"
+    assert st.frames_decoded == 8
+    assert st.frames_skipped == 0
+    np.testing.assert_array_equal(ts, flat[:len(ts)])
+    assert abs(st.cfo_hz - 700.0) < 50.0
+    # the device-side EMA estimates converged on the injected impairments
+    assert abs(st.iq_gain_est - 1.02) < 8e-3
+    assert abs(st.iq_skew_est - 0.012) < 8e-3
+    assert abs(st.dc_offset_est - (0.012 - 0.008j)) < 5e-3
+
+
+def test_stream_device_frontend_falls_back_for_wide_ratio():
+    """A 10 Msps device (+9.4%, the AirSpy rate) is outside the device
+    chain's ratio bound: the streaming loop silently keeps the host
+    chain and still decodes."""
+    from sdr_receiver_dvb_t2_tpu.rx.device_receiver import DeviceT2Receiver
+    from sdr_receiver_dvb_t2_tpu.rx import frontend as hostfe
+    flat, samples, p = _waveform(6)
+    dev_samples = hostfe.sinc_resample(samples, devices.SAMPLE_RATE / 10.0e6)
+    dev = devices.SimulatedDevice(dev_samples, snr_db=32, sample_rate=10.0e6)
+    rx = DeviceT2Receiver(stream_batch=3)
+    st, ts = _stream(dev, receiver=rx)
+    assert st.frontend == "CorrectorChain"
+    assert st.frames_decoded >= 5
+    np.testing.assert_array_equal(ts, flat[:len(ts)])
