@@ -140,6 +140,13 @@ def make_resampler(n_out: int, half: int = 8, deg: int = 7,
     return resample
 
 
+def frontend_raw_len(n_samp: int, sco: float, half: int = 8) -> int:
+    """Raw device-rate samples a frame of n_samp corrected samples needs
+    (the impairer/corrector position-calibration convention: 2*half clean
+    pre-pad eaten as left context, plus interpolation slack)."""
+    return int(np.ceil((n_samp + 2 * half) * (1.0 + sco))) + 4 * half
+
+
 # --------------------------------------------------------------------------
 # Correction front end (the product path)
 # --------------------------------------------------------------------------

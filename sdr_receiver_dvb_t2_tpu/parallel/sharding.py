@@ -96,7 +96,8 @@ def sharded_receive_step(p: T2Params, plp: PLPParams, num_blocks: int,
 
 def sharded_fused_step(p: T2Params, plp: PLPParams, num_blocks: int,
                        frames_per_device: int, mesh: Mesh,
-                       ldpc_iters: int = 4):
+                       ldpc_iters: int = 4, with_frontend: bool = False,
+                       sco: float = 2e-5):
     """Multi-chip step over the PRODUCTION fused path (rx.fusedpath
     MultiFramePath — the pipeline bench.py measures), via shard_map.
 
@@ -112,6 +113,14 @@ def sharded_fused_step(p: T2Params, plp: PLPParams, num_blocks: int,
        inv_nvar ())
       -> (bits (n_dev*F, nb, n_ldpc) uint8 same sharding,
           stats (2,) replicated [total ones, total codewords])
+
+    with_frontend=True prepends the device sample-domain front end
+    (ops/frontend_device: DC/IQ estimate+correct, NCO, Farrow resampling
+    from a device clock `sco` off): the input becomes RAW device-rate
+    samples (n_dev*F, n_raw, 2) with n_raw = frontend_raw_len(p, sco),
+    and the whole correction runs inside the per-device shard — the
+    front end is per-frame feed-forward, so it shards exactly like the
+    demod (no extra collectives).
     """
     from jax import shard_map
     from ..rx import fusedpath
@@ -120,8 +129,20 @@ def sharded_fused_step(p: T2Params, plp: PLPParams, num_blocks: int,
     code = ldpcmod.get_code(plp.fec_frame, plp.rate)
     decode = jldpc._build_decoder(code, ldpc_iters, 0.5, jnp.float32)
     axes = tuple(mesh.axis_names)
+    fe = None
+    if with_frontend:
+        from ..ops import frontend_device as fdev
+        half = 8
+        ratio = 1.0 + sco
+        n_samp = p.len_frame * p.symbol_size
+        fe = fdev.make_frontend(n_samp, p.sample_rate, half=half,
+                                chunk=4096)
+        fe_args = (jnp.float32(0.0), jnp.float32(ratio),
+                   jnp.float32(half * ratio), jnp.float32(0.0))
 
     def local(bodies, inv_nvar):
+        if fe is not None:
+            bodies, _, _ = fe(bodies, *fe_args)
         llrs = mf._fn(bodies, inv_nvar)            # (N, nb, F) local
         lf = jnp.transpose(llrs, (2, 1, 0))        # (F, nb, N)
         f, nb, n = lf.shape
@@ -162,6 +183,19 @@ def dryrun(p: T2Params, plp: PLPParams, num_blocks: int,
     jax.block_until_ready((fbits, fstats))
     assert fbits.shape == (total, num_blocks, plp.fec.n_ldpc)
     assert int(fstats[1]) == total * num_blocks
+
+    # 1b. the same step from RAW device-rate samples: the sample-domain
+    # front end (DC/IQ + NCO + resampling) sharded with the demod
+    from ..ops.frontend_device import frontend_raw_len
+    rstep = sharded_fused_step(p, plp, num_blocks, frames_per_device=1,
+                               mesh=mesh, ldpc_iters=2,
+                               with_frontend=True)
+    n_raw = frontend_raw_len(p.len_frame * p.symbol_size, 2e-5)
+    raw = rng.normal(size=(total, n_raw, 2)).astype(np.float32)
+    rbits, rstats = rstep(jnp.asarray(raw), jnp.float32(1.0))
+    jax.block_until_ready((rbits, rstats))
+    assert rbits.shape == (total, num_blocks, plp.fec.n_ldpc)
+    assert int(rstats[1]) == total * num_blocks
 
     # 2. v1 step (cross-mesh codeword reshard collective)
     step = sharded_receive_step(p, plp, num_blocks, mesh, ldpc_iters=2)
