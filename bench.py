@@ -149,6 +149,13 @@ def main():
         decode = jax.jit(lambda l: (dec_fixed(l),
                                     jnp.int32(args.fixed_iters)))
     else:
+        # in-kernel adaptive early exit (TRIALS=24, syndrome every 2
+        # sweeps, reference semantics layered_decoder.hh:65-82) with an
+        # SNR-STEERED first-check floor: the noise estimate that already
+        # scales the LLRs also sets the earliest syndrome check, so at
+        # threshold SNR the decoder skips the early checks that never
+        # pass (pure roll-heavy overhead) while a clean signal still
+        # exits at 2 iterations
         decode = qldpc.make_adaptive_decoder_nb_fused(
             plp.fec_frame, plp.rate, max_iters=24, check_every=2,
             batch=num_blocks, dtype=jnp.bfloat16)
@@ -203,11 +210,16 @@ def main():
                                 jnp.float32(pos0), jnp.float32(phase0))
         llrs = mf._fn(bodies[:, 2048:], inv_nvar)   # strip P1
         lf = jnp.transpose(llrs, (2, 0, 1))         # frame-major
+        # SNR-steered first-check floor: below ~25 dB (inv_nvar < 316)
+        # convergence takes >= 10 sweeps, so the first syndrome check
+        # moves to sweep 8 (fixed-iters mode ignores it)
+        min_it = jnp.where(inv_nvar >= 316.0, 0, 8).astype(jnp.int32)
 
         def body(carry, xs):
             iters_tot, bytes_g = carry
             lfi, fi = xs
-            bits, it = decode(lfi)             # (N, B) uint8, ()
+            bits, it = (decode(lfi) if args.fixed_iters
+                        else decode(lfi, min_it))   # (N, B) uint8, ()
             ok = bch_check(bits[:fec.n_bch])   # (B,) bool, MXU GF(2) gate
             byts = bb_pack(bits)               # (kb8, B) int32 descrambled
             s = jnp.sum(byts[None] * d_wb, dtype=jnp.int32, axis=(1, 2))
@@ -390,6 +402,10 @@ def main():
     if args.snr > 0:
         noisy_ok, noisy_ts_ok, noisy_iters = gate(args.snr, f"{args.snr:g}dB")
         measure(args.snr, f"{args.snr:g}dB adaptive")
+        # supplementary: the DVB-T2 network-planning margin point (~1-2 dB
+        # above the 256QAM C2/3 threshold — where deployed services sit)
+        gate(args.snr + 1.0, f"{args.snr + 1:g}dB")
+        measure(args.snr + 1.0, f"{args.snr + 1:g}dB adaptive")
 
     exact = clean_sums_ok and clean_ts_ok
     print(f"correctness: TS-bytes bit-exact = {exact}", file=sys.stderr)

@@ -172,38 +172,88 @@ def make_frontend(n_out: int, fs: float, half: int = 8, deg: int = 7,
     pilot SCO ladder supply them in the product paths); DC and IQ are
     estimated inside this call — all four corrections run in the measured
     superstep.
-    """
-    resample = make_resampler(n_out, half=half, deg=deg, chunk=chunk)
+
+    ONE memory pass: the estimation reductions read the raw once, then
+    DC/IQ application, the NCO and the Farrow bank are all fused into the
+    chunked resampler scan, so the raw is read exactly once more and only
+    the corrected output is written.  The NCO decomposes per chunk into a
+    FIXED in-chunk cos/sin ramp (computed once, reused by every chunk and
+    frame) times per-(frame, chunk) scalar rotations — 2 transcendentals
+    per frame-chunk instead of 2 per raw sample."""
+    coeffs, j_off, fit_err = farrow_bank(half=half, deg=deg)
+    assert fit_err < 2e-4, f"farrow fit error {fit_err}"
+    n_taps = len(j_off)
+    n_chunks = -(-n_out // chunk)
+    slice_len = chunk + 2 * half + 2
+    cf = [[float(c) for c in coeffs[:, t]] for t in range(n_taps)]
 
     def frontend(raw, cfo_hz, ratio, pos0, phase0):
         f, n_in, _ = raw.shape
-        x = raw
         if estimate_dc_iq:
-            dc = jnp.mean(x, axis=1, keepdims=True)        # (F, 1, 2)
-            x = x - dc
-            i, q = x[..., 0], x[..., 1]
-            ei = jnp.mean(jnp.abs(i), axis=1, keepdims=True)
-            eq = jnp.mean(jnp.abs(q), axis=1, keepdims=True)
+            dc = jnp.mean(raw, axis=1, keepdims=True)      # (F, 1, 2)
+            i0, q0 = raw[..., 0] - dc[..., 0], raw[..., 1] - dc[..., 1]
+            ei = jnp.mean(jnp.abs(i0), axis=1, keepdims=True)
+            eq = jnp.mean(jnp.abs(q0), axis=1, keepdims=True)
             g = ei / jnp.maximum(eq, 1e-12)
-            c = jnp.mean(jnp.sign(i) * q, axis=1, keepdims=True) \
+            c = jnp.mean(jnp.sign(i0) * q0, axis=1, keepdims=True) \
                 / jnp.maximum(ei, 1e-12)
-            q2 = (q * g - c * i) / jnp.sqrt(jnp.maximum(1.0 - c * c, 1e-6))
-            x = jnp.stack([i, q2], axis=-1)
             dc_out = dc[:, 0, :]
             giq = jnp.concatenate([g, c], axis=1)       # (F, 2)
         else:
-            dc_out = jnp.zeros((f, 2), x.dtype)
-            giq = jnp.zeros((f, 2), x.dtype)
-        # NCO: phase at device-rate sample m of frame fi is
-        # phase0 + w*(fi*n_in + m) — continuous across the capture
-        w = 2.0 * jnp.pi * cfo_hz / (fs * ratio)
-        m = jnp.arange(n_in, dtype=jnp.float32)
-        base = phase0 + w * n_in * jnp.arange(f, dtype=jnp.float32)
-        ph = jnp.mod(base[:, None] + w * m[None, :], 2.0 * jnp.pi)
-        cs, sn = jnp.cos(ph), jnp.sin(ph)
-        i, q = x[..., 0], x[..., 1]
-        x = jnp.stack([i * cs + q * sn, q * cs - i * sn], axis=-1)
-        return resample(x, ratio, pos0), dc_out, giq
+            dc = jnp.zeros((f, 1, 2), jnp.float32)
+            g = jnp.ones((f, 1), jnp.float32)
+            c = jnp.zeros((f, 1), jnp.float32)
+            dc_out = jnp.zeros((f, 2), jnp.float32)
+            giq = jnp.zeros((f, 2), jnp.float32)
+        rs = 1.0 / jnp.sqrt(jnp.maximum(1.0 - c * c, 1e-6))
+        w = 2.0 * jnp.pi * cfo_hz / (fs * ratio)       # rad per RAW sample
+        # fixed in-chunk NCO ramp (raw-rate index within the slice)
+        mloc = jnp.arange(slice_len, dtype=jnp.float32)
+        cr = jnp.cos(w * mloc)[None, :]
+        sr = jnp.sin(w * mloc)[None, :]
+        fidx = jnp.arange(f, dtype=jnp.float32)
+        pad = n_chunks * chunk + slice_len - n_in + half
+        x = jnp.pad(raw, ((0, 0), (0, max(pad, 0)), (0, 0)))
+        k_local = jnp.arange(chunk, dtype=jnp.float32)
+        delta = ratio - 1.0
+
+        def body(_, cnum):
+            cn = cnum.astype(jnp.float32)
+            r0 = pos0 + cn * chunk * delta
+            r = r0 + k_local * delta
+            b = jnp.floor(jnp.minimum(r0, r0 + (chunk - 1) * delta))
+            mu = r - b                            # in [0, ~1.9)
+            s = (cn * chunk + b).astype(jnp.int32) - (half - 1)
+            sl = jax.lax.dynamic_slice_in_dim(x, s, slice_len, axis=1)
+            # -- DC/IQ on the slice --
+            i = sl[..., 0] - dc[..., 0]
+            q = ((sl[..., 1] - dc[..., 1]) * g - c * i) * rs
+            # -- NCO: scalar per (frame, chunk) x fixed ramp --
+            # phase at raw index m of frame fi: phase0 + w*(fi*n_in + m);
+            # slice sample l sits at m = s + l
+            base = phase0 + w * (fidx * n_in + s.astype(jnp.float32))
+            cb, sb = jnp.cos(base)[:, None], jnp.sin(base)[:, None]
+            cm = cb * cr - sb * sr                # cos(base + w*l)
+            sm = sb * cr + cb * sr
+            ir = i * cm + q * sm
+            qr = q * cm - i * sm
+            # -- Farrow bank (Horner per tap, weights shared) --
+            accr = acci = None
+            for t in range(n_taps):
+                wt = jnp.asarray(cf[t][0], jnp.float32)
+                for pw in range(1, deg + 1):
+                    wt = wt * mu + jnp.asarray(cf[t][pw], jnp.float32)
+                tr = jax.lax.slice_in_dim(ir, t, t + chunk, axis=1) \
+                    * wt[None, :]
+                tq = jax.lax.slice_in_dim(qr, t, t + chunk, axis=1) \
+                    * wt[None, :]
+                accr = tr if accr is None else accr + tr
+                acci = tq if acci is None else acci + tq
+            return 0, jnp.stack([accr, acci], axis=-1)
+
+        _, chunks = jax.lax.scan(body, 0, jnp.arange(n_chunks))
+        out = jnp.moveaxis(chunks, 0, 1).reshape(f, n_chunks * chunk, 2)
+        return out[:, :n_out], dc_out, giq
 
     return frontend
 

@@ -455,7 +455,7 @@ def qc_syndrome_ok(frame: FECFrame, rate: CodeRate, total_info, total_par):
 
 
 def _make_layer_step(tab: QCTables, vti, vtp, c2v, msgs, u_iota, mask0,
-                     off, DT, SD, count_bad: bool = False):
+                     off, DT, SD, count_bad: bool = False, synd=None):
     """Shared statically-unrolled layer body for the VMEM-resident kernels.
 
     Closes over the kernel refs; `layer(t)` runs one check-layer update of
@@ -465,14 +465,19 @@ def _make_layer_step(tab: QCTables, vti, vtp, c2v, msgs, u_iota, mask0,
 
     With count_bad=True, `layer(t)` additionally returns this layer's
     failed-check count (a () int32), computed from the hard decisions of
-    the CURRENT totals as pass 1 visits them — the aligned rolls are
-    already in flight for the message build, so the rolling syndrome
-    costs two VPU ops per edge instead of the separate full
-    `_make_syndrome_count` pass (whose per-edge rolls are the expensive
-    part).  A full sweep whose every layer reports 0 is the adaptive
-    decoder's exit condition; note the totals evolve DURING the sweep, so
-    this is a rolling check, not a snapshot — on a converged batch the
-    two coincide, and the downstream BCH gate covers the margin."""
+    the POST-UPDATE totals in pass 2 — `m + new_c2v` is already in
+    registers there, so the rolling syndrome costs two VPU ops per edge
+    instead of the separate full `_make_syndrome_count` pass (whose
+    per-edge rolls are the expensive part; a pass-1 variant forced the
+    aligned rolls to materialize, and a read-modify-write scratch
+    accumulator serialized the schedule — each spilled >100 MB of vregs
+    at q=60).  The per-edge parities are SSA values tree-XOR-reduced at
+    layer end (live set bounded by the layer degree); `synd` is an
+    unused legacy scratch slot.  A full sweep whose every layer reports
+    0 is the adaptive decoder's exit condition; the totals evolve DURING
+    the sweep, so this is a rolling check, not a snapshot — on a
+    converged batch the two coincide, and the downstream BCH gate covers
+    the margin."""
     from jax.experimental.pallas import tpu as pltpu
 
     q = tab.q
@@ -485,29 +490,19 @@ def _make_layer_step(tab: QCTables, vti, vtp, c2v, msgs, u_iota, mask0,
         et = deg + 2
         # ---- pass 1: v2c messages + running two-minimum scan ----
         min1 = min2 = nneg = None
-        ntot = None
         for j in range(et):
             if j < deg:
                 g, s = int(entry_g[t, j]), int(entry_s[t, j])
                 aligned = pltpu.roll(vti[g], s, axis=0)
                 m = aligned - c2v[t, j].astype(jnp.float32)
-                tot_neg = aligned if count_bad else None
             elif j == deg:
                 m = vtp[t] - c2v[t, j].astype(jnp.float32)
-                tot_neg = vtp[t] if count_bad else None
             else:
                 if t > 0:
                     m = vtp[t - 1] - c2v[t, j].astype(jnp.float32)
-                    tot_neg = vtp[t - 1] if count_bad else None
                 else:
                     prev = pltpu.roll(vtp[q - 1], 1, axis=0)
                     m = prev - c2v[t, j].astype(jnp.float32) + mask0
-                    # check (0, u=0) has no previous-parity edge
-                    tot_neg = (jnp.where(u_iota == 0, 1.0, prev)
-                               if count_bad else None)
-            if count_bad:
-                nb_ = (tot_neg < 0).astype(jnp.int32)
-                ntot = nb_ if ntot is None else jnp.bitwise_xor(ntot, nb_)
             ms = m.astype(SD)
             msgs[j] = ms
             aj = jnp.abs(ms)
@@ -521,7 +516,6 @@ def _make_layer_step(tab: QCTables, vti, vtp, c2v, msgs, u_iota, mask0,
                 min2 = jnp.where(is_new, min1, jnp.minimum(min2, aj))
                 min1 = jnp.where(is_new, aj, min1)
                 nneg = nneg + neg
-        lbad = jnp.sum(ntot) if count_bad else None
 
         sign_all = (1 - 2 * jax.lax.rem(nneg, 2)).astype(SD)
         # offset applied once per layer to both candidate magnitudes
@@ -529,6 +523,7 @@ def _make_layer_step(tab: QCTables, vti, vtp, c2v, msgs, u_iota, mask0,
         mag2 = jnp.maximum(min2 - off, 0.0)
 
         # ---- pass 2: new c2v + additive total write-backs ----
+        layer_nb = []
         for j in range(et):
             mj = msgs[j]
             # leave-one-out without argmin tracking: the minimal edge
@@ -538,6 +533,17 @@ def _make_layer_step(tab: QCTables, vti, vtp, c2v, msgs, u_iota, mask0,
             sgn = jnp.where(mj < 0, -sign_all, sign_all)
             stored = (sgn * loo_mag).astype(DT)
             new = stored.astype(jnp.float32)
+            if count_bad:
+                # rolling syndrome from the POST-UPDATE totals: the
+                # aligned total after this layer is m + new, both already
+                # in registers here (pass-1 values stay single-consumer).
+                # The t=0 masked non-edge carries +BIG in m -> positive
+                # -> contributes nothing, exactly the u=0 exclusion.
+                # Collected as SSA values, reduced by a tree at layer end:
+                # a running read-modify-write accumulator serialized the
+                # schedule and spilled ~120 MB of vregs.
+                layer_nb.append(
+                    (mj.astype(jnp.float32) + new < 0).astype(jnp.int32))
             if j < deg:
                 g, s = int(entry_g[t, j]), int(entry_s[t, j])
                 delta = new - c2v[t, j].astype(jnp.float32)
@@ -556,7 +562,14 @@ def _make_layer_step(tab: QCTables, vti, vtp, c2v, msgs, u_iota, mask0,
                     vtp[q - 1] = jnp.where(u_iota == 359, vtp[q - 1],
                                            rolled)
             c2v[t, j] = stored
-        return lbad
+        if count_bad:
+            while len(layer_nb) > 1:
+                layer_nb = [
+                    (jnp.bitwise_xor(layer_nb[i], layer_nb[i + 1])
+                     if i + 1 < len(layer_nb) else layer_nb[i])
+                    for i in range(0, len(layer_nb), 2)]
+            return jnp.sum(layer_nb[0])
+        return None
 
     return layer
 
@@ -638,8 +651,8 @@ def make_pallas_layered_vmem_adaptive(frame: FECFrame, rate: CodeRate,
     off = float(offset)
     n_chunks = (max_iters + check_every - 1) // check_every
 
-    def kernel(tinfo_hbm, tpar_hbm, tinfo_out, tpar_out, iters_out,
-               vti, vtp, c2v, msgs, done, sem_i, sem_p):
+    def kernel(min_it_ref, tinfo_hbm, tpar_hbm, tinfo_out, tpar_out,
+               iters_out, vti, vtp, c2v, msgs, done, synd, sem_i, sem_p):
         cp_i = pltpu.make_async_copy(tinfo_hbm, vti, sem_i)
         cp_p = pltpu.make_async_copy(tpar_hbm, vtp, sem_p)
         cp_i.start(); cp_p.start()
@@ -653,7 +666,8 @@ def make_pallas_layered_vmem_adaptive(frame: FECFrame, rate: CodeRate,
         cp_i.wait(); cp_p.wait()
 
         layer = _make_layer_step(tab, vti, vtp, c2v, msgs, u_iota, mask0,
-                                 off, DT, jnp.float32, count_bad=rolling)
+                                 off, DT, jnp.float32, count_bad=rolling,
+                                 synd=synd)
 
         if rolling:
             def sweep_body(it, carry):
@@ -663,8 +677,9 @@ def make_pallas_layered_vmem_adaptive(frame: FECFrame, rate: CodeRate,
                     for t in range(q):
                         bad = bad + layer(t)
 
-                    @pl.when(jnp.logical_and(bad == 0,
-                                             it + 1 >= min_iters))
+                    @pl.when(jnp.logical_and(
+                        bad == 0, it + 1 >= jnp.maximum(min_it_ref[0],
+                                                        min_iters)))
                     def _():
                         done[0] = 1
                         iters_out[0] = it + 1
@@ -682,14 +697,21 @@ def make_pallas_layered_vmem_adaptive(frame: FECFrame, rate: CodeRate,
                             layer(t)
                         return c
                     jax.lax.fori_loop(0, check_every, it_body, 0)
-                    n_bad = syndrome_count()
                     it_now = (ci + 1) * check_every
 
-                    @pl.when(jnp.logical_and(n_bad == 0,
-                                             it_now >= min_iters))
+                    # the syndrome pass is SKIPPED entirely below the
+                    # traced floor (an SNR-steered schedule: at threshold
+                    # SNR the first ~10 sweeps never converge, so their
+                    # checks are pure overhead)
+                    @pl.when(it_now >= jnp.maximum(min_it_ref[0],
+                                                   min_iters))
                     def _():
-                        done[0] = 1
-                        iters_out[0] = it_now
+                        n_bad = syndrome_count()
+
+                        @pl.when(n_bad == 0)
+                        def _():
+                            done[0] = 1
+                            iters_out[0] = it_now
                 return carry
 
             jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
@@ -700,7 +722,8 @@ def make_pallas_layered_vmem_adaptive(frame: FECFrame, rate: CodeRate,
 
     call = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=(
@@ -714,6 +737,7 @@ def make_pallas_layered_vmem_adaptive(frame: FECFrame, rate: CodeRate,
             pltpu.VMEM((q, E, 360, B), DT),             # resident c2v
             pltpu.VMEM((E, 360, B), jnp.float32),       # msgs
             pltpu.SMEM((1,), jnp.int32),                # done flag
+            pltpu.VMEM((360, B), jnp.int32),            # rolling syndrome
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -725,8 +749,14 @@ def make_pallas_layered_vmem_adaptive(frame: FECFrame, rate: CodeRate,
         interpret=interpret,
     )
 
-    def decode(total_info, total_par):
-        ti, tp, it = call(total_info.astype(jnp.float32),
+    def decode(total_info, total_par, min_it=0):
+        # min_it: TRACED floor for the first convergence check (SMEM
+        # scalar) — the SNR-adaptive schedule: at threshold SNR the
+        # early checks never pass, so skipping them removes pure
+        # overhead without a recompile; the static `min_iters` build
+        # parameter remains a lower bound.
+        mi = jnp.asarray(min_it, jnp.int32).reshape(1)
+        ti, tp, it = call(mi, total_info.astype(jnp.float32),
                           total_par.astype(jnp.float32))
         return ti, tp, it[0]
 
@@ -748,9 +778,9 @@ def make_adaptive_decoder_nb_fused(frame: FECFrame, rate: CodeRate,
         batch=batch, interpret=interpret, dtype=dtype, min_iters=min_iters,
         rolling=rolling)
 
-    def decode(llrs_t):
+    def decode(llrs_t, min_it=0):
         ti, tp = llrs_nb_to_qc_jnp(tab, llrs_t.astype(jnp.float32))
-        ti2, tp2, it = core(ti, tp)
+        ti2, tp2, it = core(ti, tp, min_it)
         return qc_to_bits_nb_jnp(tab, ti2, tp2), it
 
     return jax.jit(decode)
