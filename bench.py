@@ -156,7 +156,10 @@ def main():
         # threshold SNR the decoder skips the early checks that never
         # pass (pure roll-heavy overhead) while a clean signal still
         # exits at 2 iterations
-        decode = qldpc.make_adaptive_decoder_nb_fused(
+        # fused IO: bf16 LLR planes DMA straight into the kernel's c2v
+        # scratch, hard bits DMA out as sign planes — removes most of the
+        # per-frame decode-launch fixed cost (f32 totals round trip)
+        decode = qldpc.make_adaptive_decoder_nb_fused_io(
             plp.fec_frame, plp.rate, max_iters=24, check_every=2,
             batch=num_blocks, dtype=jnp.bfloat16)
     bch_check = fec_device.make_bch_check_nb(plp.fec_frame, plp.rate)
@@ -191,14 +194,17 @@ def main():
     pad = 2 * HALF
     ratio = 1.0 + (0.0 if args.no_impairments else SCO)
     n_raw = int(np.ceil((n_samp + pad) * ratio)) + 4 * HALF
-    frontend = fdev.make_frontend(n_samp, fs, half=HALF)
+    # planar=True: re/im flow as separate (F, n) planes through the timed
+    # step — the (F, n, 2) trailing-pair layout costs a tile-padded pass
+    # per stage at this scale (layout experiment, round 4)
+    frontend = fdev.make_frontend(n_samp, fs, half=HALF, planar=True)
     impair = fdev.make_impairer(n_raw, fs, half=HALF)
     cfo = 0.0 if args.no_impairments else CFO_HZ
     pos0 = HALF * ratio
     phase0 = 0.35
 
-    def one_superstep(raw, inv_nvar, gf):
-        """raw (F, n_raw, 2) device-rate impaired samples ->
+    def one_superstep(raw_r, raw_i, inv_nvar, gf):
+        """raw planes (F, n_raw) x2, device-rate impaired samples ->
         (per-frame 64-bit byte hashes (F, 2), ok counts (F,), total LDPC
         iterations (), the rotating gate frame's BB bytes (kb8, B)).
 
@@ -206,9 +212,10 @@ def main():
         byte pack + hash) instead of an F-way unroll: the unrolled form's
         program grew past what the AOT compiler host can hold once the
         front end joined the graph."""
-        bodies, _, _ = frontend(raw, jnp.float32(cfo), jnp.float32(ratio),
-                                jnp.float32(pos0), jnp.float32(phase0))
-        llrs = mf._fn(bodies[:, 2048:], inv_nvar)   # strip P1
+        (br, bi), _, _ = frontend(raw_r, raw_i, jnp.float32(cfo),
+                                  jnp.float32(ratio), jnp.float32(pos0),
+                                  jnp.float32(phase0))
+        llrs = mf._fn_planes(br[:, 2048:], bi[:, 2048:], inv_nvar)
         lf = jnp.transpose(llrs, (2, 0, 1))         # frame-major
         # SNR-steered first-check floor: below ~25 dB (inv_nvar < 316)
         # convergence takes >= 10 sweeps, so the first syndrome check
@@ -232,12 +239,12 @@ def main():
             (lf, jnp.arange(n_frames, dtype=jnp.int32)))
         return sums, oks, iters_tot, bytes_g
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def step(raw, inv, gf):
-        sums, oks, iters_tot, bytes0 = one_superstep(raw, inv, gf)
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(raw_r, raw_i, inv, gf):
+        sums, oks, iters_tot, bytes0 = one_superstep(raw_r, raw_i, inv, gf)
         s_all = jnp.sum(sums, dtype=jnp.int32)
         # data-dependent feedback forces strictly serial device execution
-        return (raw + s_all.astype(jnp.float32) * 1e-16,
+        return (raw_r + s_all.astype(jnp.float32) * 1e-16, raw_i,
                 sums, oks, iters_tot, bytes0)
 
     t0 = time.time()
@@ -262,14 +269,17 @@ def main():
             pwr = jnp.mean(body[..., 0] ** 2 + body[..., 1] ** 2)
             noise = jax.random.normal(key, body.shape, jnp.float32) \
                 * jnp.sqrt(jnp.maximum(nvar_rel, 0.0) * pwr / 2.0)
-            return body + jnp.where(nvar_rel > 0, 1.0, 0.0) * noise
+            body = body + jnp.where(nvar_rel > 0, 1.0, 0.0) * noise
+            return body[..., 0], body[..., 1]
         rms = jnp.sqrt(jnp.mean(clean[..., 0] ** 2 + clean[..., 1] ** 2))
         dc = jnp.stack([DC_RE * rms, DC_IM * rms])
         giq = jnp.asarray([IQ_G, IQ_C], jnp.float32)
         pwr = jnp.mean(clean[..., 0] ** 2 + clean[..., 1] ** 2)
-        return impair(clean, jnp.float32(cfo), jnp.float32(ratio),
-                      jnp.float32(phase0), dc, giq, key,
-                      nvar_rel * pwr)
+        raw = impair(clean, jnp.float32(cfo), jnp.float32(ratio),
+                     jnp.float32(phase0), dc, giq, key,
+                     nvar_rel * pwr)
+        # split to planes ONCE here (untimed); the timed step is planar
+        return raw[..., 0], raw[..., 1]
 
     key = jax.random.PRNGKey(7)
 
@@ -280,8 +290,8 @@ def main():
         """One superstep; returns (all hashes ok & BCH clean, TS bit-exact
         on the rotating gate frame, iters/frame)."""
         inv = jnp.float32(10.0 ** ((snr_db if snr_db > 0 else 33.0) / 10.0))
-        _, sums, oks, it, bytes0 = step(fresh_raw(key, nvar_of(snr_db)),
-                                        inv, d_gf)
+        rr, ri = fresh_raw(key, nvar_of(snr_db))
+        _, _, sums, oks, it, bytes0 = step(rr, ri, inv, d_gf)
         sums = np.asarray(sums)                        # (F, 2)
         oks = np.asarray(oks)
         sums_ok = bool((sums == expect_frame).all())
@@ -312,11 +322,11 @@ def main():
 
     def run_chain(n, snr_db):
         inv = jnp.float32(10.0 ** ((snr_db if snr_db > 0 else 33.0) / 10.0))
-        b = fresh_raw(key, nvar_of(snr_db))
+        br, bi = fresh_raw(key, nvar_of(snr_db))
         t0 = time.time()
         s = None
         for _ in range(n):
-            b, s, _, _, _ = step(b, inv, d_gf)
+            br, bi, s, _, _, _ = step(br, bi, inv, d_gf)
         int(np.asarray(s)[0, 0])  # forces the whole serial chain
         return time.time() - t0
 
@@ -344,31 +354,31 @@ def main():
     msps, x_rt = measure(0.0, "clean")
 
     if args.profile:
-        @functools.partial(jax.jit, donate_argnums=0)
-        def step_fe(raw, _inv):
-            bodies, _, _ = frontend(raw, jnp.float32(cfo),
-                                    jnp.float32(ratio), jnp.float32(pos0),
-                                    jnp.float32(phase0))
-            sd = jnp.sum(bodies.astype(jnp.float32))
-            return raw + sd * 1e-16, sd
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step_fe(raw_r, raw_i, _inv):
+            (br, bi), _, _ = frontend(raw_r, raw_i, jnp.float32(cfo),
+                                      jnp.float32(ratio), jnp.float32(pos0),
+                                      jnp.float32(phase0))
+            sd = jnp.sum(br.astype(jnp.float32))
+            return raw_r + sd * 1e-16, raw_i, sd
 
-        @functools.partial(jax.jit, donate_argnums=0)
-        def step_demod(raw, inv):
-            bodies, _, _ = frontend(raw, jnp.float32(cfo),
-                                    jnp.float32(ratio), jnp.float32(pos0),
-                                    jnp.float32(phase0))
-            llrs = mf._fn(bodies[:, 2048:], inv)
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step_demod(raw_r, raw_i, inv):
+            (br, bi), _, _ = frontend(raw_r, raw_i, jnp.float32(cfo),
+                                      jnp.float32(ratio), jnp.float32(pos0),
+                                      jnp.float32(phase0))
+            llrs = mf._fn_planes(br[:, 2048:], bi[:, 2048:], inv)
             sd = jnp.sum(llrs.astype(jnp.float32), dtype=jnp.float32)
-            return raw + sd * 1e-16, sd
+            return raw_r + sd * 1e-16, raw_i, sd
 
         inv33 = jnp.float32(10.0 ** 3.3)
 
         def chain_p(fn, nn):
-            b = fresh_raw(key, nvar_of(0.0))
+            br, bi = fresh_raw(key, nvar_of(0.0))
             t0 = time.time()
             sd = None
             for _ in range(nn):
-                b, sd = fn(b, inv33)
+                br, bi, sd = fn(br, bi, inv33)
             float(np.asarray(sd))
             return time.time() - t0
 

@@ -152,7 +152,8 @@ def frontend_raw_len(n_samp: int, sco: float, half: int = 8) -> int:
 # --------------------------------------------------------------------------
 
 def make_frontend(n_out: int, fs: float, half: int = 8, deg: int = 7,
-                  chunk: int = 16384, estimate_dc_iq: bool = True):
+                  chunk: int = 16384, estimate_dc_iq: bool = True,
+                  planar: bool = False):
     """Full steady-state correction chain on device, batched over frames.
 
     fn(raw (F, n_in, 2), cfo_hz (), ratio (), pos0 (), phase0 ())
@@ -179,7 +180,13 @@ def make_frontend(n_out: int, fs: float, half: int = 8, deg: int = 7,
     the corrected output is written.  The NCO decomposes per chunk into a
     FIXED in-chunk cos/sin ramp (computed once, reused by every chunk and
     frame) times per-(frame, chunk) scalar rotations — 2 transcendentals
-    per frame-chunk instead of 2 per raw sample."""
+    per frame-chunk instead of 2 per raw sample.
+
+    With planar=True the signature becomes
+    fn(raw_r (F, n_in), raw_i (F, n_in), ...) -> ((out_r, out_i), dc,
+    giq): re/im as SEPARATE planes end to end — the trailing-pair
+    (..., 2) layout pays tile-padding tax on every pass at this scale
+    (measured ~0.07 ms/frame on the pipeline head alone)."""
     coeffs, j_off, fit_err = farrow_bank(half=half, deg=deg)
     assert fit_err < 2e-4, f"farrow fit error {fit_err}"
     n_taps = len(j_off)
@@ -187,20 +194,21 @@ def make_frontend(n_out: int, fs: float, half: int = 8, deg: int = 7,
     slice_len = chunk + 2 * half + 2
     cf = [[float(c) for c in coeffs[:, t]] for t in range(n_taps)]
 
-    def frontend(raw, cfo_hz, ratio, pos0, phase0):
-        f, n_in, _ = raw.shape
+    def frontend_planar(raw_r, raw_i, cfo_hz, ratio, pos0, phase0):
+        f, n_in = raw_r.shape
         if estimate_dc_iq:
-            dc = jnp.mean(raw, axis=1, keepdims=True)      # (F, 1, 2)
-            i0, q0 = raw[..., 0] - dc[..., 0], raw[..., 1] - dc[..., 1]
+            dc_i = jnp.mean(raw_r, axis=1, keepdims=True)  # (F, 1)
+            dc_q = jnp.mean(raw_i, axis=1, keepdims=True)
+            i0, q0 = raw_r - dc_i, raw_i - dc_q
             ei = jnp.mean(jnp.abs(i0), axis=1, keepdims=True)
             eq = jnp.mean(jnp.abs(q0), axis=1, keepdims=True)
             g = ei / jnp.maximum(eq, 1e-12)
             c = jnp.mean(jnp.sign(i0) * q0, axis=1, keepdims=True) \
                 / jnp.maximum(ei, 1e-12)
-            dc_out = dc[:, 0, :]
+            dc_out = jnp.concatenate([dc_i, dc_q], axis=1)
             giq = jnp.concatenate([g, c], axis=1)       # (F, 2)
         else:
-            dc = jnp.zeros((f, 1, 2), jnp.float32)
+            dc_i = dc_q = jnp.zeros((f, 1), jnp.float32)
             g = jnp.ones((f, 1), jnp.float32)
             c = jnp.zeros((f, 1), jnp.float32)
             dc_out = jnp.zeros((f, 2), jnp.float32)
@@ -213,7 +221,8 @@ def make_frontend(n_out: int, fs: float, half: int = 8, deg: int = 7,
         sr = jnp.sin(w * mloc)[None, :]
         fidx = jnp.arange(f, dtype=jnp.float32)
         pad = n_chunks * chunk + slice_len - n_in + half
-        x = jnp.pad(raw, ((0, 0), (0, max(pad, 0)), (0, 0)))
+        xr = jnp.pad(raw_r, ((0, 0), (0, max(pad, 0))))
+        xi = jnp.pad(raw_i, ((0, 0), (0, max(pad, 0))))
         k_local = jnp.arange(chunk, dtype=jnp.float32)
         delta = ratio - 1.0
 
@@ -224,10 +233,11 @@ def make_frontend(n_out: int, fs: float, half: int = 8, deg: int = 7,
             b = jnp.floor(jnp.minimum(r0, r0 + (chunk - 1) * delta))
             mu = r - b                            # in [0, ~1.9)
             s = (cn * chunk + b).astype(jnp.int32) - (half - 1)
-            sl = jax.lax.dynamic_slice_in_dim(x, s, slice_len, axis=1)
+            sli = jax.lax.dynamic_slice_in_dim(xr, s, slice_len, axis=1)
+            slq = jax.lax.dynamic_slice_in_dim(xi, s, slice_len, axis=1)
             # -- DC/IQ on the slice --
-            i = sl[..., 0] - dc[..., 0]
-            q = ((sl[..., 1] - dc[..., 1]) * g - c * i) * rs
+            i = sli - dc_i
+            q = ((slq - dc_q) * g - c * i) * rs
             # -- NCO: scalar per (frame, chunk) x fixed ramp --
             # phase at raw index m of frame fi: phase0 + w*(fi*n_in + m);
             # slice sample l sits at m = s + l
@@ -249,11 +259,20 @@ def make_frontend(n_out: int, fs: float, half: int = 8, deg: int = 7,
                     * wt[None, :]
                 accr = tr if accr is None else accr + tr
                 acci = tq if acci is None else acci + tq
-            return 0, jnp.stack([accr, acci], axis=-1)
+            return 0, (accr, acci)
 
-        _, chunks = jax.lax.scan(body, 0, jnp.arange(n_chunks))
-        out = jnp.moveaxis(chunks, 0, 1).reshape(f, n_chunks * chunk, 2)
-        return out[:, :n_out], dc_out, giq
+        _, (cr_, ci_) = jax.lax.scan(body, 0, jnp.arange(n_chunks))
+        out_r = jnp.moveaxis(cr_, 0, 1).reshape(f, n_chunks * chunk)
+        out_i = jnp.moveaxis(ci_, 0, 1).reshape(f, n_chunks * chunk)
+        return (out_r[:, :n_out], out_i[:, :n_out]), dc_out, giq
+
+    if planar:
+        return frontend_planar
+
+    def frontend(raw, cfo_hz, ratio, pos0, phase0):
+        (out_r, out_i), dc_out, giq = frontend_planar(
+            raw[..., 0], raw[..., 1], cfo_hz, ratio, pos0, phase0)
+        return jnp.stack([out_r, out_i], axis=-1), dc_out, giq
 
     return frontend
 

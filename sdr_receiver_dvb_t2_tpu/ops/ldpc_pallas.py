@@ -763,6 +763,178 @@ def make_pallas_layered_vmem_adaptive(frame: FECFrame, rate: CodeRate,
     return jax.jit(decode)
 
 
+def make_pallas_layered_vmem_adaptive_io(frame, rate,
+                                         max_iters: int = 24,
+                                         check_every: int = 2,
+                                         batch: int = 128,
+                                         offset: float = 0.5,
+                                         interpret: bool = False,
+                                         dtype=jnp.bfloat16,
+                                         min_iters: int = 0):
+    """Adaptive kernel with FUSED IO: the bf16 LLR planes are DMA'd
+    straight into the (idle) c2v scratch and unpacked to the f32 totals
+    on the VPU (the `make_decoder_nb_fused_io` staging trick), and the
+    hard-decision BITS stream back as an int32 sign plane — replacing the
+    XLA-side f32 cast+concat+transpose on entry AND the 66 MB totals
+    round-trip + compare on exit.  Per frame this removes most of the
+    decode-launch fixed cost the bench pays 96 times per superstep.
+
+    Returns fn(info (gi,E,360,B) DT, par (pi,E,360,B) DT, min_it (1,))
+      -> (sign (Gp, 360, B) int32, iters ()) where sign rows 0..G-1 are
+    the info groups' hard bits (1 = bit one) and rows G..G+q-1 the
+    parity layers', in the same (360, B) check/group alignment the
+    `llrs_nb_to_qc_jnp` layout uses.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tab = qc_tables(frame, rate)
+    q, degmax, G = tab.q, tab.degmax, tab.n_groups
+    E = degmax + 2
+    B = batch
+    DT = dtype
+    off = float(offset)
+    n_chunks = (max_iters + check_every - 1) // check_every
+    gi_rows = -(-G // E)
+    pi_rows = -(-q // E)
+    if gi_rows + pi_rows > q:
+        raise ValueError("staging exceeds the c2v scratch for this code")
+
+    def kernel(min_it_ref, llr_i_hbm, llr_p_hbm, sign_out, iters_out,
+               vti, vtp, c2v, msgs, done, synd, sem_i, sem_p):
+        cp_i = pltpu.make_async_copy(llr_i_hbm, c2v.at[:gi_rows], sem_i)
+        cp_p = pltpu.make_async_copy(
+            llr_p_hbm, c2v.at[gi_rows:gi_rows + pi_rows], sem_p)
+        cp_i.start(); cp_p.start()
+        u_iota = jax.lax.broadcasted_iota(jnp.int32, (360, B), 0)
+        big = jnp.asarray(_BIG, jnp.float32)
+        mask0 = jnp.where(u_iota == 0, big, jnp.asarray(0.0, jnp.float32))
+        done[0] = 0
+        iters_out[0] = max_iters
+        cp_i.wait(); cp_p.wait()
+        for g in range(G):
+            vti[g] = c2v[g // E, g % E].astype(jnp.float32)
+        vti[G] = jnp.full((360, B), _BIG, jnp.float32)
+        for t in range(q):
+            vtp[t] = c2v[gi_rows + t // E, t % E].astype(jnp.float32)
+        for t in range(q):
+            c2v[t] = jnp.zeros((E, 360, B), DT)
+
+        layer = _make_layer_step(tab, vti, vtp, c2v, msgs, u_iota, mask0,
+                                 off, DT, jnp.float32)
+        syndrome_count = _make_syndrome_count(tab, vti, vtp, u_iota)
+
+        def chunk_body(ci, carry):
+            @pl.when(done[0] == 0)
+            def _():
+                def it_body(_, c):
+                    for t in range(q):
+                        layer(t)
+                    return c
+                jax.lax.fori_loop(0, check_every, it_body, 0)
+                it_now = (ci + 1) * check_every
+
+                @pl.when(it_now >= jnp.maximum(min_it_ref[0], min_iters))
+                def _():
+                    n_bad = syndrome_count()
+
+                    @pl.when(n_bad == 0)
+                    def _():
+                        done[0] = 1
+                        iters_out[0] = it_now
+            return carry
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        # hard-decision sign planes (1.0 = bit one) staged through the
+        # (now idle) c2v scratch rows and DMA'd out as one block — an
+        # int32 VMEM output of all planes would blow the VMEM budget
+        for g in range(G):
+            c2v[g // E, g % E] = (vti[g] < 0).astype(DT)
+        for t in range(q):
+            gp = G + t
+            c2v[gp // E, gp % E] = (vtp[t] < 0).astype(DT)
+        cp_o = pltpu.make_async_copy(c2v.at[:out_rows], sign_out, sem_i)
+        cp_o.start(); cp_o.wait()
+
+    out_rows = -(-(G + q) // E)
+
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=(
+            jax.ShapeDtypeStruct((out_rows, E, 360, B), DT),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((G + 1, 360, B), jnp.float32),   # vti
+            pltpu.VMEM((q, 360, B), jnp.float32),       # vtp
+            pltpu.VMEM((q, E, 360, B), DT),             # resident c2v
+            pltpu.VMEM((E, 360, B), jnp.float32),       # msgs
+            pltpu.SMEM((1,), jnp.int32),                # done flag
+            pltpu.VMEM((360, B), jnp.int32),            # legacy scratch
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=116 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def decode(info, par, min_it=0):
+        mi = jnp.asarray(min_it, jnp.int32).reshape(1)
+        sign, it = call(mi, info, par)
+        return sign.reshape(out_rows * E, 360, B)[:G + q], it[0]
+
+    return jax.jit(decode)
+
+
+def make_adaptive_decoder_nb_fused_io(frame, rate, max_iters: int = 24,
+                                      check_every: int = 2,
+                                      batch: int = 128,
+                                      interpret: bool = False,
+                                      dtype=jnp.bfloat16,
+                                      min_iters: int = 0):
+    """(N, B) bf16-LLR front door for the fused-IO adaptive kernel.
+
+    fn(llrs_t (N, B), min_it) -> (bits (N, B) uint8, iters ()).  The
+    entry reshapes stay in the LLR dtype (no f32 cast) and the exit
+    unpacks the kernel's int32 sign planes — both a fraction of the
+    f32-totals round trip."""
+    tab = qc_tables(frame, rate)
+    q, degmax, G = tab.q, tab.degmax, tab.n_groups
+    E = degmax + 2
+    B = batch
+    k = tab.k
+    gi_rows = -(-G // E)
+    pi_rows = -(-q // E)
+    core = make_pallas_layered_vmem_adaptive_io(
+        frame, rate, max_iters=max_iters, check_every=check_every,
+        batch=batch, interpret=interpret, dtype=dtype, min_iters=min_iters)
+
+    def decode(llrs_t, min_it=0):
+        v = llrs_t.astype(dtype)
+        info = v[:k].reshape(G, 360, B)
+        if gi_rows * E > G:
+            info = jnp.concatenate(
+                [info, jnp.zeros((gi_rows * E - G, 360, B), dtype)], axis=0)
+        info = info.reshape(gi_rows, E, 360, B)
+        par = v[k:].reshape(360, q, B).transpose(1, 0, 2)
+        if pi_rows * E > q:
+            par = jnp.concatenate(
+                [par, jnp.zeros((pi_rows * E - q, 360, B), dtype)], axis=0)
+        par = par.reshape(pi_rows, E, 360, B)
+        sign, it = core(info, par, min_it)
+        bits_i = sign[:G].reshape(k, B)
+        bits_p = sign[G:G + q].transpose(1, 0, 2).reshape(tab.n - k, B)
+        return (jnp.concatenate([bits_i, bits_p], axis=0) > 0.5
+                ).astype(jnp.uint8), it
+
+    return jax.jit(decode)
+
+
 def make_adaptive_decoder_nb_fused(frame: FECFrame, rate: CodeRate,
                                    max_iters: int = 24, check_every: int = 2,
                                    batch: int = 128,

@@ -513,7 +513,12 @@ class MultiFramePath:
                     l1_cells=self.l1_size, sub_slices=ss,
                     slice_interval=iv))
         self.single = self.paths[0]
-        self._fn = jax.jit(self._build())
+        built = self._build()
+        self._fn = jax.jit(built)
+        # planar-pairs avoided INSIDE the path since round 2; the planes
+        # entry extends that to the input boundary (the (F, n, 2) stack
+        # itself costs a tile-padded pass at 32K scale)
+        self._fn_planes = jax.jit(built.planes)
 
     def _make_tail(self, path: FusedPLPPath):
         """Per-PLP LLR tail: class-flat planar rows -> (n_ldpc, nb, F)
@@ -602,14 +607,14 @@ class MultiFramePath:
 
         from ..ops import mxu_fft
 
-        def run(bodies, inv_nvar):
+        def run_planes(body_r, body_i, inv_nvar):
             # planar f32 end-to-end: complex arrays would add whole-array
             # pack/split passes, tile poorly with small trailing dims, and
             # XLA's complex divide is branch-heavy
-            sym_r = bodies[..., 0].reshape(f, p.len_frame, p.symbol_size
-                                           )[:, :, p.guard_size:]
-            sym_i = bodies[..., 1].reshape(f, p.len_frame, p.symbol_size
-                                           )[:, :, p.guard_size:]
+            sym_r = body_r.reshape(f, p.len_frame, p.symbol_size
+                                   )[:, :, p.guard_size:]
+            sym_i = body_i.reshape(f, p.len_frame, p.symbol_size
+                                   )[:, :, p.guard_size:]
             # OFDM FFT on the MXU (two batched-matmul Cooley-Tukey stages;
             # XLA's VPU FFT was the largest demod stage at 32K) with the
             # carrier-major transpose fused into the second stage's output
@@ -664,6 +669,10 @@ class MultiFramePath:
                 res.append(sum(evms))              # (F,) cell-weighted
             return tuple(res)
 
+        def run(bodies, inv_nvar):
+            return run_planes(bodies[..., 0], bodies[..., 1], inv_nvar)
+
+        run.planes = run_planes
         return run
 
     def __call__(self, bodies, inv_nvar):

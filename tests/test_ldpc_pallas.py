@@ -248,3 +248,25 @@ def test_adaptive_inkernel_rolling_check():
         dtype=jnp.float32, rolling=True, min_iters=7)
     _, it3 = dec3(jnp.asarray(llr.T))
     assert int(it3) >= 7
+
+
+def test_adaptive_inkernel_fused_io():
+    """Fused-IO adaptive kernel: bf16 LLR planes staged through the c2v
+    scratch on entry, hard-decision sign planes DMA'd out — bits and
+    iteration count identical to the plain adaptive kernel."""
+    frame, rate = FECFrame.SHORT, CodeRate.C1_2
+    code, cw, llr = _noisy(frame, rate, 8, snr_scale=4.0)
+    ref = qc.make_adaptive_decoder_nb_fused(
+        frame, rate, max_iters=12, check_every=2, batch=8,
+        interpret=True, dtype=jnp.float32)
+    dec = qc.make_adaptive_decoder_nb_fused_io(
+        frame, rate, max_iters=12, check_every=2, batch=8,
+        interpret=True, dtype=jnp.float32)
+    b_ref, it_ref = ref(jnp.asarray(llr.T))
+    b_io, it_io = dec(jnp.asarray(llr.T))
+    np.testing.assert_array_equal(np.asarray(b_io), np.asarray(b_ref))
+    assert int(it_io) == int(it_ref)
+    np.testing.assert_array_equal(np.asarray(b_io).T, cw)
+    # the traced first-check floor applies identically
+    _, it_f = dec(jnp.asarray(llr.T), 6)
+    assert int(it_f) >= 6
