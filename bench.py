@@ -159,8 +159,11 @@ def main():
         # fused IO: bf16 LLR planes DMA straight into the kernel's c2v
         # scratch, hard bits DMA out as sign planes — removes most of the
         # per-frame decode-launch fixed cost (f32 totals round trip)
+        # check_every=1: the syndrome pass measures ~free on this kernel
+        # and exact-sweep exit beats the even-rounded count by ~0.7
+        # iterations at threshold SNR
         decode = qldpc.make_adaptive_decoder_nb_fused_io(
-            plp.fec_frame, plp.rate, max_iters=24, check_every=2,
+            plp.fec_frame, plp.rate, max_iters=24, check_every=1,
             batch=num_blocks, dtype=jnp.bfloat16)
     bch_check = fec_device.make_bch_check_nb(plp.fec_frame, plp.rate)
     bb_pack = fec_device.make_bb_bytes_nb(plp.fec_frame, plp.rate)
@@ -194,10 +197,12 @@ def main():
     pad = 2 * HALF
     ratio = 1.0 + (0.0 if args.no_impairments else SCO)
     n_raw = int(np.ceil((n_samp + pad) * ratio)) + 4 * HALF
-    # planar=True: re/im flow as separate (F, n) planes through the timed
-    # step — the (F, n, 2) trailing-pair layout costs a tile-padded pass
-    # per stage at this scale (layout experiment, round 4)
-    frontend = fdev.make_frontend(n_samp, fs, half=HALF, planar=True)
+    # symbol-emitting planar front end: re/im flow as separate planes
+    # (the (F, n, 2) trailing-pair layout costs a tile-padded pass per
+    # stage) and the resampler reads at the post-P1, post-guard sample
+    # grid directly, deleting the demod's GI-strip copy
+    frontend = fdev.make_frontend_symbols(p.len_frame, p.symbol_size,
+                                          p.guard_size, fs, half=HALF)
     impair = fdev.make_impairer(n_raw, fs, half=HALF)
     cfo = 0.0 if args.no_impairments else CFO_HZ
     pos0 = HALF * ratio
@@ -212,10 +217,10 @@ def main():
         byte pack + hash) instead of an F-way unroll: the unrolled form's
         program grew past what the AOT compiler host can hold once the
         front end joined the graph."""
-        (br, bi), _, _ = frontend(raw_r, raw_i, jnp.float32(cfo),
+        (sr, si), _, _ = frontend(raw_r, raw_i, jnp.float32(cfo),
                                   jnp.float32(ratio), jnp.float32(pos0),
                                   jnp.float32(phase0))
-        llrs = mf._fn_planes(br[:, 2048:], bi[:, 2048:], inv_nvar)
+        llrs = mf._fn_syms(sr, si, inv_nvar)
         lf = jnp.transpose(llrs, (2, 0, 1))         # frame-major
         # SNR-steered first-check floor: below ~25 dB (inv_nvar < 316)
         # convergence takes >= 10 sweeps, so the first syndrome check
@@ -356,18 +361,18 @@ def main():
     if args.profile:
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step_fe(raw_r, raw_i, _inv):
-            (br, bi), _, _ = frontend(raw_r, raw_i, jnp.float32(cfo),
+            (sr, si), _, _ = frontend(raw_r, raw_i, jnp.float32(cfo),
                                       jnp.float32(ratio), jnp.float32(pos0),
                                       jnp.float32(phase0))
-            sd = jnp.sum(br.astype(jnp.float32))
+            sd = jnp.sum(sr.astype(jnp.float32))
             return raw_r + sd * 1e-16, raw_i, sd
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step_demod(raw_r, raw_i, inv):
-            (br, bi), _, _ = frontend(raw_r, raw_i, jnp.float32(cfo),
+            (sr, si), _, _ = frontend(raw_r, raw_i, jnp.float32(cfo),
                                       jnp.float32(ratio), jnp.float32(pos0),
                                       jnp.float32(phase0))
-            llrs = mf._fn_planes(br[:, 2048:], bi[:, 2048:], inv)
+            llrs = mf._fn_syms(sr, si, inv)
             sd = jnp.sum(llrs.astype(jnp.float32), dtype=jnp.float32)
             return raw_r + sd * 1e-16, raw_i, sd
 

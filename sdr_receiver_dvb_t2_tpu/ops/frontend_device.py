@@ -277,6 +277,102 @@ def make_frontend(n_out: int, fs: float, half: int = 8, deg: int = 7,
     return frontend
 
 
+def make_frontend_symbols(n_sym: int, sym_size: int, guard: int,
+                          fs: float, p1_len: int = 2048, half: int = 8,
+                          deg: int = 7, estimate_dc_iq: bool = True):
+    """Correction front end emitting GI-STRIPPED OFDM symbols directly.
+
+    fn(raw_r (F, n_in), raw_i (F, n_in), cfo_hz, ratio, pos0, phase0)
+      -> ((sym_r, sym_i) each (F, n_sym, fft), dc (F, 2), giq (F, 2))
+
+    Same stages as `make_frontend` (DC/IQ estimate+apply, NCO,
+    generalized Farrow), but the resampler's OUTPUT INDEX SET is the
+    post-P1, post-guard sample grid: output (l, j) interpolates the raw
+    at (p1_len + l*sym_size + guard + j) * ratio + pos0.  The P1 and
+    every guard interval are simply never produced, which deletes the
+    demod's GI-strip pass (a strided copy of ~94% of the frame,
+    ~0.14 ms/frame at 32K) and the P1 slice.  One scan step per OFDM
+    symbol; the in-symbol drift fft*|ratio-1| must stay under ~0.9
+    (32768 * 22 ppm = 0.72)."""
+    fft = sym_size - guard
+    coeffs, j_off, fit_err = farrow_bank(half=half, deg=deg)
+    assert fit_err < 2e-4, f"farrow fit error {fit_err}"
+    n_taps = len(j_off)
+    slice_len = fft + 2 * half + 2
+    cf = [[float(c) for c in coeffs[:, t]] for t in range(n_taps)]
+
+    def frontend(raw_r, raw_i, cfo_hz, ratio, pos0, phase0):
+        f, n_in = raw_r.shape
+        if estimate_dc_iq:
+            dc_i = jnp.mean(raw_r, axis=1, keepdims=True)
+            dc_q = jnp.mean(raw_i, axis=1, keepdims=True)
+            i0, q0 = raw_r - dc_i, raw_i - dc_q
+            ei = jnp.mean(jnp.abs(i0), axis=1, keepdims=True)
+            eq = jnp.mean(jnp.abs(q0), axis=1, keepdims=True)
+            g = ei / jnp.maximum(eq, 1e-12)
+            c = jnp.mean(jnp.sign(i0) * q0, axis=1, keepdims=True) \
+                / jnp.maximum(ei, 1e-12)
+            dc_out = jnp.concatenate([dc_i, dc_q], axis=1)
+            giq = jnp.concatenate([g, c], axis=1)
+        else:
+            dc_i = dc_q = jnp.zeros((f, 1), jnp.float32)
+            g = jnp.ones((f, 1), jnp.float32)
+            c = jnp.zeros((f, 1), jnp.float32)
+            dc_out = jnp.zeros((f, 2), jnp.float32)
+            giq = jnp.zeros((f, 2), jnp.float32)
+        rs = 1.0 / jnp.sqrt(jnp.maximum(1.0 - c * c, 1e-6))
+        w = 2.0 * jnp.pi * cfo_hz / (fs * ratio)
+        mloc = jnp.arange(slice_len, dtype=jnp.float32)
+        cr = jnp.cos(w * mloc)[None, :]
+        sr = jnp.sin(w * mloc)[None, :]
+        fidx = jnp.arange(f, dtype=jnp.float32)
+        pad = int(np.ceil((p1_len + n_sym * sym_size + 2) * 1.001)) \
+            + slice_len - n_in + half
+        xr = jnp.pad(raw_r, ((0, 0), (0, max(pad, 0))))
+        xi = jnp.pad(raw_i, ((0, 0), (0, max(pad, 0))))
+        k_local = jnp.arange(fft, dtype=jnp.float32)
+        delta = ratio - 1.0
+
+        def body(_, lnum):
+            # first post-guard sample of symbol l in CLEAN coordinates
+            k0 = p1_len + lnum * sym_size + guard
+            k0f = k0.astype(jnp.float32)
+            r0 = pos0 + k0f * delta
+            r = r0 + k_local * delta
+            b = jnp.floor(jnp.minimum(r0, r0 + (fft - 1) * delta))
+            mu = r - b
+            s = (k0 + b.astype(jnp.int32)) - (half - 1)
+            sli = jax.lax.dynamic_slice_in_dim(xr, s, slice_len, axis=1)
+            slq = jax.lax.dynamic_slice_in_dim(xi, s, slice_len, axis=1)
+            i = sli - dc_i
+            q = ((slq - dc_q) * g - c * i) * rs
+            base = phase0 + w * (fidx * n_in + s.astype(jnp.float32))
+            cb, sb = jnp.cos(base)[:, None], jnp.sin(base)[:, None]
+            cm = cb * cr - sb * sr
+            sm = sb * cr + cb * sr
+            ir = i * cm + q * sm
+            qr = q * cm - i * sm
+            accr = acci = None
+            for t in range(n_taps):
+                wt = jnp.asarray(cf[t][0], jnp.float32)
+                for pw in range(1, deg + 1):
+                    wt = wt * mu + jnp.asarray(cf[t][pw], jnp.float32)
+                tr = jax.lax.slice_in_dim(ir, t, t + fft, axis=1) \
+                    * wt[None, :]
+                tq = jax.lax.slice_in_dim(qr, t, t + fft, axis=1) \
+                    * wt[None, :]
+                accr = tr if accr is None else accr + tr
+                acci = tq if acci is None else acci + tq
+            return 0, (accr, acci)
+
+        _, (cr_, ci_) = jax.lax.scan(body, 0, jnp.arange(n_sym))
+        sym_r = jnp.moveaxis(cr_, 0, 1)            # (F, n_sym, fft)
+        sym_i = jnp.moveaxis(ci_, 0, 1)
+        return (sym_r, sym_i), dc_out, giq
+
+    return frontend
+
+
 # --------------------------------------------------------------------------
 # Impairment model (test/bench input synthesis — the inverse chain)
 # --------------------------------------------------------------------------

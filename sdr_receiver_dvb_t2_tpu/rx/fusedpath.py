@@ -517,8 +517,10 @@ class MultiFramePath:
         self._fn = jax.jit(built)
         # planar-pairs avoided INSIDE the path since round 2; the planes
         # entry extends that to the input boundary (the (F, n, 2) stack
-        # itself costs a tile-padded pass at 32K scale)
+        # itself costs a tile-padded pass at 32K scale), and the syms
+        # entry takes GI-stripped symbols straight from the front end
         self._fn_planes = jax.jit(built.planes)
+        self._fn_syms = jax.jit(built.syms)
 
     def _make_tail(self, path: FusedPLPPath):
         """Per-PLP LLR tail: class-flat planar rows -> (n_ldpc, nb, F)
@@ -607,6 +609,11 @@ class MultiFramePath:
 
         from ..ops import mxu_fft
 
+        def run_syms(sym_r, sym_i, inv_nvar):
+            # entry for GI-stripped (F, len_frame, fft) symbol planes
+            # (the fused front end emits these directly)
+            return run_core(sym_r, sym_i, inv_nvar)
+
         def run_planes(body_r, body_i, inv_nvar):
             # planar f32 end-to-end: complex arrays would add whole-array
             # pack/split passes, tile poorly with small trailing dims, and
@@ -615,6 +622,9 @@ class MultiFramePath:
                                    )[:, :, p.guard_size:]
             sym_i = body_i.reshape(f, p.len_frame, p.symbol_size
                                    )[:, :, p.guard_size:]
+            return run_core(sym_r, sym_i, inv_nvar)
+
+        def run_core(sym_r, sym_i, inv_nvar):
             # OFDM FFT on the MXU (two batched-matmul Cooley-Tukey stages;
             # XLA's VPU FFT was the largest demod stage at 32K) with the
             # carrier-major transpose fused into the second stage's output
@@ -673,6 +683,7 @@ class MultiFramePath:
             return run_planes(bodies[..., 0], bodies[..., 1], inv_nvar)
 
         run.planes = run_planes
+        run.syms = run_syms
         return run
 
     def __call__(self, bodies, inv_nvar):

@@ -160,3 +160,37 @@ def test_impair_correct_awgn_power():
     d = (r1 - r0)[0, 100:-100]
     p = np.mean(d[..., 0] ** 2 + d[..., 1] ** 2)
     assert 0.007 < p < 0.013
+
+
+def test_frontend_symbols_matches_strip():
+    """The symbol-emitting front end (resampler reading at the post-P1,
+    post-guard grid) equals the plain front end followed by a manual
+    P1/GI strip."""
+    fs = 9.142857e6
+    half = 8
+    n_sym, sym_size, guard, p1_len = 3, 3000, 200, 500
+    n = p1_len + n_sym * sym_size
+    x = _bandlimited(n + 64, seed=7)[:n]
+    xp = np.pad(x[None], ((0, 0), (2 * half, 0)))
+    ratio = 1.0 + 2e-5
+    n_raw = int(np.ceil((n + 2 * half) * ratio)) + 4 * half
+    imp = fd.make_impairer(n_raw, fs, half=half, chunk=2048)
+    clean = jnp.asarray(np.stack([xp.real, xp.imag], -1).astype(np.float32))
+    raw = np.asarray(imp(clean, 900.0, ratio, 0.1,
+                         jnp.asarray([0.004, -0.003], jnp.float32),
+                         jnp.asarray([1.015, 0.01], jnp.float32),
+                         jax.random.PRNGKey(2), jnp.float32(0.0)))
+    rr = jnp.asarray(raw[..., 0])
+    ri = jnp.asarray(raw[..., 1])
+    fe = fd.make_frontend(n, fs, half=half, chunk=2048, planar=True)
+    (br, bi), _, _ = fe(rr, ri, 900.0, ratio, half * ratio, 0.1)
+    ref = (np.asarray(br) + 1j * np.asarray(bi))[0]
+    ref_syms = ref[p1_len:].reshape(n_sym, sym_size)[:, guard:]
+    fs_fe = fd.make_frontend_symbols(n_sym, sym_size, guard, fs,
+                                     p1_len=p1_len, half=half)
+    (sr, si), dc_e, giq_e = fs_fe(rr, ri, 900.0, ratio, half * ratio, 0.1)
+    got = (np.asarray(sr) + 1j * np.asarray(si))[0]
+    err = np.abs(got - ref_syms).max() / np.abs(ref_syms).std()
+    assert err < 2e-2, err
+    # estimates identical (same estimation pre-pass)
+    assert abs(float(giq_e[0, 0]) - 1.015) < 1e-2
