@@ -440,8 +440,9 @@ class StreamingReceiver:
         if getattr(self.receiver, "wants_device_frontend", False):
             # the device receive path corrects samples with the SAME
             # jitted stages the bench measures (ops/frontend_device);
-            # rates outside the device chain's ratio bound (e.g. the
-            # 10 Msps AirSpy's +9.4%) fall back to the host chain
+            # vendor rates ride a polyphase stage (AirSpy 35/32) or the
+            # drift resampler (SdrPlay/Pluto +0.625%); anything else
+            # falls back to the host chain
             try:
                 from ..ops.frontend_device import DeviceFrontendChain
                 chain = DeviceFrontendChain(in_rate=dev.sample_rate,

@@ -449,11 +449,12 @@ class DeviceFrontendChain:
     inside the same call (the feed-forward form of
     dvbt2_demodulator.cpp:187-192's running averagers).
 
-    Supported ratio: chunked resampling bounds |ratio-1| <= ~0.012
-    (chunk 64) — covers the 9.2 Msps SdrPlay/Pluto rates (+0.625% vs the
-    8 MHz elementary rate) and any capture at the elementary rate with
-    sample-clock error.  Wider ratios (10 Msps AirSpy's +9.4%) keep the
-    host chain (StreamingReceiver falls back automatically).
+    Supported ratios: the chunked drift resampler covers |ratio-1| <=
+    ~0.012 (the 9.2 Msps SdrPlay/Pluto rates, +0.625%, and elementary-
+    rate captures with clock error); wider EXACT small rationals of the
+    elementary rate (the 10 Msps AirSpy's 35/32) get a polyphase stage
+    (make_rational_resampler) ahead of the drift stage.  Anything else
+    keeps the host chain (StreamingReceiver falls back automatically).
     """
 
     MAX_RATIO_DEV = 0.012
@@ -466,10 +467,30 @@ class DeviceFrontendChain:
         self.fs = out_rate
         self.in_rate = in_rate
         self._base_ratio = in_rate / out_rate
+        self._rat = None
         if abs(self._base_ratio - 1.0) > self.MAX_RATIO_DEV:
-            raise ValueError(
-                f"device chain supports |ratio-1| <= {self.MAX_RATIO_DEV}; "
-                f"{in_rate}/{out_rate} needs the host chain")
+            # wide fixed ratio: the DVB-T2 device rates are exact small
+            # rationals of the elementary rate (AirSpy 10 Msps = 35/32,
+            # SdrPlay/Pluto 9.2 Msps = 161/160 — handled by the chunked
+            # stage alone); insert the polyphase stage and leave only
+            # the ppm-scale residual to the drift resampler
+            from fractions import Fraction
+            fr = Fraction(self._base_ratio).limit_denominator(64)
+            if (fr.denominator > 64 or fr.numerator <= fr.denominator
+                    or abs(float(fr) - self._base_ratio) > 1e-9):
+                raise ValueError(
+                    f"device chain supports |ratio-1| <= "
+                    f"{self.MAX_RATIO_DEV} or exact small rationals; "
+                    f"{in_rate}/{out_rate} needs the host chain")
+            rat_fn, rat_spill = make_rational_resampler(
+                fr.numerator, fr.denominator, half=taps_half)
+            # fixed input bucket: the carry halo's varying length must
+            # not trigger a recompile per call
+            self._rat_L = block_len + rat_spill + 2 * fr.numerator
+            self._rat_fn = jax.jit(rat_fn)
+            self._rat_spill = rat_spill
+            self._rat = (fr.numerator, fr.denominator)
+            self._rat_halo = np.zeros(0, np.complex64)
         self.freq_hz = 0.0
         self.ratio = self._base_ratio
         self.dciq = _DCIQView()
@@ -530,13 +551,49 @@ class DeviceFrontendChain:
         self._fn = jax.jit(correct)
         self._jnp = jnp
 
+    def _rational_process(self, block: np.ndarray) -> np.ndarray:
+        """Stage 0: exact-rational vendor-rate conversion (polyphase,
+        integer-exact halo bookkeeping on host)."""
+        jnp = self._jnp
+        num, den = self._rat
+        x = np.concatenate([self._rat_halo,
+                            np.asarray(block, np.complex64)])
+        n_true = len(x)
+        if n_true > self._rat_L:
+            # oversized call (re-fed buffer): feed bucket-sized pieces
+            # through this same path; the halo carries across pieces
+            cut = self._rat_L - self._rat_spill - 2 * num
+            self._rat_halo = np.zeros(0, np.complex64)
+            return np.concatenate([self._rational_process(x[i:i + cut])
+                                   for i in range(0, n_true, cut)])
+        a_blocks = max(0, (n_true - self._rat_spill - num) // num)
+        x2 = np.zeros((2, self._rat_L), np.float32)
+        x2[0, :n_true] = x.real
+        x2[1, :n_true] = x.imag
+        out2, _ = self._rat_fn(jnp.asarray(x2))
+        out2 = np.asarray(out2)[:, :a_blocks * den]
+        self._rat_halo = x[a_blocks * num:]
+        return (out2[0] + 1j * out2[1]).astype(np.complex64)
+
+    @property
+    def _fine_ratio(self) -> float:
+        """Ratio the drift stage runs at: total / rational stage."""
+        if self._rat is None:
+            return self.ratio
+        num, den = self._rat
+        return self.ratio * den / num
+
     def process(self, block: np.ndarray) -> np.ndarray:
+        if self._rat is not None:
+            block = self._rational_process(block)
+            if len(block) == 0 and len(self._halo) == 0:
+                return np.zeros(0, np.complex64)
         jnp = self._jnp
         x = np.concatenate([self._halo,
                             np.asarray(block, np.complex64)])
         n_in = len(x)
         taps = 2 * self.half + 1
-        n_out = int((n_in - taps - self._pos) / self.ratio)
+        n_out = int((n_in - taps - self._pos) / self._fine_ratio)
         if n_out <= 0:
             self._halo = x
             return np.zeros(0, np.complex64)
@@ -551,7 +608,7 @@ class DeviceFrontendChain:
         self._blocks += 1
         out, self._dciq_state = self._fn(
             jnp.asarray(x2), jnp.int32(n_in), self._dciq_state,
-            jnp.float32(self.ratio), jnp.float32(self._pos),
+            jnp.float32(self._fine_ratio), jnp.float32(self._pos),
             jnp.float32(self._phase), jnp.float32(self._dphi),
             jnp.int32(first))
         out = np.asarray(out[:n_out])
@@ -559,7 +616,7 @@ class DeviceFrontendChain:
         self.dciq.dc = complex(st[0], st[1])
         self.dciq.g = float(st[2])
         self.dciq.c = float(st[3])
-        adv = self._pos + n_out * self.ratio
+        adv = self._pos + n_out * self._fine_ratio
         drop = int(np.floor(adv))
         self._halo = x[drop:]
         self._pos = adv - drop
@@ -605,3 +662,76 @@ class DeviceFrontendChain:
         self._halo = pending[drop:]
         self._pos = adv - drop
         return out
+
+
+# --------------------------------------------------------------------------
+# Rational polyphase resampler (wide fixed ratios: vendor rate conversion)
+# --------------------------------------------------------------------------
+
+def make_rational_resampler(num: int, den: int, half: int = 8,
+                            deg: int = 7):
+    """Polyphase resampler for an exact rational ratio num/den (input
+    samples per output sample), built for the VENDOR-RATE conversions the
+    chunked drift resampler cannot reach (its chunk length bounds
+    |ratio-1|): AirSpy 10 Msps -> 9.142857 is 35/32, SdrPlay/Pluto
+    9.2 Msps is 161/160.
+
+    Structure: output k = a*den + r reads input positions
+    a*num + floor(r*num/den) + j with a FIXED fractional phase per r —
+    so the den phases each become 2*half+1 STATIC column slices of the
+    input reshaped into num-sample rows (plus a spill overlap), weighted
+    by per-phase SCALAR Horner evaluations of the fitted Farrow bank.
+    No gathers, no per-sample weight computation; ~(2*half+1) fma per
+    output sample.
+
+    Returns fn(x (F, n_in) plane, n_out_blocks A) ... wrapped as
+    resample(x (F, n_in)) -> (F, A*den) where A = (n_in - taps - num)
+    // num whole input rows are consumed; the caller carries the
+    remainder as a halo (integer-exact streaming).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    coeffs, j_off, fit_err = farrow_bank(half=half, deg=deg)
+    assert fit_err < 2e-4
+    n_taps = len(j_off)
+    # per-phase static offsets and fractional positions
+    offs = [int((r * num) // den) for r in range(den)]
+    mus = [float((r * num) / den - (r * num) // den) for r in range(den)]
+    # per-phase static weights: w_j(mu_r) evaluated at build time
+    wtab = []
+    for r in range(den):
+        mu = mus[r]
+        row = []
+        for t in range(n_taps):
+            w = 0.0
+            for c in coeffs[:, t]:
+                w = w * mu + float(c)
+            row.append(w)
+        wtab.append(row)
+    spill = max(offs) + n_taps + 2
+
+    def resample(x):
+        f, n_in = x.shape
+        a_blocks = (n_in - spill - num) // num
+        if a_blocks <= 0:
+            return jnp.zeros((f, 0), x.dtype), 0
+        base = x[:, :a_blocks * num].reshape(f, a_blocks, num)
+        ext = x[:, num:num + a_blocks * num].reshape(f, a_blocks, num
+                                                    )[:, :, :spill - num] \
+            if spill > num else None
+        xe = base if ext is None else jnp.concatenate([base, ext], axis=2)
+        phases = []
+        for r in range(den):
+            acc = None
+            for t in range(n_taps):
+                # stencil j - (half - 1) left context: column index
+                c = offs[r] + t
+                term = xe[:, :, c] * jnp.asarray(wtab[r][t], x.dtype)
+                acc = term if acc is None else acc + term
+            phases.append(acc)                     # (F, A)
+        out = jnp.stack(phases, axis=1)            # (F, den, A)
+        return jnp.transpose(out, (0, 2, 1)).reshape(f, a_blocks * den), \
+            a_blocks
+
+    return resample, spill

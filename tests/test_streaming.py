@@ -533,15 +533,31 @@ def test_stream_device_frontend_chain():
     assert abs(st.dc_offset_est - (0.012 - 0.008j)) < 5e-3
 
 
-def test_stream_device_frontend_falls_back_for_wide_ratio():
-    """A 10 Msps device (+9.4%, the AirSpy rate) is outside the device
-    chain's ratio bound: the streaming loop silently keeps the host
-    chain and still decodes."""
+def test_stream_device_frontend_airspy_rate_polyphase():
+    """The 10 Msps AirSpy rate (35/32 of elementary, +9.4%) now runs on
+    the DEVICE chain too: the exact-rational polyphase stage converts
+    the vendor rate and the drift resampler handles only the ppm-scale
+    residual."""
     from sdr_receiver_dvb_t2_tpu.rx.device_receiver import DeviceT2Receiver
     from sdr_receiver_dvb_t2_tpu.rx import frontend as hostfe
     flat, samples, p = _waveform(6)
     dev_samples = hostfe.sinc_resample(samples, devices.SAMPLE_RATE / 10.0e6)
     dev = devices.SimulatedDevice(dev_samples, snr_db=32, sample_rate=10.0e6)
+    rx = DeviceT2Receiver(stream_batch=3)
+    st, ts = _stream(dev, receiver=rx)
+    assert st.frontend == "DeviceFrontendChain"
+    assert st.frames_decoded >= 5
+    np.testing.assert_array_equal(ts, flat[:len(ts)])
+
+
+def test_stream_device_frontend_falls_back_for_odd_ratio():
+    """A rate that is neither near-unity nor a small exact rational of
+    the elementary rate (9.7 Msps) keeps the host chain."""
+    from sdr_receiver_dvb_t2_tpu.rx.device_receiver import DeviceT2Receiver
+    from sdr_receiver_dvb_t2_tpu.rx import frontend as hostfe
+    flat, samples, p = _waveform(6)
+    dev_samples = hostfe.sinc_resample(samples, devices.SAMPLE_RATE / 9.7e6)
+    dev = devices.SimulatedDevice(dev_samples, snr_db=32, sample_rate=9.7e6)
     rx = DeviceT2Receiver(stream_batch=3)
     st, ts = _stream(dev, receiver=rx)
     assert st.frontend == "CorrectorChain"
