@@ -205,7 +205,12 @@ def main():
                                           p.guard_size, fs, half=HALF)
     impair = fdev.make_impairer(n_raw, fs, half=HALF)
     cfo = 0.0 if args.no_impairments else CFO_HZ
-    pos0 = HALF * ratio
+    # impaired: the impairer consumed `pad` clean pre-pad samples via its
+    # left context, so reading at HALF*ratio lands on clean[pad + k].
+    # no-impairments: the clean planes keep the pad, so the window starts
+    # at pad exactly (a wrong pos0 here shifts every FFT window into the
+    # next symbol's guard)
+    pos0 = HALF * ratio if not args.no_impairments else float(pad)
     phase0 = 0.35
 
     def one_superstep(raw_r, raw_i, inv_nvar, gf):
@@ -270,11 +275,12 @@ def main():
         clean = jnp.stack([jnp.real(full), jnp.imag(full)], axis=-1)
         clean = jnp.pad(clean, ((0, 0), (pad, 0), (0, 0)))
         if args.no_impairments:
-            body = clean[:, pad:pad + n_samp]
-            pwr = jnp.mean(body[..., 0] ** 2 + body[..., 1] ** 2)
-            noise = jax.random.normal(key, body.shape, jnp.float32) \
+            # keep the pre-pad: pos0 = pad points the symbol resampler at
+            # clean[pad + ...] exactly (no fractional/windowing shift)
+            pwr = jnp.mean(clean[..., 0] ** 2 + clean[..., 1] ** 2)
+            noise = jax.random.normal(key, clean.shape, jnp.float32) \
                 * jnp.sqrt(jnp.maximum(nvar_rel, 0.0) * pwr / 2.0)
-            body = body + jnp.where(nvar_rel > 0, 1.0, 0.0) * noise
+            body = clean + jnp.where(nvar_rel > 0, 1.0, 0.0) * noise
             return body[..., 0], body[..., 1]
         rms = jnp.sqrt(jnp.mean(clean[..., 0] ** 2 + clean[..., 1] ** 2))
         dc = jnp.stack([DC_RE * rms, DC_IM * rms])

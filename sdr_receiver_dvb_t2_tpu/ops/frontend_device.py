@@ -493,6 +493,7 @@ class DeviceFrontendChain:
             self._rat_halo = np.zeros(0, np.complex64)
         self.freq_hz = 0.0
         self.ratio = self._base_ratio
+        self._post = []              # host re-lock splice stages
         self.dciq = _DCIQView()
         self.alpha = alpha
         self.half = taps_half
@@ -577,20 +578,32 @@ class DeviceFrontendChain:
 
     @property
     def _fine_ratio(self) -> float:
-        """Ratio the drift stage runs at: total / rational stage."""
+        """Ratio the drift stage runs at: the base ratio over the
+        rational stage.  SCO re-lock factors live in host POST-stages
+        and never widen this, so the Farrow mu-range bound holds for
+        the life of the chain."""
         if self._rat is None:
-            return self.ratio
+            return self._base_ratio
         num, den = self._rat
-        return self.ratio * den / num
+        return self._base_ratio * den / num
 
     def process(self, block: np.ndarray) -> np.ndarray:
         if self._rat is not None:
             block = self._rational_process(block)
             if len(block) == 0 and len(self._halo) == 0:
                 return np.zeros(0, np.complex64)
+        y = self._process_fine(np.asarray(block, np.complex64))
+        # SCO re-lock post-stages (host StreamCorrectors appended by
+        # rebase_ratio) consume the device chain's OUTPUT
+        for s in self._post:
+            y = s.process(y)
+        return y
+
+    def _process_fine(self, block: np.ndarray) -> np.ndarray:
+        """The device bucket stage (DC/IQ + NCO + drift resampler); the
+        rational vendor-rate stage has already run."""
         jnp = self._jnp
-        x = np.concatenate([self._halo,
-                            np.asarray(block, np.complex64)])
+        x = np.concatenate([self._halo, block])
         n_in = len(x)
         taps = 2 * self.half + 1
         n_out = int((n_in - taps - self._pos) / self._fine_ratio)
@@ -599,8 +612,14 @@ class DeviceFrontendChain:
             return np.zeros(0, np.complex64)
         if n_in > self._L or n_out > self._n_max:
             # oversized call (e.g. a re-fed acquisition buffer): split
-            # into chain-sized pieces, preserving continuity
-            return self.process_raw_split(x, (self._L - self._H) // 2)
+            # into chain-sized pieces THROUGH THIS STAGE ONLY — re-entering
+            # process() would run the rational stage a second time
+            cut = (self._L - self._H) // 2
+            self._halo = np.zeros(0, np.complex64)
+            outs = [self._process_fine(x[i:i + cut])
+                    for i in range(0, n_in, cut)]
+            return np.concatenate([o for o in outs if len(o)]) \
+                if outs else np.zeros(0, np.complex64)
         x2 = np.zeros((self._L, 2), np.float32)
         x2[:n_in, 0] = x.real
         x2[:n_in, 1] = x.imag
@@ -616,25 +635,17 @@ class DeviceFrontendChain:
         self.dciq.dc = complex(st[0], st[1])
         self.dciq.g = float(st[2])
         self.dciq.c = float(st[3])
+        # keep `half` samples of PERMANENT left context in the halo so the
+        # read position never drops below the stencil's reach: a negative
+        # dynamic-slice start clamps, which both skews the stencil and
+        # (at large chunk counts) zeroes the first chunk outright
         adv = self._pos + n_out * self._fine_ratio
-        drop = int(np.floor(adv))
+        drop = max(0, int(np.floor(adv)) - self.half)
         self._halo = x[drop:]
         self._pos = adv - drop
         self._phase = float(np.mod(self._phase + self._dphi * n_out,
                                    2.0 * np.pi))
         return (out[:, 0] + 1j * out[:, 1]).astype(np.complex64)
-
-    def process_raw_split(self, x: np.ndarray, cut: int) -> np.ndarray:
-        """Feed an oversized buffer through in chain-sized pieces."""
-        self._halo = np.zeros(0, np.complex64)
-        outs = []
-        i = 0
-        # re-feed including the former halo content
-        while i < len(x):
-            outs.append(self.process(x[i:i + cut]))
-            i += cut
-        return np.concatenate([o for o in outs if len(o)]) \
-            if outs else np.zeros(0, np.complex64)
 
     def add_frequency(self, df_hz: float, applied_samples: int = 0) -> None:
         self.freq_hz += df_hz
@@ -644,23 +655,31 @@ class DeviceFrontendChain:
             2.0 * np.pi))
 
     def rebase_ratio(self, pending: np.ndarray, factor: float) -> np.ndarray:
-        """SCO re-lock splice: fold the new factor into the chain's ratio
-        and resample the caller's pending buffer once on host (the rare
-        re-acquisition event; the steady-state path stays on device)."""
+        """SCO re-lock splice: append a host resampler POST-stage whose
+        halo is seeded from the caller's pending (corrected OUTPUT)
+        buffer — the exact CorrectorChain.rebase_ratio mechanism, so the
+        splice stays sample-exact and nothing re-enters the input-side
+        correction.  The device bucket stage is untouched (its ratio
+        stays inside the Farrow bank's fitted mu range no matter how
+        many re-locks accumulate); only the rare re-lock event pays
+        host-resampler cost."""
         from ..rx import frontend as hostfe
+        tail = hostfe.StreamCorrector(fs=self.fs, taps=24)
+        tail.ratio = factor
+        tail._resampling = True
         self.ratio *= factor
         pending = np.asarray(pending, np.complex64)
-        taps = 24
-        n_out = int((len(pending) - taps) / factor)
+        n_out = int((len(pending) - tail.taps) / factor)
         if n_out <= 0:
-            self._halo = np.concatenate([self._halo, pending])
+            tail._halo = pending
+            self._post.append(tail)
             return np.zeros(0, np.complex64)
-        out = hostfe._sinc_interp(pending, 0.0, factor, n_out, taps)
+        out = hostfe._sinc_interp(pending, 0.0, factor, n_out, tail.taps)
         adv = n_out * factor
         drop = int(np.floor(adv))
-        # the splice tail continues through the device path at the new ratio
-        self._halo = pending[drop:]
-        self._pos = adv - drop
+        tail._halo = pending[drop:]
+        tail._pos = adv - drop
+        self._post.append(tail)
         return out
 
 

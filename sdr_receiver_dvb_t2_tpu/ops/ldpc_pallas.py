@@ -455,7 +455,7 @@ def qc_syndrome_ok(frame: FECFrame, rate: CodeRate, total_info, total_par):
 
 
 def _make_layer_step(tab: QCTables, vti, vtp, c2v, msgs, u_iota, mask0,
-                     off, DT, SD, count_bad: bool = False, synd=None):
+                     off, DT, SD, count_bad: bool = False):
     """Shared statically-unrolled layer body for the VMEM-resident kernels.
 
     Closes over the kernel refs; `layer(t)` runs one check-layer update of
@@ -472,8 +472,7 @@ def _make_layer_step(tab: QCTables, vti, vtp, c2v, msgs, u_iota, mask0,
     aligned rolls to materialize, and a read-modify-write scratch
     accumulator serialized the schedule — each spilled >100 MB of vregs
     at q=60).  The per-edge parities are SSA values tree-XOR-reduced at
-    layer end (live set bounded by the layer degree); `synd` is an
-    unused legacy scratch slot.  A full sweep whose every layer reports
+    layer end (live set bounded by the layer degree).  A full sweep whose every layer reports
     0 is the adaptive decoder's exit condition; the totals evolve DURING
     the sweep, so this is a rolling check, not a snapshot — on a
     converged batch the two coincide, and the downstream BCH gate covers
@@ -652,7 +651,7 @@ def make_pallas_layered_vmem_adaptive(frame: FECFrame, rate: CodeRate,
     n_chunks = (max_iters + check_every - 1) // check_every
 
     def kernel(min_it_ref, tinfo_hbm, tpar_hbm, tinfo_out, tpar_out,
-               iters_out, vti, vtp, c2v, msgs, done, synd, sem_i, sem_p):
+               iters_out, vti, vtp, c2v, msgs, done, sem_i, sem_p):
         cp_i = pltpu.make_async_copy(tinfo_hbm, vti, sem_i)
         cp_p = pltpu.make_async_copy(tpar_hbm, vtp, sem_p)
         cp_i.start(); cp_p.start()
@@ -666,8 +665,8 @@ def make_pallas_layered_vmem_adaptive(frame: FECFrame, rate: CodeRate,
         cp_i.wait(); cp_p.wait()
 
         layer = _make_layer_step(tab, vti, vtp, c2v, msgs, u_iota, mask0,
-                                 off, DT, jnp.float32, count_bad=rolling,
-                                 synd=synd)
+                                 off, DT, jnp.float32,
+                                 count_bad=rolling)
 
         if rolling:
             def sweep_body(it, carry):
@@ -737,7 +736,6 @@ def make_pallas_layered_vmem_adaptive(frame: FECFrame, rate: CodeRate,
             pltpu.VMEM((q, E, 360, B), DT),             # resident c2v
             pltpu.VMEM((E, 360, B), jnp.float32),       # msgs
             pltpu.SMEM((1,), jnp.int32),                # done flag
-            pltpu.VMEM((360, B), jnp.int32),            # rolling syndrome
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -801,7 +799,7 @@ def make_pallas_layered_vmem_adaptive_io(frame, rate,
         raise ValueError("staging exceeds the c2v scratch for this code")
 
     def kernel(min_it_ref, llr_i_hbm, llr_p_hbm, sign_out, iters_out,
-               vti, vtp, c2v, msgs, done, synd, sem_i, sem_p):
+               vti, vtp, c2v, msgs, done, sem_i, sem_p):
         cp_i = pltpu.make_async_copy(llr_i_hbm, c2v.at[:gi_rows], sem_i)
         cp_p = pltpu.make_async_copy(
             llr_p_hbm, c2v.at[gi_rows:gi_rows + pi_rows], sem_p)
@@ -874,7 +872,6 @@ def make_pallas_layered_vmem_adaptive_io(frame, rate,
             pltpu.VMEM((q, E, 360, B), DT),             # resident c2v
             pltpu.VMEM((E, 360, B), jnp.float32),       # msgs
             pltpu.SMEM((1,), jnp.int32),                # done flag
-            pltpu.VMEM((360, B), jnp.int32),            # legacy scratch
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],

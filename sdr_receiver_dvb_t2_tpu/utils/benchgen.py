@@ -96,6 +96,11 @@ def make_frame_synth(p: T2Params, cpf: int, n_frames: int,
     body_len = p.frame_samples - 2048
 
     nb = len(stream0) // cpf
+    if n_frames > nb:
+        # the doubled stream covers roll offsets 0..nb only; beyond that
+        # the row gather would silently clamp and duplicate payloads
+        raise ValueError(f"n_frames ({n_frames}) must be <= the FEC-block "
+                         f"count ({nb}) for distinct per-frame rolls")
 
     def synth(ship):
         # PLANAR SEPARATED re/im throughout, and NO stacked 1-D slices:
