@@ -151,6 +151,88 @@ def frontend_raw_len(n_samp: int, sco: float, half: int = 8) -> int:
 # Correction front end (the product path)
 # --------------------------------------------------------------------------
 
+
+def _estimate_dciq(raw_r, raw_i, enabled: bool):
+    """Per-frame DC mean + 1-bit IQ-imbalance statistics (the shared
+    estimation pre-pass of every front-end variant;
+    dvbt2_demodulator.cpp:187-192, 256-265).
+
+    -> (dc_i, dc_q, g, c, rs) each (F, 1) plus the (F, 2) report arrays
+    (dc_out, giq)."""
+    f = raw_r.shape[0]
+    if enabled:
+        dc_i = jnp.mean(raw_r, axis=1, keepdims=True)
+        dc_q = jnp.mean(raw_i, axis=1, keepdims=True)
+        i0, q0 = raw_r - dc_i, raw_i - dc_q
+        ei = jnp.mean(jnp.abs(i0), axis=1, keepdims=True)
+        eq = jnp.mean(jnp.abs(q0), axis=1, keepdims=True)
+        g = ei / jnp.maximum(eq, 1e-12)
+        c = jnp.mean(jnp.sign(i0) * q0, axis=1, keepdims=True) \
+            / jnp.maximum(ei, 1e-12)
+        dc_out = jnp.concatenate([dc_i, dc_q], axis=1)
+        giq = jnp.concatenate([g, c], axis=1)
+    else:
+        dc_i = dc_q = jnp.zeros((f, 1), jnp.float32)
+        g = jnp.ones((f, 1), jnp.float32)
+        c = jnp.zeros((f, 1), jnp.float32)
+        dc_out = jnp.zeros((f, 2), jnp.float32)
+        giq = jnp.zeros((f, 2), jnp.float32)
+    rs = 1.0 / jnp.sqrt(jnp.maximum(1.0 - c * c, 1e-6))
+    return (dc_i, dc_q, g, c, rs), dc_out, giq
+
+
+def _make_slice_corrector(out_len: int, slice_len: int, half: int,
+                          deg: int, cf, n_taps: int):
+    """The shared fused chunk body: DC/IQ apply + NCO (per-chunk scalar x
+    fixed ramp) + Farrow Horner over one dynamic slice.  The front-end
+    variants differ only in how they derive the slice start `s` and the
+    fractional positions `mu` (drift chunks vs the per-symbol grid).
+
+    -> correct(xr, xi, s, mu, est, nco) -> (out_r, out_i) of
+    (F, out_len)."""
+
+    def correct(xr, xi, s, mu, est, nco):
+        dc_i, dc_q, g, c, rs = est
+        w, cr, sr, fidx, phase0, n_in = nco
+        sli = jax.lax.dynamic_slice_in_dim(xr, s, slice_len, axis=1)
+        slq = jax.lax.dynamic_slice_in_dim(xi, s, slice_len, axis=1)
+        i = sli - dc_i
+        q = ((slq - dc_q) * g - c * i) * rs
+        # phase at raw index m of frame fi: phase0 + w*(fi*n_in + m);
+        # slice sample l sits at m = s + l
+        base = phase0 + w * (fidx * n_in + s.astype(jnp.float32))
+        cb, sb = jnp.cos(base)[:, None], jnp.sin(base)[:, None]
+        cm = cb * cr - sb * sr                    # cos(base + w*l)
+        sm = sb * cr + cb * sr
+        ir = i * cm + q * sm
+        qr = q * cm - i * sm
+        accr = acci = None
+        for t in range(n_taps):
+            wt = jnp.asarray(cf[t][0], jnp.float32)
+            for pw in range(1, deg + 1):
+                wt = wt * mu + jnp.asarray(cf[t][pw], jnp.float32)
+            tr = jax.lax.slice_in_dim(ir, t, t + out_len, axis=1) \
+                * wt[None, :]
+            tq = jax.lax.slice_in_dim(qr, t, t + out_len, axis=1) \
+                * wt[None, :]
+            accr = tr if accr is None else accr + tr
+            acci = tq if acci is None else acci + tq
+        return accr, acci
+
+    return correct
+
+
+def _nco_terms(cfo_hz, ratio, phase0, fs, slice_len, f, n_in):
+    """Per-call NCO constants: rad/sample, the fixed in-chunk ramp and
+    the frame index vector (2 transcendentals per frame-chunk total)."""
+    w = 2.0 * jnp.pi * cfo_hz / (fs * ratio)
+    mloc = jnp.arange(slice_len, dtype=jnp.float32)
+    cr = jnp.cos(w * mloc)[None, :]
+    sr = jnp.sin(w * mloc)[None, :]
+    fidx = jnp.arange(f, dtype=jnp.float32)
+    return (w, cr, sr, fidx, phase0, n_in)
+
+
 def make_frontend(n_out: int, fs: float, half: int = 8, deg: int = 7,
                   chunk: int = 16384, estimate_dc_iq: bool = True,
                   planar: bool = False):
@@ -194,32 +276,12 @@ def make_frontend(n_out: int, fs: float, half: int = 8, deg: int = 7,
     slice_len = chunk + 2 * half + 2
     cf = [[float(c) for c in coeffs[:, t]] for t in range(n_taps)]
 
+    correct = _make_slice_corrector(chunk, slice_len, half, deg, cf, n_taps)
+
     def frontend_planar(raw_r, raw_i, cfo_hz, ratio, pos0, phase0):
         f, n_in = raw_r.shape
-        if estimate_dc_iq:
-            dc_i = jnp.mean(raw_r, axis=1, keepdims=True)  # (F, 1)
-            dc_q = jnp.mean(raw_i, axis=1, keepdims=True)
-            i0, q0 = raw_r - dc_i, raw_i - dc_q
-            ei = jnp.mean(jnp.abs(i0), axis=1, keepdims=True)
-            eq = jnp.mean(jnp.abs(q0), axis=1, keepdims=True)
-            g = ei / jnp.maximum(eq, 1e-12)
-            c = jnp.mean(jnp.sign(i0) * q0, axis=1, keepdims=True) \
-                / jnp.maximum(ei, 1e-12)
-            dc_out = jnp.concatenate([dc_i, dc_q], axis=1)
-            giq = jnp.concatenate([g, c], axis=1)       # (F, 2)
-        else:
-            dc_i = dc_q = jnp.zeros((f, 1), jnp.float32)
-            g = jnp.ones((f, 1), jnp.float32)
-            c = jnp.zeros((f, 1), jnp.float32)
-            dc_out = jnp.zeros((f, 2), jnp.float32)
-            giq = jnp.zeros((f, 2), jnp.float32)
-        rs = 1.0 / jnp.sqrt(jnp.maximum(1.0 - c * c, 1e-6))
-        w = 2.0 * jnp.pi * cfo_hz / (fs * ratio)       # rad per RAW sample
-        # fixed in-chunk NCO ramp (raw-rate index within the slice)
-        mloc = jnp.arange(slice_len, dtype=jnp.float32)
-        cr = jnp.cos(w * mloc)[None, :]
-        sr = jnp.sin(w * mloc)[None, :]
-        fidx = jnp.arange(f, dtype=jnp.float32)
+        est, dc_out, giq = _estimate_dciq(raw_r, raw_i, estimate_dc_iq)
+        nco = _nco_terms(cfo_hz, ratio, phase0, fs, slice_len, f, n_in)
         pad = n_chunks * chunk + slice_len - n_in + half
         xr = jnp.pad(raw_r, ((0, 0), (0, max(pad, 0))))
         xi = jnp.pad(raw_i, ((0, 0), (0, max(pad, 0))))
@@ -233,33 +295,7 @@ def make_frontend(n_out: int, fs: float, half: int = 8, deg: int = 7,
             b = jnp.floor(jnp.minimum(r0, r0 + (chunk - 1) * delta))
             mu = r - b                            # in [0, ~1.9)
             s = (cn * chunk + b).astype(jnp.int32) - (half - 1)
-            sli = jax.lax.dynamic_slice_in_dim(xr, s, slice_len, axis=1)
-            slq = jax.lax.dynamic_slice_in_dim(xi, s, slice_len, axis=1)
-            # -- DC/IQ on the slice --
-            i = sli - dc_i
-            q = ((slq - dc_q) * g - c * i) * rs
-            # -- NCO: scalar per (frame, chunk) x fixed ramp --
-            # phase at raw index m of frame fi: phase0 + w*(fi*n_in + m);
-            # slice sample l sits at m = s + l
-            base = phase0 + w * (fidx * n_in + s.astype(jnp.float32))
-            cb, sb = jnp.cos(base)[:, None], jnp.sin(base)[:, None]
-            cm = cb * cr - sb * sr                # cos(base + w*l)
-            sm = sb * cr + cb * sr
-            ir = i * cm + q * sm
-            qr = q * cm - i * sm
-            # -- Farrow bank (Horner per tap, weights shared) --
-            accr = acci = None
-            for t in range(n_taps):
-                wt = jnp.asarray(cf[t][0], jnp.float32)
-                for pw in range(1, deg + 1):
-                    wt = wt * mu + jnp.asarray(cf[t][pw], jnp.float32)
-                tr = jax.lax.slice_in_dim(ir, t, t + chunk, axis=1) \
-                    * wt[None, :]
-                tq = jax.lax.slice_in_dim(qr, t, t + chunk, axis=1) \
-                    * wt[None, :]
-                accr = tr if accr is None else accr + tr
-                acci = tq if acci is None else acci + tq
-            return 0, (accr, acci)
+            return 0, correct(xr, xi, s, mu, est, nco)
 
         _, (cr_, ci_) = jax.lax.scan(body, 0, jnp.arange(n_chunks))
         out_r = jnp.moveaxis(cr_, 0, 1).reshape(f, n_chunks * chunk)
@@ -301,31 +337,12 @@ def make_frontend_symbols(n_sym: int, sym_size: int, guard: int,
     slice_len = fft + 2 * half + 2
     cf = [[float(c) for c in coeffs[:, t]] for t in range(n_taps)]
 
+    correct = _make_slice_corrector(fft, slice_len, half, deg, cf, n_taps)
+
     def frontend(raw_r, raw_i, cfo_hz, ratio, pos0, phase0):
         f, n_in = raw_r.shape
-        if estimate_dc_iq:
-            dc_i = jnp.mean(raw_r, axis=1, keepdims=True)
-            dc_q = jnp.mean(raw_i, axis=1, keepdims=True)
-            i0, q0 = raw_r - dc_i, raw_i - dc_q
-            ei = jnp.mean(jnp.abs(i0), axis=1, keepdims=True)
-            eq = jnp.mean(jnp.abs(q0), axis=1, keepdims=True)
-            g = ei / jnp.maximum(eq, 1e-12)
-            c = jnp.mean(jnp.sign(i0) * q0, axis=1, keepdims=True) \
-                / jnp.maximum(ei, 1e-12)
-            dc_out = jnp.concatenate([dc_i, dc_q], axis=1)
-            giq = jnp.concatenate([g, c], axis=1)
-        else:
-            dc_i = dc_q = jnp.zeros((f, 1), jnp.float32)
-            g = jnp.ones((f, 1), jnp.float32)
-            c = jnp.zeros((f, 1), jnp.float32)
-            dc_out = jnp.zeros((f, 2), jnp.float32)
-            giq = jnp.zeros((f, 2), jnp.float32)
-        rs = 1.0 / jnp.sqrt(jnp.maximum(1.0 - c * c, 1e-6))
-        w = 2.0 * jnp.pi * cfo_hz / (fs * ratio)
-        mloc = jnp.arange(slice_len, dtype=jnp.float32)
-        cr = jnp.cos(w * mloc)[None, :]
-        sr = jnp.sin(w * mloc)[None, :]
-        fidx = jnp.arange(f, dtype=jnp.float32)
+        est, dc_out, giq = _estimate_dciq(raw_r, raw_i, estimate_dc_iq)
+        nco = _nco_terms(cfo_hz, ratio, phase0, fs, slice_len, f, n_in)
         pad = int(np.ceil((p1_len + n_sym * sym_size + 2) * 1.001)) \
             + slice_len - n_in + half
         xr = jnp.pad(raw_r, ((0, 0), (0, max(pad, 0))))
@@ -342,28 +359,7 @@ def make_frontend_symbols(n_sym: int, sym_size: int, guard: int,
             b = jnp.floor(jnp.minimum(r0, r0 + (fft - 1) * delta))
             mu = r - b
             s = (k0 + b.astype(jnp.int32)) - (half - 1)
-            sli = jax.lax.dynamic_slice_in_dim(xr, s, slice_len, axis=1)
-            slq = jax.lax.dynamic_slice_in_dim(xi, s, slice_len, axis=1)
-            i = sli - dc_i
-            q = ((slq - dc_q) * g - c * i) * rs
-            base = phase0 + w * (fidx * n_in + s.astype(jnp.float32))
-            cb, sb = jnp.cos(base)[:, None], jnp.sin(base)[:, None]
-            cm = cb * cr - sb * sr
-            sm = sb * cr + cb * sr
-            ir = i * cm + q * sm
-            qr = q * cm - i * sm
-            accr = acci = None
-            for t in range(n_taps):
-                wt = jnp.asarray(cf[t][0], jnp.float32)
-                for pw in range(1, deg + 1):
-                    wt = wt * mu + jnp.asarray(cf[t][pw], jnp.float32)
-                tr = jax.lax.slice_in_dim(ir, t, t + fft, axis=1) \
-                    * wt[None, :]
-                tq = jax.lax.slice_in_dim(qr, t, t + fft, axis=1) \
-                    * wt[None, :]
-                accr = tr if accr is None else accr + tr
-                acci = tq if acci is None else acci + tq
-            return 0, (accr, acci)
+            return 0, correct(xr, xi, s, mu, est, nco)
 
         _, (cr_, ci_) = jax.lax.scan(body, 0, jnp.arange(n_sym))
         sym_r = jnp.moveaxis(cr_, 0, 1)            # (F, n_sym, fft)
