@@ -134,7 +134,13 @@ def main():
                 ("offset0.30", 0.30, 1.0),
                 ("scale0.750", 0.0, 0.750),
                 ("scale0.875", 0.0, 0.875),
-                ("off0.25+s0.9", 0.25, 0.9)]
+                ("off0.25+s0.9", 0.25, 0.9),
+                # larger effective offsets (offset-to-LLR-scale ratio:
+                # the shipped LLRs scale with inv_nvar, so 0.5 is only a
+                # few % of the typical magnitude at 19 dB)
+                ("offset1.00", 1.00, 1.0),
+                ("offset2.00", 2.00, 1.0),
+                ("offset4.00", 4.00, 1.0)]
     for name, off, sc in variants:
         t0 = time.time()
         iters = layered_minsum_iters(tab, synd_ok, llrs, off, sc,
