@@ -63,7 +63,10 @@ def main():
     ap.add_argument("--snr", type=float, default=19.0,
                     help="threshold-SNR operating point measured after the "
                          "clean headline (dB; <=0 disables)")
-    ap.add_argument("--frames", type=int, default=96)
+    ap.add_argument("--frames", type=int, default=128,
+                    help="frames per superstep (default 128 = the full "
+                         "codeword-slot space, every payload distinct; "
+                         "the pre-planar pipeline preferred 96)")
     ap.add_argument("--profile", action="store_true",
                     help="additionally time the frontend+demod-only "
                          "superstep (stage split for optimization work)")
