@@ -131,19 +131,24 @@ def sharded_fused_step(p: T2Params, plp: PLPParams, num_blocks: int,
     axes = tuple(mesh.axis_names)
     fe = None
     if with_frontend:
+        # the bench's exact head: the symbol-emitting fused front end
+        # (DC/IQ + NCO + Farrow reading at the post-P1, post-guard grid)
+        # feeding the demod's stripped-symbol entry, planar re/im
         from ..ops import frontend_device as fdev
         half = 8
         ratio = 1.0 + sco
-        n_samp = p.len_frame * p.symbol_size
-        fe = fdev.make_frontend(n_samp, p.sample_rate, half=half,
-                                chunk=4096)
+        fe = fdev.make_frontend_symbols(p.len_frame, p.symbol_size,
+                                        p.guard_size, p.sample_rate,
+                                        p1_len=0, half=half)
         fe_args = (jnp.float32(0.0), jnp.float32(ratio),
                    jnp.float32(half * ratio), jnp.float32(0.0))
 
     def local(bodies, inv_nvar):
         if fe is not None:
-            bodies, _, _ = fe(bodies, *fe_args)
-        llrs = mf._fn(bodies, inv_nvar)            # (N, nb, F) local
+            (sr, si), _, _ = fe(bodies[..., 0], bodies[..., 1], *fe_args)
+            llrs = mf._fn_syms(sr, si, inv_nvar)
+        else:
+            llrs = mf._fn(bodies, inv_nvar)        # (N, nb, F) local
         lf = jnp.transpose(llrs, (2, 1, 0))        # (F, nb, N)
         f, nb, n = lf.shape
         bits = decode(lf.reshape(f * nb, n).astype(jnp.float32))
