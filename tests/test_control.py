@@ -135,3 +135,42 @@ def test_control_stop_and_bad_commands(tmp_path):
     assert 2 <= st.frames_decoded < N_FRAMES   # stopped early, cleanly
     got = np.fromfile(f1, np.uint8)
     assert len(got) >= 188 and got[0] == 0x47
+
+
+def test_switch_plp_mid_stream_device_path(tmp_path):
+    """The control channel composes with the DEVICE receive path
+    (--device-path streaming): PLP switch mid-run, no loss, contiguous
+    per-PLP spans."""
+    from sdr_receiver_dvb_t2_tpu.rx.device_receiver import DeviceT2Receiver
+    samples = _two_plp_waveform()
+    ref0 = T2Receiver(plp_filter=0).receive(samples).ts
+    ref1 = T2Receiver(plp_filter=1).receive(samples).ts
+    f1 = str(tmp_path / "d1.ts")
+    f2 = str(tmp_path / "d2.ts")
+    sink = ioctl.SwitchableSink(path=f1)
+    ctrl = ioctl.ControlServer(sink)
+    dev = devices.SimulatedDevice(samples, snr_db=32)
+    sr = devices.StreamingReceiver(
+        dev, DeviceT2Receiver(plp_filter=0, stream_batch=3),
+        acq_seconds=0.025, block_seconds=0.007)
+    switched = []
+
+    def on_block(st, lock, rxstats):
+        if lock is not None and st.frames_decoded >= 4 and not switched:
+            rep = _cmd(ctrl.port, "PLP 1\nOUT " + f2 + "\n")
+            assert rep[0].startswith("OK") and rep[1].startswith("OK")
+            switched.append(st.frames_decoded)
+
+    st = sr.run(ts_sink=sink, on_block=on_block, control=ctrl)
+    ctrl.close()
+    sink.close()
+    assert switched and st.frames_decoded == N_FRAMES
+    assert st.reacquisitions == 0
+    got1 = np.fromfile(f1, np.uint8)
+    got2 = np.fromfile(f2, np.uint8)
+    np.testing.assert_array_equal(got1, ref0[:len(got1)])
+    if len(got2) and np.array_equal(got2[:188],
+                                    ref0[len(got1):len(got1) + 188]):
+        got2 = got2[188:]
+    assert len(got2) >= 5 * 188
+    assert bytes(got2) in bytes(ref1)

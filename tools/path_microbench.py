@@ -1,6 +1,14 @@
 #!/usr/bin/env python
 """Stage-level timing of the fused receive path on the real TPU.
 
+NOTE (round 4): the production head changed — the fused front end
+(ops/frontend_device.make_frontend_symbols) now emits GI-stripped
+FFT-ready symbol planes directly, so the [fft] prefix below includes a
+GI-strip/reshape pass the pipeline no longer performs; use
+`bench.py --profile` for the current head split (frontend only /
+frontend+demod+LLR) and this tool for the demod-internal deltas
+(fft vs equalize vs gathers vs LLR), which are unchanged.
+
 Times nested prefixes of the MultiFramePath pipeline with data-dependent
 chains (see verify skill: block_until_ready is unreliable on axon), so the
 difference between consecutive prefixes is the cost of the added stage:
