@@ -17,9 +17,12 @@ The timed superstep is the full steady-state receive path on device:
   -> batched BCH parity gate (MXU GF(2) matmul) + BB descramble/byte-pack
 
 so the measured number INCLUDES sample-domain correction (VERDICT r3
-missing #1).  CFO and SCO enter as tracking state (the product's P1
-acquisition + pilot SCO ladder supply them); DC and IQ imbalance are
-estimated inside the measured superstep.
+missing #1).  CFO, SCO and frame timing enter as tracking state that the
+PRODUCT'S OWN ACQUISITION estimates before the timed loop (T2Receiver
+acquisition + the streaming refine sequence, run on a contiguous 2-frame
+capture synthesized through the same impairer — estimation errors are
+printed; --oracle-tracking reverts to the constants); DC and IQ
+imbalance are estimated inside the measured superstep.
 
 Every one of the F frames carries a DISTINCT payload: frame f transmits
 the 128 FEC blocks cyclically rolled by f (a valid DVB-T2 frame — the
@@ -76,6 +79,11 @@ def main():
     ap.add_argument("--no-impairments", action="store_true",
                     help="skip the sample-domain front end (the r3 bench "
                          "shape; for stage-cost comparison only)")
+    ap.add_argument("--oracle-tracking", action="store_true",
+                    help="feed the impairment constants as tracking state "
+                         "instead of ESTIMATING them with the product's "
+                         "acquisition on a 2-frame capture (the default, "
+                         "VERDICT r4 weak #4)")
     args = ap.parse_args()
 
     import jax
@@ -216,18 +224,23 @@ def main():
     pos0 = HALF * ratio if not args.no_impairments else float(pad)
     phase0 = 0.35
 
-    def one_superstep(raw_r, raw_i, inv_nvar, gf):
+    def one_superstep(raw_r, raw_i, inv_nvar, gf, track):
         """raw planes (F, n_raw) x2, device-rate impaired samples ->
         (per-frame 64-bit byte hashes (F, 2), ok counts (F,), total LDPC
         iterations (), the rotating gate frame's BB bytes (kb8, B)).
+
+        `track` is the (4,) TRACED tracking state [cfo_hz, ratio, pos0,
+        phase0] the front end corrects with — by default the product's
+        own acquisition estimates it from an impaired 2-frame capture
+        (see estimate_tracking), so the measured superstep runs on
+        estimated state, not the impairment constants.
 
         The per-frame FEC tail runs as ONE lax.scan body (decode + BCH +
         byte pack + hash) instead of an F-way unroll: the unrolled form's
         program grew past what the AOT compiler host can hold once the
         front end joined the graph."""
-        (sr, si), _, _ = frontend(raw_r, raw_i, jnp.float32(cfo),
-                                  jnp.float32(ratio), jnp.float32(pos0),
-                                  jnp.float32(phase0))
+        (sr, si), _, _ = frontend(raw_r, raw_i, track[0], track[1],
+                                  track[2], track[3])
         llrs = mf._fn_syms(sr, si, inv_nvar)
         lf = jnp.transpose(llrs, (2, 0, 1))         # frame-major
         # SNR-steered first-check floor: below ~25 dB (inv_nvar < 316)
@@ -253,8 +266,9 @@ def main():
         return sums, oks, iters_tot, bytes_g
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(raw_r, raw_i, inv, gf):
-        sums, oks, iters_tot, bytes0 = one_superstep(raw_r, raw_i, inv, gf)
+    def step(raw_r, raw_i, inv, gf, track):
+        sums, oks, iters_tot, bytes0 = one_superstep(raw_r, raw_i, inv,
+                                                     gf, track)
         s_all = jnp.sum(sums, dtype=jnp.int32)
         # data-dependent feedback forces strictly serial device execution
         return (raw_r + s_all.astype(jnp.float32) * 1e-16, raw_i,
@@ -300,12 +314,94 @@ def main():
     def nvar_of(snr_db):
         return jnp.float32(0.0 if snr_db <= 0 else 10.0 ** (-snr_db / 10.0))
 
+    track_true = jnp.asarray([cfo, ratio, pos0, phase0], jnp.float32)
+
+    def estimate_tracking(snr_db):
+        """The PRODUCT's tracking state: synthesize a CONTIGUOUS 2-frame
+        capture through the same impairer (same CFO/SCO/DC/IQ/noise/ADC),
+        fetch it, and run T2Receiver acquisition + the streaming loop's
+        refine sequence (io/devices.py _acquire: derotate -> re-acquire ->
+        rebase ratio) on the host.  Returns the (4,) track vector the
+        timed superstep corrects with — estimated, not oracle — plus
+        prints the estimation errors vs the impairment constants.
+        Matches the reference's closed acquisition loops
+        (dvbt2_demodulator.cpp:321-330, 429-443)."""
+        from sdr_receiver_dvb_t2_tpu.rx import frontend as hostfe
+        from sdr_receiver_dvb_t2_tpu.rx.receiver import T2Receiver
+        n2 = 2 * n_samp
+        n_raw2 = int(np.ceil((n2 + pad) * ratio)) + 4 * HALF
+        impair2 = fdev.make_impairer(n_raw2, fs, half=HALF)
+
+        @jax.jit
+        def acq_raw(k, nvar_rel):
+            full = synth(ship)                   # (F, n_samp) complex
+            two = jnp.concatenate([full[0], full[1]])[None, :]
+            clean = jnp.stack([jnp.real(two), jnp.imag(two)], axis=-1)
+            clean = jnp.pad(clean, ((0, 0), (pad, 0), (0, 0)))
+            rms = jnp.sqrt(jnp.mean(clean[..., 0] ** 2
+                                    + clean[..., 1] ** 2))
+            dc = jnp.stack([DC_RE * rms, DC_IM * rms])
+            giq = jnp.asarray([IQ_G, IQ_C], jnp.float32)
+            pwr = jnp.mean(clean[..., 0] ** 2 + clean[..., 1] ** 2)
+            raw = impair2(clean, jnp.float32(cfo), jnp.float32(ratio),
+                          jnp.float32(phase0), dc, giq, k, nvar_rel * pwr)
+            # f16 planes: the tunnel moves ~0.5 MB/s, halve the fetch
+            return (raw[0, :, 0].astype(jnp.float16),
+                    raw[0, :, 1].astype(jnp.float16))
+        t0 = time.time()
+        ar, ai = acq_raw(jax.random.PRNGKey(11), nvar_of(snr_db))
+        x = (np.asarray(ar).astype(np.float32)
+             + 1j * np.asarray(ai).astype(np.float32)).astype(np.complex64)
+        print(f"acquisition capture: {n_raw2} samples fetched in "
+              f"{time.time()-t0:.0f}s", file=sys.stderr)
+        t0 = time.time()
+        rx = T2Receiver(fs=fs)
+        xc = x - np.mean(x)       # DC: the superstep estimates it on-device
+        cfo_acc, ratio_acc = 0.0, 1.0
+        ls = None
+        for _ in range(4):
+            ls = rx.acquire(xc)
+            if ls is None:
+                raise RuntimeError("bench acquisition failed to lock")
+            if abs(ls.cfo_hz) > 2.0:
+                n = np.arange(len(xc))
+                xc = (xc * np.exp(-2j * np.pi * ls.cfo_hz * n / fs)
+                      ).astype(np.complex64)
+                cfo_acc += ls.cfo_hz
+                continue
+            if abs(ls.sco) > 2e-7:
+                xc = hostfe.sinc_resample(xc, 1.0 + ls.sco)
+                ratio_acc *= (1.0 + ls.sco)
+                continue
+            break
+        cfo_e = cfo_acc + ls.cfo_hz
+        ratio_e = ratio_acc * (1.0 + ls.sco)
+        # stencil left-context floor: the Farrow bank reaches `half`
+        # samples left of the read position (the streaming chain keeps
+        # that halo structurally; reads below it clamp, corrupting the
+        # first chunk) — the P1 at the very buffer edge can be detected
+        # up to ~half samples early
+        pos0_e = max(float(ls.frame_start) * ratio_e, float(HALF))
+        print(f"estimated tracking state (acquired at "
+              f"{snr_db if snr_db > 0 else 33:g} dB in {time.time()-t0:.0f}s): "
+              f"cfo {cfo_e:+.1f} Hz (err {cfo_e-cfo:+.2f}), "
+              f"sco {(ratio_e-1)*1e6:+.2f} ppm "
+              f"(err {(ratio_e-ratio)*1e6:+.3f}), "
+              f"frame start {pos0_e:.2f} raw (err {pos0_e-pos0:+.2f} "
+              f"samples)", file=sys.stderr)
+        return jnp.asarray([cfo_e, ratio_e, pos0_e, 0.0], jnp.float32)
+
+    if args.no_impairments or args.oracle_tracking:
+        track = track_true
+    else:
+        track = estimate_tracking(args.snr)
+
     def gate(snr_db, label):
         """One superstep; returns (all hashes ok & BCH clean, TS bit-exact
         on the rotating gate frame, iters/frame)."""
         inv = jnp.float32(10.0 ** ((snr_db if snr_db > 0 else 33.0) / 10.0))
         rr, ri = fresh_raw(key, nvar_of(snr_db))
-        _, _, sums, oks, it, bytes0 = step(rr, ri, inv, d_gf)
+        _, _, sums, oks, it, bytes0 = step(rr, ri, inv, d_gf, track)
         sums = np.asarray(sums)                        # (F, 2)
         oks = np.asarray(oks)
         sums_ok = bool((sums == expect_frame).all())
@@ -340,7 +436,7 @@ def main():
         t0 = time.time()
         s = None
         for _ in range(n):
-            br, bi, s, _, _, _ = step(br, bi, inv, d_gf)
+            br, bi, s, _, _, _ = step(br, bi, inv, d_gf, track)
         int(np.asarray(s)[0, 0])  # forces the whole serial chain
         return time.time() - t0
 
@@ -370,17 +466,15 @@ def main():
     if args.profile:
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step_fe(raw_r, raw_i, _inv):
-            (sr, si), _, _ = frontend(raw_r, raw_i, jnp.float32(cfo),
-                                      jnp.float32(ratio), jnp.float32(pos0),
-                                      jnp.float32(phase0))
+            (sr, si), _, _ = frontend(raw_r, raw_i, track[0], track[1],
+                                      track[2], track[3])
             sd = jnp.sum(sr.astype(jnp.float32))
             return raw_r + sd * 1e-16, raw_i, sd
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step_demod(raw_r, raw_i, inv):
-            (sr, si), _, _ = frontend(raw_r, raw_i, jnp.float32(cfo),
-                                      jnp.float32(ratio), jnp.float32(pos0),
-                                      jnp.float32(phase0))
+            (sr, si), _, _ = frontend(raw_r, raw_i, track[0], track[1],
+                                      track[2], track[3])
             llrs = mf._fn_syms(sr, si, inv)
             sd = jnp.sum(llrs.astype(jnp.float32), dtype=jnp.float32)
             return raw_r + sd * 1e-16, raw_i, sd

@@ -21,6 +21,7 @@ on-device is one fused VPU op over the whole codeword batch.
 """
 from __future__ import annotations
 
+import bisect
 import functools
 from dataclasses import dataclass, field
 
@@ -63,7 +64,7 @@ def crc8_rows(rows: np.ndarray) -> np.ndarray:
     check vectorized across packets (m table steps instead of n*m Python
     iterations); dispatches to the native kernel when built (one C loop,
     the AVX-class throughput the reference gets from bb_de_header.cpp)."""
-    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    rows = np.asarray(rows, dtype=np.uint8)  # strided views: no copy
     from .. import native
     out = native.crc8_rows(rows)
     if out is not None:
@@ -284,6 +285,77 @@ def ts_to_bbframes(ts: np.ndarray, kbch: int, n_frames: int,
 
 # --- RX: BB frames -> TS ---
 
+class PacketList:
+    """Chronological TS-packet store over CHUNKED (n, 188) row blocks.
+
+    Presents the list-of-(188,)-arrays interface the assembler's
+    consumers use — len() = packet count, [i] = mutable row view (the NM
+    TEI back-mark writes through it), [a:b] = (k, 188) block for
+    flushing — without materializing one Python object per packet: at
+    bench rate (~4k packets/frame) the per-row-view overhead of
+    list.extend was the single largest host-tail cost."""
+    __slots__ = ("_blocks", "_starts", "_n")
+
+    def __init__(self):
+        self._blocks: list[np.ndarray] = []
+        self._starts: list[int] = []
+        self._n = 0
+
+    def __len__(self) -> int:
+        return self._n
+
+    def append(self, pkt: np.ndarray) -> None:
+        self.extend(np.asarray(pkt, np.uint8).reshape(1, -1))
+
+    def extend(self, rows: np.ndarray) -> None:
+        rows = np.asarray(rows, np.uint8)
+        if rows.ndim == 1:
+            rows = rows.reshape(1, -1)
+        if rows.shape[0] == 0:
+            return
+        self._blocks.append(rows)
+        self._starts.append(self._n)
+        self._n += rows.shape[0]
+
+    def _locate(self, i: int) -> tuple[int, int]:
+        b = bisect.bisect_right(self._starts, i) - 1
+        return b, i - self._starts[b]
+
+    def __getitem__(self, idx):
+        if isinstance(idx, slice):
+            start, stop, step = idx.indices(self._n)
+            if step != 1:
+                raise IndexError("PacketList slices are contiguous")
+            if start >= stop:
+                return np.zeros((0, TS_PACKET), np.uint8)
+            b0, r0 = self._locate(start)
+            b1, r1 = self._locate(stop - 1)
+            if b0 == b1:
+                return self._blocks[b0][r0:r1 + 1]
+            parts = ([self._blocks[b0][r0:]]
+                     + self._blocks[b0 + 1:b1]
+                     + [self._blocks[b1][:r1 + 1]])
+            return np.concatenate(parts, axis=0)
+        i = int(idx)
+        if i < 0:
+            i += self._n
+        if not 0 <= i < self._n:
+            raise IndexError(i)
+        b, r = self._locate(i)
+        return self._blocks[b][r]
+
+    def __iter__(self):
+        for blk in self._blocks:
+            yield from blk
+
+    def tobytes_flat(self) -> np.ndarray:
+        if self._n == 0:
+            return np.zeros(0, np.uint8)
+        if len(self._blocks) == 1:
+            return self._blocks[0].reshape(-1)
+        return np.concatenate(self._blocks, axis=0).reshape(-1)
+
+
 @dataclass
 class TSAssembler:
     """Stateful BB-frame -> TS reassembler mirroring bb_de_header.cpp.
@@ -294,7 +366,7 @@ class TSAssembler:
     After a bad header or a SYNCD mismatch the assembler flushes the partial
     packet 0xF0-padded with TEI set and re-locks at the frame's SYNCD.
     """
-    packets: list = field(default_factory=list)
+    packets: PacketList = field(default_factory=PacketList)
     errors: int = 0        # NM CRC mismatches / truncated packets
     bad_headers: int = 0
     resyncs: int = 0
@@ -468,9 +540,10 @@ class TSAssembler:
             block[:, 1:] = ups
         else:
             crc_bytes = ups[:, 0]
-            payloads = ups[:, 1:]
-            crcs = crc8_rows(payloads)
-            block[:, 1:] = payloads
+            block[:, 1:] = ups[:, 1:]
+            # CRC over the copied payload view (strided native kernel: no
+            # second materialization of the 187-byte columns)
+            crcs = crc8_rows(block[:, 1:])
             if (self._prev_crc is not None and self._last_idx is not None
                     and int(crc_bytes[0]) != self._prev_crc):
                 self.errors += 1
@@ -503,5 +576,4 @@ class TSAssembler:
         self._prev_crc = None
 
     def ts_bytes(self) -> np.ndarray:
-        return (np.concatenate(self.packets)
-                if self.packets else np.zeros(0, np.uint8))
+        return self.packets.tobytes_flat()

@@ -47,8 +47,12 @@ class SwitchableSink:
 
     def set_file(self, path: str) -> None:
         with self._lock:
+            # open FIRST: an unwritable path must not tear down the
+            # currently-working sink (the client already saw "OK" at
+            # queue time; the stream must keep flowing to the old target)
+            f = open(path, "wb")
             self._close_locked()
-            self._file = open(path, "wb")
+            self._file = f
 
     def set_udp(self, host: str, port: int) -> None:
         with self._lock:
@@ -95,6 +99,7 @@ class ControlServer:
         self._pending: list[tuple[str, str]] = []
         self._lock = threading.Lock()
         self._status: dict = {}
+        self._last_error: str | None = None
         self.stop_requested = False
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -178,20 +183,36 @@ class ControlServer:
         with self._lock:
             cmds, self._pending = self._pending, []
         for op, arg in cmds:
-            if op == "plp":
-                receiver.plp_filter = None if arg == "ALL" else int(arg)
-            elif op == "out":
-                flush_ts()
-                self.sink.set_file(arg)
-            elif op == "udp":
-                flush_ts()
-                host, _, port = arg.rpartition(":")
-                self.sink.set_udp(host or "127.0.0.1", int(port))
+            try:
+                if op == "plp":
+                    if getattr(receiver, "regen_sink", None) is not None:
+                        # same invariant as the cli startup guard: a
+                        # regenerated feed advertises a full multiplex, so
+                        # a mid-run PLP filter would silently starve it
+                        raise ValueError(
+                            "PLP filter rejected: regen sink attached "
+                            "(a regenerated multiplex needs every PLP)")
+                    receiver.plp_filter = None if arg == "ALL" else int(arg)
+                elif op == "out":
+                    flush_ts()
+                    self.sink.set_file(arg)
+                elif op == "udp":
+                    flush_ts()
+                    host, _, port = arg.rpartition(":")
+                    self.sink.set_udp(host or "127.0.0.1", int(port))
+            except (OSError, ValueError) as e:
+                # a bad target must not crash the running receiver (the
+                # previous sink stays attached — set_file opens before it
+                # closes); surface the failure in the next STATUS snapshot
+                with self._lock:
+                    self._last_error = f"{op} {arg}: {e}"
         return self.stop_requested
 
     def publish(self, status: dict) -> None:
         with self._lock:
             self._status = dict(status)
+            if self._last_error is not None:
+                self._status["control_error"] = self._last_error
 
     def close(self) -> None:
         self._done = True

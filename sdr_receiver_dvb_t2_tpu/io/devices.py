@@ -856,6 +856,12 @@ class StreamingReceiver:
                 chain.stages[0].ratio *= (1.0 + ck.sco_ppm * 1e-6)
                 chain.stages[0]._resampling = True
             else:                            # DeviceFrontendChain
-                chain.ratio *= (1.0 + ck.sco_ppm * 1e-6)
+                # rebase (append a post-stage resampler), don't just bump
+                # the reporting-only `ratio` attribute: process() resamples
+                # at _fine_ratio + _post stages, so a bare `ratio *=` would
+                # silently drop the checkpointed SCO correction and drift
+                # the frame grid (~sco_ppm * frame_samples per frame)
+                chain.rebase_ratio(np.zeros(0, np.complex64),
+                                   1.0 + ck.sco_ppm * 1e-6)
         restore_assembler(ck, assembler)
         return int(ck.sample_offset)

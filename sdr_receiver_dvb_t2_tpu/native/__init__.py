@@ -27,12 +27,17 @@ def _build() -> bool:
 
 
 def get_lib():
-    """Load (building if needed) the native library; None if unavailable."""
+    """Load (building if needed/stale) the native library; None if
+    unavailable.  Stale = ingest.cpp newer than the built .so."""
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not _build():
-        return None
+    src = os.path.join(_DIR, "ingest.cpp")
+    stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    if (not os.path.exists(_LIB_PATH) or stale) and not _build():
+        if not os.path.exists(_LIB_PATH):
+            return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.iq_int16_to_float.argtypes = [
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_float),
@@ -68,6 +73,12 @@ def get_lib():
     lib.crc8_rows.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8)]
+    try:
+        lib.crc8_rows_strided.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
+    except AttributeError:
+        pass   # pre-existing .so without the strided entry
     _lib = lib
     return lib
 
@@ -148,13 +159,25 @@ class IQRing:
 
 def crc8_rows(rows) -> "np.ndarray | None":
     """Native per-row CRC-8 (0xD5) of an (n, m) uint8 matrix; None when
-    the library is unavailable (caller falls back to NumPy)."""
+    the library is unavailable (caller falls back to NumPy).  A row-
+    strided view with a contiguous inner dim (e.g. `block[:, 1:]` of TS
+    rows) is processed in place — no defensive copy."""
     lib = get_lib()
     if lib is None:
         return None
-    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    rows = np.asarray(rows, dtype=np.uint8)
+    if rows.ndim != 2:
+        raise ValueError("crc8_rows wants (n, m)")
     n, m = rows.shape
     out = np.empty(n, dtype=np.uint8)
+    if (rows.strides[1] == 1 and rows.strides[0] >= m
+            and hasattr(lib, "crc8_rows_strided")):
+        lib.crc8_rows_strided(
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n, m, rows.strides[0],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out
+    rows = np.ascontiguousarray(rows)
     lib.crc8_rows(rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                   n, m, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out

@@ -173,26 +173,33 @@ static const uint8_t* crc8_table() {
     return tab;
 }
 
-void crc8_rows(const uint8_t* rows, int64_t n, int64_t m, uint8_t* out) {
+void crc8_rows_strided(const uint8_t* rows, int64_t n, int64_t m,
+                       int64_t stride, uint8_t* out) {
     const uint8_t* tab = crc8_table();
     int64_t i = 0;
     // 8 rows in flight: the table walk is a serial dependency chain per
-    // row, so interleaving 8 independent chains keeps the load ports busy
+    // row, so interleaving 8 independent chains keeps the load ports busy.
+    // `stride` is the row pitch in bytes (>= m), so a column-sliced view
+    // (e.g. the 187 payload bytes of 188-byte TS rows) needs no copy.
     for (; i + 8 <= n; i += 8) {
         const uint8_t* r[8];
         uint8_t c[8] = {0, 0, 0, 0, 0, 0, 0, 0};
-        for (int k = 0; k < 8; ++k) r[k] = rows + (i + k) * m;
+        for (int k = 0; k < 8; ++k) r[k] = rows + (i + k) * stride;
         for (int64_t j = 0; j < m; ++j) {
             for (int k = 0; k < 8; ++k) c[k] = tab[c[k] ^ r[k][j]];
         }
         for (int k = 0; k < 8; ++k) out[i + k] = c[k];
     }
     for (; i < n; ++i) {
-        const uint8_t* r = rows + i * m;
+        const uint8_t* r = rows + i * stride;
         uint8_t crc = 0;
         for (int64_t j = 0; j < m; ++j) crc = tab[crc ^ r[j]];
         out[i] = crc;
     }
+}
+
+void crc8_rows(const uint8_t* rows, int64_t n, int64_t m, uint8_t* out) {
+    crc8_rows_strided(rows, n, m, m, out);
 }
 
 // ---------------------------------------------------------------------------

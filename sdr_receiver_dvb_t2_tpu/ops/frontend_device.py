@@ -193,14 +193,17 @@ def _make_slice_corrector(out_len: int, slice_len: int, half: int,
 
     def correct(xr, xi, s, mu, est, nco):
         dc_i, dc_q, g, c, rs = est
-        w, cr, sr, fidx, phase0, n_in = nco
+        w, cr, sr, foff, phase0 = nco
         sli = jax.lax.dynamic_slice_in_dim(xr, s, slice_len, axis=1)
         slq = jax.lax.dynamic_slice_in_dim(xi, s, slice_len, axis=1)
         i = sli - dc_i
         q = ((slq - dc_q) * g - c * i) * rs
         # phase at raw index m of frame fi: phase0 + w*(fi*n_in + m);
-        # slice sample l sits at m = s + l
-        base = phase0 + w * (fidx * n_in + s.astype(jnp.float32))
+        # slice sample l sits at m = s + l.  The per-frame advance
+        # fi*(w*n_in) is pre-reduced mod 2pi in _nco_terms (a bare f32
+        # fidx*n_in product loses ~0.02 rad at F=128 x 2.4M samples);
+        # s < 2^24 stays exact in f32, so w*s rounds at <= ~2.4e-4 rad
+        base = phase0 + foff + w * s.astype(jnp.float32)
         cb, sb = jnp.cos(base)[:, None], jnp.sin(base)[:, None]
         cm = cb * cr - sb * sr                    # cos(base + w*l)
         sm = sb * cr + cb * sr
@@ -222,15 +225,46 @@ def _make_slice_corrector(out_len: int, slice_len: int, half: int,
     return correct
 
 
+def _mod2pi_prod(w, n: int):
+    """(w * n) mod 2pi to ~1e-6 rad for static int n < 2^24, traced f32 w.
+
+    A bare f32 product loses ulp(w*n) (~1e-4 rad at n=2.4M), and the
+    per-FRAME phase term multiplies that by the frame index — the ADVICE
+    r4 precision trap.  Dekker two-product (split halves, all partials
+    <= 24 mantissa bits, so exact) recovers the product's rounding error,
+    and a Cody-Waite 3-constant reduction subtracts k*2pi without
+    cancellation (p and k*C1 agree to within a factor 2, so p - k*C1 is
+    exact by Sterbenz)."""
+    two_pi = 2.0 * np.pi
+    C1 = np.float32(6.28125)                   # 11 significand bits
+    C2 = np.float32(two_pi - 6.28125)          # next ~24 bits
+    C3 = np.float32(two_pi - 6.28125 - float(np.float32(two_pi - 6.28125)))
+    # split w into ~12-bit halves (Dekker); n splits exactly by bit mask
+    t = w * jnp.float32(4097.0)                # 2^12 + 1
+    w_hi = t - (t - w)
+    w_lo = w - w_hi
+    n_hi = float(n & ~0xFFF)
+    n_lo = float(n & 0xFFF)
+    p = w * jnp.float32(float(n))
+    err = ((w_hi * n_hi - p) + w_hi * n_lo + w_lo * n_hi) + w_lo * n_lo
+    k = jnp.round(p / jnp.float32(two_pi))
+    return ((p - k * C1) + err) - k * C2 - k * C3
+
+
 def _nco_terms(cfo_hz, ratio, phase0, fs, slice_len, f, n_in):
     """Per-call NCO constants: rad/sample, the fixed in-chunk ramp and
-    the frame index vector (2 transcendentals per frame-chunk total)."""
+    the per-frame phase offsets (2 transcendentals per frame-chunk
+    total).  The per-frame advance theta = (w*n_in) mod 2pi is computed
+    with compensated arithmetic so phase continuity across the frame
+    axis holds to ~1e-4 rad for any F (not just approximately at large
+    F, where the old f32 fidx*n_in product drifted ~0.02 rad)."""
     w = 2.0 * jnp.pi * cfo_hz / (fs * ratio)
     mloc = jnp.arange(slice_len, dtype=jnp.float32)
     cr = jnp.cos(w * mloc)[None, :]
     sr = jnp.sin(w * mloc)[None, :]
-    fidx = jnp.arange(f, dtype=jnp.float32)
-    return (w, cr, sr, fidx, phase0, n_in)
+    theta = _mod2pi_prod(w, int(n_in))
+    foff = jnp.arange(f, dtype=jnp.float32) * theta
+    return (w, cr, sr, foff, phase0)
 
 
 def make_frontend(n_out: int, fs: float, half: int = 8, deg: int = 7,
@@ -393,7 +427,11 @@ def make_impairer(n_raw: int, fs: float, half: int = 8, deg: int = 7,
         x = resample(clean, 1.0 / ratio, float(half))
         w = 2.0 * jnp.pi * cfo_hz / (fs * ratio)
         m = jnp.arange(n_raw, dtype=jnp.float32)
-        base = phase0 + w * n_raw * jnp.arange(f, dtype=jnp.float32)
+        # per-frame advance reduced mod 2pi with compensated arithmetic —
+        # the same reduction the correction front end uses, so impairment
+        # and correction agree on the frame phase to ~1e-4 rad at any F
+        base = phase0 + _mod2pi_prod(w, n_raw) \
+            * jnp.arange(f, dtype=jnp.float32)
         ph = jnp.mod(base[:, None] + w * m[None, :], 2.0 * jnp.pi)
         cs, sn = jnp.cos(ph), jnp.sin(ph)
         i, q = x[..., 0], x[..., 1]

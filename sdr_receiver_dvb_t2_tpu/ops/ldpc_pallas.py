@@ -433,6 +433,14 @@ def qc_syndrome_ok(frame: FECFrame, rate: CodeRate, total_info, total_par):
     the reference decoder's `bad()` early-exit test
     (LDPC/layered_decoder.hh:65-82).  Returns (B,) bool.
     """
+    return qc_syndrome_weight(frame, rate, total_info, total_par) == 0
+
+
+def qc_syndrome_weight(frame: FECFrame, rate: CodeRate, total_info,
+                       total_par):
+    """Per-codeword count of FAILED parity checks ((B,) int32) — the
+    `qc_syndrome_ok` computation with the count exposed (used as the
+    difficulty signal in two-phase decode studies/scheduling)."""
     tab = qc_tables(frame, rate)
     hard_i = (total_info < 0).astype(jnp.int32)    # (G+1, 360, B)
     hard_p = (total_par < 0).astype(jnp.int32)     # (q, 360, B)
@@ -451,7 +459,7 @@ def qc_syndrome_ok(frame: FECFrame, rate: CodeRate, total_info, total_par):
             # u=0 has no previous parity
             acc = acc + jnp.roll(hard_p[tab.q - 1], 1, axis=0) * (1 - u0)
         bad = bad + jnp.sum(jax.lax.rem(acc, 2), axis=0)
-    return bad == 0
+    return bad
 
 
 def _make_layer_step(tab: QCTables, vti, vtp, c2v, msgs, u_iota, mask0,
@@ -1213,6 +1221,26 @@ def make_adaptive_decoder_nb(frame: FECFrame, rate: CodeRate,
     return jax.jit(decode)
 
 
+def build_layered_stepper(frame: FECFrame, rate: CodeRate,
+                          offset: float = 0.5, scale: float = 1.0,
+                          c2v_dtype=None):
+    """One layered sweep over explicit state, jitted:
+    fn(total_info, total_par, c2v) -> (total_info', total_par', c2v').
+
+    The exact `build_layered_decoder` schedule with the c2v message state
+    exposed, so convergence studies (tools/twophase_study.py) can observe
+    per-sweep syndromes and snapshot posteriors without re-running from
+    scratch.  `scale` multiplies the corrected magnitude (normalized
+    min-sum; scale=1 offset=0.5 is the shipped kernel).  `c2v_dtype`
+    (e.g. bf16) emulates the Pallas kernel's message storage precision:
+    new messages round to that dtype at write-back and the rounded value
+    feeds the total updates, exactly like `_make_layer_step`'s
+    `stored = (...).astype(DT)`."""
+    one_iteration = _build_one_iteration(qc_tables(frame, rate), offset,
+                                         scale=scale, c2v_dtype=c2v_dtype)
+    return jax.jit(lambda ti, tp, c2v: one_iteration((ti, tp, c2v)))
+
+
 def build_layered_decoder(frame: FECFrame, rate: CodeRate, iters: int,
                           offset: float = 0.5, interpret: bool = False):
     """Returns jitted fn(total_info, total_par) -> (total_info', total_par').
@@ -1223,10 +1251,27 @@ def build_layered_decoder(frame: FECFrame, rate: CodeRate, iters: int,
     """
     tab = qc_tables(frame, rate)
     q, degmax = tab.q, tab.degmax
+    one_iteration = _build_one_iteration(tab, offset)
+
+    def decode(total_info, total_par):
+        b = total_info.shape[-1]
+        c2v = jnp.zeros((q, degmax + 2, 360, b), total_info.dtype)
+        state = (total_info, total_par, c2v)
+        state = jax.lax.fori_loop(
+            0, iters, lambda _, s: one_iteration(s), state)
+        return state[0], state[1]
+
+    return jax.jit(decode)
+
+
+def _build_one_iteration(tab: QCTables, offset: float, scale: float = 1.0,
+                         c2v_dtype=None):
+    q, degmax = tab.q, tab.degmax
     layer_deg = tab.layer_deg
     entry_g = tab.entry_g
     entry_s = tab.entry_s
     off = np.float32(offset)
+    sc = np.float32(scale)
 
     def one_iteration(state):
         total_info, total_par, c2v = state
@@ -1268,7 +1313,12 @@ def build_layered_decoder(frame: FECFrame, rate: CodeRate, iters: int,
             for j, m in enumerate(msgs):
                 loo = jnp.where(amin == j, min2, min1)
                 sgn = sign_all * jnp.where(negs[j], -1.0, 1.0)
-                new_c2v.append(sgn * jnp.maximum(loo - off, 0.0))
+                nc = sgn * (jnp.maximum(loo - off, 0.0) * sc)
+                if c2v_dtype is not None:
+                    # kernel message-precision emulation: the stored
+                    # (rounded) value feeds the total updates too
+                    nc = nc.astype(c2v_dtype).astype(nc.dtype)
+                new_c2v.append(nc)
             # write back ADDITIVELY (delta = new - old message) so a group
             # appearing twice in one layer composes instead of overwriting
             for j in range(deg):
@@ -1296,12 +1346,4 @@ def build_layered_decoder(frame: FECFrame, rate: CodeRate, iters: int,
             c2v = c2v.at[t, degmax + 1].set(new_c2v[deg + 1])
         return total_info, total_par, c2v
 
-    def decode(total_info, total_par):
-        b = total_info.shape[-1]
-        c2v = jnp.zeros((q, degmax + 2, 360, b), total_info.dtype)
-        state = (total_info, total_par, c2v)
-        state = jax.lax.fori_loop(
-            0, iters, lambda _, s: one_iteration(s), state)
-        return state[0], state[1]
-
-    return jax.jit(decode)
+    return one_iteration

@@ -160,3 +160,94 @@ def test_gate_hashes_catch_frame_and_slot_permutations():
         perm = (r[None] * wb.astype(np.int64)).astype(np.int32).sum(
             axis=(1, 2), dtype=np.int32)
     assert not (perm == expect[1]).all()
+
+
+def test_acquisition_estimates_bench_tracking_state():
+    """The bench's estimate_tracking flow at CI scale: a CONTIGUOUS
+    2-frame capture through the impairer, product acquisition + the
+    streaming refine sequence on the host, and the mini-superstep run
+    with the ESTIMATED track vector — BCH-clean decode, estimation
+    errors within the tolerance the 32K gates rely on (VERDICT r4
+    weak #4: the bench must run on the product's own tracking state)."""
+    from sdr_receiver_dvb_t2_tpu.rx import frontend as hostfe
+    from sdr_receiver_dvb_t2_tpu.rx.receiver import T2Receiver
+    p, plp, out, bb0, frames = _setup()
+    fec = plp.fec
+    n_samp = p.frame_samples
+    half = 8
+    pad = 2 * half
+    sco, cfo = 2.2e-5, 800.0
+    ratio = 1.0 + sco
+    fs = 9.142857e6
+    n2 = 2 * n_samp
+    n_raw2 = int(np.ceil((n2 + pad) * ratio)) + 4 * half
+    impair2 = fdev.make_impairer(n_raw2, fs, half=half, chunk=8192)
+    two = np.concatenate([frames[0], frames[1]])[None, :]
+    clean = np.stack([two.real, two.imag], axis=-1).astype(np.float32)
+    clean = np.pad(clean, ((0, 0), (pad, 0), (0, 0)))
+    rms = float(np.sqrt(np.mean(clean[..., 0] ** 2 + clean[..., 1] ** 2)))
+    raw = np.asarray(impair2(
+        jnp.asarray(clean), cfo, ratio, 0.2,
+        jnp.asarray([0.01 * rms, -0.008 * rms], jnp.float32),
+        jnp.asarray([1.02, 0.01], jnp.float32),
+        jax.random.PRNGKey(5), jnp.float32(10 ** (-2.5))))  # ~25 dB
+    x = (raw[0, :, 0] + 1j * raw[0, :, 1]).astype(np.complex64)
+
+    rx = T2Receiver()
+    xc = x - np.mean(x)
+    cfo_acc, ratio_acc = 0.0, 1.0
+    ls = None
+    for _ in range(4):
+        ls = rx.acquire(xc)
+        assert ls is not None
+        if abs(ls.cfo_hz) > 2.0:
+            n = np.arange(len(xc))
+            xc = (xc * np.exp(-2j * np.pi * ls.cfo_hz * n / fs)
+                  ).astype(np.complex64)
+            cfo_acc += ls.cfo_hz
+            continue
+        if abs(ls.sco) > 2e-7:
+            xc = hostfe.sinc_resample(xc, 1.0 + ls.sco)
+            ratio_acc *= (1.0 + ls.sco)
+            continue
+        break
+    cfo_e = cfo_acc + ls.cfo_hz
+    ratio_e = ratio_acc * (1.0 + ls.sco)
+    # stencil left-context floor: the Farrow bank reaches `half` samples
+    # left of the read position (the streaming DeviceFrontendChain keeps
+    # that halo structurally; reads below it clamp and corrupt chunk 0)
+    pos0_e = max(float(ls.frame_start) * ratio_e, float(half))
+    pos0_true = half * ratio
+    # P1-based acquisition accuracy (the product's pre-pilot-tracking
+    # state): +-10 Hz CFO is ICI at ~-36 dB on 32K carriers — far below
+    # the operating noise; the decode gate below is the real criterion
+    assert abs(cfo_e - cfo) < 12.0, cfo_e
+    # pilot-slope SCO over one 8K frame gap: ~2 ppm residual (the 32K
+    # bench frame gap is 2.8x longer -> proportionally finer); 2 ppm
+    # drifts the frame-end FFT window ~4 samples into guard = -39 dB ISI
+    assert abs(ratio_e - ratio) * 1e6 < 3.0, (ratio_e - 1) * 1e6
+    # P1 timing: EARLY reads stay inside the guard interval (a pure
+    # per-carrier phase ramp the pilot EQ absorbs); LATE reads cross
+    # into the next symbol (ISI) and must stay within a few samples
+    assert -16.0 < pos0_e - pos0_true < 4.0, pos0_e
+
+    # mini-superstep (frame 0 only) on the ESTIMATED track: BCH clean
+    frontend = fdev.make_frontend(n_samp, fs, half=half, chunk=8192)
+    n_raw = int(np.ceil((n_samp + pad) * ratio)) + 4 * half
+    impair = fdev.make_impairer(n_raw, fs, half=half, chunk=8192)
+    clean1 = np.stack([frames.real, frames.imag], axis=-1
+                      ).astype(np.float32)
+    clean1 = np.pad(clean1, ((0, 0), (pad, 0), (0, 0)))
+    raw1 = impair(jnp.asarray(clean1), cfo, ratio, 0.2,
+                  jnp.asarray([0.01 * rms, -0.008 * rms], jnp.float32),
+                  jnp.asarray([1.02, 0.01], jnp.float32),
+                  jax.random.PRNGKey(5), jnp.float32(0.0))
+    bodies, _, _ = frontend(raw1, cfo_e, ratio_e, pos0_e, 0.0)
+    mf = fusedpath.MultiFramePath(p, plp, NB, F)
+    llrs = np.asarray(mf._fn(jnp.asarray(bodies)[:, 2048:],
+                             jnp.float32(1e3)))
+    dec = qldpc.make_decoder_nb(plp.fec_frame, plp.rate, iters=8, batch=NB,
+                                interpret=True)
+    bch_check = fec_device.make_bch_check_nb(plp.fec_frame, plp.rate)
+    bits = dec(jnp.asarray(llrs[:, :, 0]))
+    assert bool(np.asarray(bch_check(bits[:fec.n_bch])).all())

@@ -174,3 +174,56 @@ def test_switch_plp_mid_stream_device_path(tmp_path):
         got2 = got2[188:]
     assert len(got2) >= 5 * 188
     assert bytes(got2) in bytes(ref1)
+
+
+def test_control_bad_out_keeps_sink_and_reports(tmp_path):
+    """An unwritable OUT target must not crash the receiver loop: the
+    previous sink stays attached (set_file opens before it closes),
+    bytes keep flowing, and the failure surfaces in the next STATUS
+    snapshot (ADVICE r4)."""
+    f1 = str(tmp_path / "keep.ts")
+    sink = ioctl.SwitchableSink(path=f1)
+    ctrl = ioctl.ControlServer(sink)
+    try:
+        rep = _cmd(ctrl.port, "OUT /nonexistent-dir/zzz/out.ts\n")
+        assert rep[0].startswith("OK")   # queued; failure happens at apply
+
+        class RX:
+            pass
+
+        ctrl.poll(RX(), flush_ts=lambda: None)   # must not raise
+        sink(np.full(188, 0x47, np.uint8))       # old sink still works
+        ctrl.publish({"frames": 1})
+        rep = _cmd(ctrl.port, "STATUS\n")
+        d = json.loads(rep[0])
+        assert "zzz" in d.get("control_error", "")
+        assert d["frames"] == 1
+    finally:
+        ctrl.close()
+        sink.close()
+    got = np.fromfile(f1, np.uint8)
+    assert len(got) == 188 and got[0] == 0x47
+
+
+def test_control_plp_rejected_with_regen():
+    """PLP filtering is refused while a regen sink is attached (the cli
+    startup guard's invariant, applied to mid-run commands too: a
+    regenerated multiplex needs every PLP's BB frames)."""
+    sink = ioctl.SwitchableSink()
+    ctrl = ioctl.ControlServer(sink)
+    try:
+        _cmd(ctrl.port, "PLP 1\n")
+
+        class RX:
+            plp_filter = None
+            regen_sink = object()
+
+        rx = RX()
+        ctrl.poll(rx, flush_ts=lambda: None)
+        assert rx.plp_filter is None     # filter NOT applied
+        ctrl.publish({})
+        rep = _cmd(ctrl.port, "STATUS\n")
+        assert "regen" in json.loads(rep[0]).get("control_error", "")
+    finally:
+        ctrl.close()
+        sink.close()

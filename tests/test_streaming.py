@@ -400,6 +400,51 @@ def test_stream_checkpoint_chain_absolute_offsets(tmp_path):
     assert len(joined) >= len(ts_full) - 2 * 188
 
 
+def test_stream_checkpoint_resume_sco_device_chain(tmp_path):
+    """Checkpoint resume on the DEVICE front-end chain with a nonzero
+    saved SCO: the restored correction must actually resample (ADVICE r4
+    medium: a bare `ratio *=` on DeviceFrontendChain touched only the
+    reporting attribute — process() resamples at _fine_ratio + _post
+    stages — so the frame grid drifted ~sco_ppm * frame_samples per frame
+    and TS continuity across resume broke)."""
+    from sdr_receiver_dvb_t2_tpu.rx.device_receiver import DeviceT2Receiver
+    from sdr_receiver_dvb_t2_tpu.utils.checkpoint import StreamCheckpoint
+    flat, samples, p = _waveform(8)
+    ck_path = str(tmp_path / "dev.ck")
+
+    dev0 = devices.SimulatedDevice(samples, clock_ppm=60.0, snr_db=32)
+    st0, ts_full = _stream(dev0, receiver=DeviceT2Receiver(stream_batch=3))
+    assert st0.frontend == "DeviceFrontendChain"
+    # the +60 ppm clock shortens the capture: the final frame may truncate
+    assert st0.frames_decoded >= 7
+
+    dev1 = devices.SimulatedDevice(samples, clock_ppm=60.0, snr_db=32)
+    got1 = []
+    sr1 = devices.StreamingReceiver(dev1,
+                                    receiver=DeviceT2Receiver(stream_batch=3),
+                                    acq_seconds=0.025, block_seconds=0.007,
+                                    checkpoint_path=ck_path,
+                                    checkpoint_every=2)
+    sr1.run(ts_sink=got1.append, max_blocks=5)
+    ck = StreamCheckpoint.load(ck_path)
+    assert ck.frames_decoded >= 2
+    assert abs(ck.sco_ppm) > 20.0    # the SCO made it into the checkpoint
+
+    dev2 = devices.SimulatedDevice(samples, clock_ppm=60.0, snr_db=32)
+    got2 = []
+    sr2 = devices.StreamingReceiver(dev2,
+                                    receiver=DeviceT2Receiver(stream_batch=3),
+                                    acq_seconds=0.025, block_seconds=0.007)
+    st2 = sr2.run(ts_sink=got2.append, resume=ck_path)
+    assert st2.frames_decoded >= 1
+    ts1 = (np.concatenate(got1) if got1 else np.zeros(0, np.uint8)
+           )[:ck.ts_packets * 188]
+    ts2 = np.concatenate(got2) if got2 else np.zeros(0, np.uint8)
+    joined = np.concatenate([ts1, ts2])
+    np.testing.assert_array_equal(joined, ts_full[:len(joined)])
+    assert len(joined) >= len(ts_full) - 2 * 188
+
+
 def test_stream_miso():
     """MISO capture through the streaming loop (persistent lock + per-frame
     tracking + Alamouti combining); exceeds the SISO-only reference."""
