@@ -272,3 +272,31 @@ def equalize_frame(p: T2Params, carriers: np.ndarray) -> DemodResult:
     snr = 10.0 * np.log10(sig_acc / max(err_acc, 1e-30))
     return DemodResult(frame_cells=np.concatenate(cells_out), snr_db=snr,
                        timing_offset=float(timing))
+
+
+def gi_fine_cfo(p: T2Params, x: np.ndarray, frame_start: int,
+                fs: float, n_sym: int | None = None,
+                p1_len: int = 2048) -> float:
+    """Fine CFO (Hz) from guard-interval correlation averaged over the
+    frame's OFDM symbols — the reference's per-symbol fine frequency
+    loop (dvbt2_demodulator.cpp:321-330) in feed-forward form.
+
+    The P1 preamble's fractional-CFO readout is only good to a few tens
+    of Hz, which a 32K mode cannot tolerate (29 Hz residual = ~10% of
+    the 279 Hz carrier spacing = ICI near -15 dB); the cyclic prefix
+    gives an estimate unambiguous to +-fs/(2*fft) with ~Hz precision at
+    threshold SNR (len_frame * guard_size products averaged).  Leading
+    guard samples (the ISI-prone region under multipath) are skipped.
+    """
+    N, S, g = p.fft_size, p.symbol_size, p.guard_size
+    k0 = frame_start + p1_len
+    n_sym = n_sym if n_sym is not None else p.len_frame
+    n_sym = min(n_sym, max(0, (len(x) - k0 - N - g) // S))
+    if n_sym <= 0:
+        return 0.0
+    ks = np.arange(g // 4, g)
+    idx = k0 + np.arange(n_sym)[:, None] * S + ks[None, :]
+    a = x[idx]
+    c = x[idx + N]
+    z = np.sum(a * np.conj(c))
+    return float(-np.angle(z) * fs / (2.0 * np.pi * N))

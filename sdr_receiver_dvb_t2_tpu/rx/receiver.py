@@ -166,6 +166,17 @@ class T2Receiver:
             p1.fft_mode, l1pre, l1post,
             bandwidth=Bandwidth.from_rate(self.fs))
 
+        # fine CFO from guard-interval correlation: the P1 readout is
+        # only good to a few tens of Hz, which large FFT modes cannot
+        # tolerate (at 32K, 29 Hz is ~10% of the carrier spacing — ICI
+        # near -15 dB); the reference closes this with its per-symbol
+        # fine frequency loop (dvbt2_demodulator.cpp:321-330)
+        fine = rxdemod.gi_fine_cfo(params, x, p1.start, self.fs)
+        if abs(fine) > 1.0:
+            n = np.arange(len(x))
+            x = x * np.exp(-2j * np.pi * fine * n / self.fs)
+            stats.cfo_hz += fine
+
         # sample-clock-offset measurement: locate the next frame's P1 and
         # compare the spacing with the nominal frame length; a material
         # offset means the capture clock is off (the reference closes this
@@ -317,9 +328,13 @@ class T2Receiver:
                                 frame_idx0=l1post.dyn.frame_idx,
                                 n_t2=l1pre.num_t2_frames)
         self._last_l1post = l1post
+        # guard-interval fine CFO on top of the P1 readout (see receive):
+        # the streaming loop applies the reported value to its NCO, so
+        # large-FFT modes need the ~Hz-grade refinement here too
+        fine = rxdemod.gi_fine_cfo(params, x, p1.start, self.fs)
         return LockState(params=params, plps=plps, l1pre=l1pre,
                          l1post=l1post, frame_start=int(p1.start),
-                         cfo_hz=float(cfo), sco=float(sco),
+                         cfo_hz=float(cfo + fine), sco=float(sco),
                          snr_db=float(dres.snr_db),
                          frame_idx=int(l1post.dyn.frame_idx))
 

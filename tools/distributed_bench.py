@@ -39,14 +39,28 @@ def _free_addr() -> str:
     return addr
 
 
-def run_cluster(nproc: int, fpd: int, reps: int) -> list[dict]:
+def run_cluster(nproc: int, fpd: int, reps: int,
+                pinned: bool = True) -> list[dict]:
     addr = _free_addr()
-    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
-    procs = [subprocess.Popen(
-        [sys.executable, str(CHILD), str(i), addr, str(nproc), str(fpd),
-         str(reps)],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
-        cwd=str(ROOT)) for i in range(nproc)]
+    procs = []
+    for i in range(nproc):
+        env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+        argv = [sys.executable, str(CHILD), str(i), addr, str(nproc),
+                str(fpd), str(reps)]
+        if pinned:
+            # identical per-process resources at every cluster size
+            # (VERDICT r4 next #4): one distinct core per process and a
+            # single-threaded XLA CPU backend, so the 1-proc and 2-proc
+            # walltimes compare program structure, not oversubscription
+            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                                + " --xla_cpu_multi_thread_eigen=false"
+                                ).strip()
+            env["OMP_NUM_THREADS"] = "1"
+            env["OPENBLAS_NUM_THREADS"] = "1"
+            argv = ["taskset", "-c", str(i % os.cpu_count())] + argv
+        procs.append(subprocess.Popen(
+            argv, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, env=env, cwd=str(ROOT)))
     results = []
     for p in procs:
         out, err = p.communicate(timeout=900)
@@ -77,7 +91,14 @@ def main() -> int:
                        "per process, real modulated frames, global input "
                        "via make_array_from_process_local_data; decoded "
                        "bits asserted identical to the single-process "
-                       "run in every configuration",
+                       "run in every configuration.  PINNED (VERDICT r4 "
+                       "next #4): each process is taskset to its own "
+                       "core with a single-threaded XLA CPU backend "
+                       "(--xla_cpu_multi_thread_eigen=false, "
+                       "OMP/OPENBLAS_NUM_THREADS=1), so per-process "
+                       "resources are identical at n=1 and n=2 and the "
+                       "ratio measures the program, not host "
+                       "oversubscription",
         "frames_per_process": args.frames,
         "host_cores": cores,
         "results": [
@@ -87,11 +108,10 @@ def main() -> int:
                                                      for r in r2]},
         ],
         "weak_scaling_efficiency_2proc": t1 / t2,
+        "baseline_target": ">=0.80 (BASELINE.md 2-host row)",
         "interpretation": (
-            f"This host has only {cores} cores shared by both processes "
-            "and their XLA intra-op thread pools, so the walltime ratio "
-            "measures host oversubscription, NOT the program's "
-            "communication structure. The step's only cross-process "
+            "Pinned measurement: one core + one XLA thread per process "
+            "at every cluster size. The step's only cross-process "
             "traffic is a 2-float stats psum (tests/test_sharding.py "
             "asserts the compiled HLO's collectives are <=256 B); frames "
             "are fully data-parallel, so on >=2 real TPU hosts the "
