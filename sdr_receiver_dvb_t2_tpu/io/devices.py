@@ -277,6 +277,7 @@ class StreamStats:
     metrics: object = None        # utils.metrics.Metrics
     debug: dict | None = None     # one captured frame for stage plots
     frontend: str = ""            # corrector chain class actually used
+    last_raw: object = None       # decimated latest raw block (live spectrum)
 
 
 def _advance_grid(lock, start: int) -> None:
@@ -643,6 +644,12 @@ class StreamingReceiver:
             else:
                 st.blocks += 1
                 st.raw_samples += len(raw)
+                # decimated tap of the latest RAW block for the live
+                # spectrum pane (the reference's input spectrograph,
+                # main_window.cpp:393-441); ~4k samples, cheap copy
+                if len(raw):
+                    st.last_raw = np.array(
+                        raw[::max(1, len(raw) // 4096)][:4096])
                 lvl_state = self._agc(raw, st, lvl, lvl_state)
                 with st.metrics.stage("frontend", items=len(raw)):
                     out = chain.process(raw)

@@ -41,6 +41,39 @@ def render_constellation(cells: np.ndarray, rows: int = 12,
     return ["".join(shades[int(v)] for v in row) for row in lvl]
 
 
+def render_spectrum(x, rows: int = 6, cols: int = 56,
+                    span_db: float = 50.0) -> list[str]:
+    """ASCII power spectrum of the latest raw block (the reference GUI's
+    live input spectrograph, main_window.cpp:393-441, as text).
+
+    Welch-style: 512-point segments, |FFT|^2 averaged, fftshifted, folded
+    into `cols` bins; each column is a bar scaled over `span_db` below
+    the peak.  NaN/short/absent input renders an empty pane instead of
+    crashing the dashboard."""
+    grid = [[" "] * cols for _ in range(rows)]
+    n_fft = 512
+    if x is not None and len(x) >= n_fft:
+        c = np.asarray(x, np.complex64)
+        c = np.where(np.isfinite(c.real) & np.isfinite(c.imag), c, 0)
+        n_seg = len(c) // n_fft
+        seg = c[:n_seg * n_fft].reshape(n_seg, n_fft)
+        seg = seg * np.hanning(n_fft)[None, :]
+        psd = np.fft.fftshift(np.mean(np.abs(np.fft.fft(seg, axis=1)) ** 2,
+                                      axis=0))
+        binned = psd[:n_fft - n_fft % cols].reshape(cols, -1).mean(axis=1)
+        db = 10.0 * np.log10(np.maximum(binned, 1e-30))
+        top = float(db.max())
+        if np.isfinite(top):
+            h = np.clip((db - (top - span_db)) / span_db, 0.0, 1.0) * rows
+            for j in range(cols):
+                full = int(h[j])
+                for r in range(full):
+                    grid[rows - 1 - r][j] = "#"
+                if full < rows and h[j] - full > 0.5:
+                    grid[rows - 1 - full][j] = "."
+    return ["".join(r) for r in grid]
+
+
 def _bar(value: float, lo: float, hi: float, width: int = 24) -> str:
     frac = 0.0 if hi <= lo else (value - lo) / (hi - lo)
     if not np.isfinite(frac):
@@ -95,6 +128,9 @@ class LiveDashboard:
             f"  TS packets {st.ts_packets:8d}   errors {st.ts_errors:4d}   "
             f"L1 failures {rxstats.l1_failures:3d}",
         ]
+        lines.append("  input spectrum (50 dB span):")
+        lines.extend("   |" + r + "|" for r in
+                     render_spectrum(getattr(st, "last_raw", None)))
         cells = getattr(rxstats, "last_cells", None)
         label = getattr(rxstats, "last_cells_label", "")
         lines.append(f"  constellation: {label or '(waiting for lock)'}")

@@ -50,3 +50,54 @@ def test_dashboard_streams_and_redraws():
     assert "data cells" in text          # constellation label from the tap
     # in-place redraw uses ANSI erase-line
     assert "\x1b[2K" in text
+
+
+def test_render_spectrum_peak_and_nan_safety():
+    """The live spectrum pane (reference input spectrograph,
+    main_window.cpp:393-441): a strong tone fills its column tallest;
+    NaN/short input renders blank without crashing."""
+    from sdr_receiver_dvb_t2_tpu.utils.live import render_spectrum
+    n = 8192
+    t = np.arange(n)
+    # tone at +fs/4 -> after fftshift it sits at ~3/4 across the pane
+    x = (np.exp(2j * np.pi * 0.25 * t)
+         + 0.01 * (np.random.default_rng(0).normal(size=n)
+                   + 1j * np.random.default_rng(1).normal(size=n))
+         ).astype(np.complex64)
+    rows = render_spectrum(x, rows=6, cols=56)
+    assert len(rows) == 6 and all(len(r) == 56 for r in rows)
+    # the tone's column reaches the TOP row, and it is in the right half
+    top_cols = [c for c, ch in enumerate(rows[0]) if ch == "#"]
+    assert top_cols, rows
+    assert all(50 * 56 // 100 < c for c in top_cols), top_cols
+    # blank / NaN / short inputs
+    assert all(set(r) == {" "} for r in render_spectrum(None))
+    assert all(set(r) == {" "} for r in render_spectrum(np.zeros(16)))
+    bad = np.full(4096, np.nan + 1j * np.nan, np.complex64)
+    render_spectrum(bad)  # must not raise
+
+
+def test_dashboard_shows_spectrum_pane():
+    """--live shows input spectrum + constellation simultaneously
+    (VERDICT r4 next #7)."""
+    p, plp = small_config()
+    mod = T2Modulator(p, [plp])
+    ts = make_ts(mod.packets_needed(2) + 4, seed=1)
+    out = mod.modulate(ts.reshape(-1), 2)
+    dev = SimulatedDevice(out.samples, snr_db=30.0)
+    dev.init(0.0)
+    buf = io.StringIO()
+    dash = LiveDashboard(out=buf, interval=0.0)
+    sr = StreamingReceiver(dev, agc=False, acq_seconds=0.01)
+    st = sr.run(on_block=dash.update)
+    dash.close()
+    text = buf.getvalue()
+    assert st.frames_decoded >= 1
+    assert "input spectrum" in text
+    assert "data cells" in text          # constellation pane still there
+    # the OFDM block occupies most of the band: some spectrum ink exists
+    import re
+    plain = re.sub(r"\x1b\[[0-9;]*[A-Za-z]", "", text)
+    spec_rows = [ln for ln in plain.splitlines()
+                 if ln.strip().startswith("|") and ln.strip().endswith("|")]
+    assert any("#" in ln for ln in spec_rows)
