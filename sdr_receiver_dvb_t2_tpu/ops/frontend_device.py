@@ -349,7 +349,8 @@ def make_frontend(n_out: int, fs: float, half: int = 8, deg: int = 7,
 
 def make_frontend_symbols(n_sym: int, sym_size: int, guard: int,
                           fs: float, p1_len: int = 2048, half: int = 8,
-                          deg: int = 7, estimate_dc_iq: bool = True):
+                          deg: int = 7, estimate_dc_iq: bool = True,
+                          sym_order=None):
     """Correction front end emitting GI-STRIPPED OFDM symbols directly.
 
     fn(raw_r (F, n_in), raw_i (F, n_in), cfo_hz, ratio, pos0, phase0)
@@ -363,8 +364,17 @@ def make_frontend_symbols(n_sym: int, sym_size: int, guard: int,
     demod's GI-strip pass (a strided copy of ~94% of the frame,
     ~0.14 ms/frame at 32K) and the P1 slice.  One scan step per OFDM
     symbol; the in-symbol drift fft*|ratio-1| must stay under ~0.9
-    (32768 * 22 ppm = 0.72)."""
+    (32768 * 22 ppm = 0.72).
+
+    `sym_order` (optional, len n_sym permutation): EMIT the symbols in
+    this order — the scan just reads the frame grid permuted, so
+    reordering is free here, while downstream it turns the demod's
+    per-class strided symbol slices into contiguous column views
+    (pass fusedpath.FusedFrameDemod.sym_order and feed `_fn_syms`)."""
     fft = sym_size - guard
+    order = (np.arange(n_sym, dtype=np.int32) if sym_order is None
+             else np.asarray(sym_order, np.int32))
+    assert len(order) == n_sym
     coeffs, j_off, fit_err = farrow_bank(half=half, deg=deg)
     assert fit_err < 2e-4, f"farrow fit error {fit_err}"
     n_taps = len(j_off)
@@ -395,7 +405,7 @@ def make_frontend_symbols(n_sym: int, sym_size: int, guard: int,
             s = (k0 + b.astype(jnp.int32)) - (half - 1)
             return 0, correct(xr, xi, s, mu, est, nco)
 
-        _, (cr_, ci_) = jax.lax.scan(body, 0, jnp.arange(n_sym))
+        _, (cr_, ci_) = jax.lax.scan(body, 0, jnp.asarray(order))
         sym_r = jnp.moveaxis(cr_, 0, 1)            # (F, n_sym, fft)
         sym_i = jnp.moveaxis(ci_, 0, 1)
         return (sym_r, sym_i), dc_out, giq

@@ -179,3 +179,36 @@ def test_multiframe_bf16_demod_matches_f32_signs():
     if flips.any():
         # flips only at near-zero LLRs (ambiguous bits)
         assert np.abs(llr0[flips]).max() < 0.05 * np.abs(llr0).max()
+
+
+def test_syms_entry_class_ordered_matches_planes():
+    """The syms entry consumes CLASS-ORDERED GI-stripped symbols (the
+    fused front end emits them in demod.sym_order for free — its
+    per-symbol scan reads the grid permuted); LLRs must equal the
+    natural-order planes entry exactly."""
+    p, plp, _ = _setup()
+    mod = T2Modulator(p, [plp])
+    ts = RNG.integers(0, 256, (mod.packets_needed(2) + 4, 188)
+                      ).astype(np.uint8)
+    ts[:, 0] = 0x47
+    out = mod.modulate(ts.reshape(-1), 2)
+    bodies = []
+    for fi in range(2):
+        s0 = fi * p.frame_samples + 2048
+        b = out.samples[s0:s0 + p.len_frame * p.symbol_size]
+        bodies.append(np.stack([np.real(b), np.imag(b)], -1
+                               ).astype(np.float32))
+    bod = np.stack(bodies)
+    mf = fp.MultiFramePath(p, plp, 3, 2)
+    ref = np.asarray(mf._fn_planes(jnp.asarray(bod[..., 0]),
+                                   jnp.asarray(bod[..., 1]),
+                                   jnp.float32(1e3)))
+    syms = bod.reshape(2, p.len_frame, p.symbol_size, 2)[:, :,
+                                                         p.guard_size:, :]
+    so = mf.demod.sym_order
+    assert np.array_equal(np.sort(so), np.arange(p.len_frame))
+    ordered = syms[:, so]
+    got = np.asarray(mf._fn_syms(jnp.asarray(ordered[..., 0]),
+                                 jnp.asarray(ordered[..., 1]),
+                                 jnp.float32(1e3)))
+    np.testing.assert_array_equal(got, ref)

@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""MXU FFT stage microbench at bench scale (F frames x 60 symbols x 32K)
+on the real TPU: where does the 0.23 ms/frame FFT stage sit vs roofline,
+and does a bf16 input (frontend emitting bf16 symbol planes) help?
+
+Variants: copy (HBM roofline reference), fft32 (f32 input -> bf16 pipe,
+the current head), fft16 (bf16 input planes), fftf32 (f32 throughout).
+
+Usage: python tools/fft_microbench.py [F]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from sdr_receiver_dvb_t2_tpu.ops import mxu_fft
+
+    f = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    s, n = 60, 32768
+    rng = np.random.default_rng(0)
+    xr32 = jnp.asarray(rng.normal(size=(f, s, n)).astype(np.float32))
+    xi32 = jnp.asarray(rng.normal(size=(f, s, n)).astype(np.float32))
+    xr16 = xr32.astype(jnp.bfloat16)
+    xi16 = xi32.astype(jnp.bfloat16)
+
+    def chain(fn, a, b, label, reps=4):
+        def step(u, v):
+            p, q = fn(u, v)
+            sd = jnp.sum(p[0].astype(jnp.float32))
+            return u + (sd * 1e-24).astype(u.dtype), v, sd
+        step = jax.jit(step, donate_argnums=(0,))
+        t0 = time.time()
+        a, b, sd = step(a, b)
+        float(np.asarray(sd))
+        print(f"[{label}] compile+first {time.time()-t0:.0f}s",
+              file=sys.stderr)
+        t0 = time.time()
+        for _ in range(reps):
+            a, b, sd = step(a, b)
+        float(np.asarray(sd))
+        dt = (time.time() - t0) / reps
+        print(f"[{label}] {dt*1e3:.2f} ms per {f}-frame superstep "
+              f"({dt/f*1e3:.3f} ms/frame)", file=sys.stderr)
+
+    chain(lambda a, b: (a * 1.0000001, b), xr32, xi32, "copy f32 (roofline)")
+    chain(lambda a, b: mxu_fft.fft_carrier_major_planar(
+        a, b, n, dtype=jnp.bfloat16), xr32, xi32, "fft f32in bf16pipe")
+    chain(lambda a, b: mxu_fft.fft_carrier_major_planar(
+        a, b, n, dtype=jnp.bfloat16), xr16, xi16, "fft bf16in bf16pipe")
+    chain(lambda a, b: mxu_fft.fft_carrier_major_planar(
+        a, b, n, dtype=jnp.float32), xr32, xi32, "fft f32 throughout")
+
+
+if __name__ == "__main__":
+    main()
