@@ -212,11 +212,13 @@ def main():
     # (the (F, n, 2) trailing-pair layout costs a tile-padded pass per
     # stage) and the resampler reads at the post-P1, post-guard sample
     # grid directly, deleting the demod's GI-strip copy
-    # class-ordered emission: the demod's per-class strided symbol
-    # slices become contiguous column views (free on the frontend side)
+    # class-ordered emission (demod slices classes as contiguous views)
+    # + bf16 symbol planes (halves the frontend write + FFT read; the
+    # demod pipe is bf16 downstream anyway)
     frontend = fdev.make_frontend_symbols(p.len_frame, p.symbol_size,
                                           p.guard_size, fs, half=HALF,
-                                          sym_order=mf.demod.sym_order)
+                                          sym_order=mf.demod.sym_order,
+                                          out_dtype=jnp.bfloat16)
     impair = fdev.make_impairer(n_raw, fs, half=HALF)
     cfo = 0.0 if args.no_impairments else CFO_HZ
     # impaired: the impairer consumed `pad` clean pre-pad samples via its

@@ -350,7 +350,7 @@ def make_frontend(n_out: int, fs: float, half: int = 8, deg: int = 7,
 def make_frontend_symbols(n_sym: int, sym_size: int, guard: int,
                           fs: float, p1_len: int = 2048, half: int = 8,
                           deg: int = 7, estimate_dc_iq: bool = True,
-                          sym_order=None):
+                          sym_order=None, out_dtype=None):
     """Correction front end emitting GI-STRIPPED OFDM symbols directly.
 
     fn(raw_r (F, n_in), raw_i (F, n_in), cfo_hz, ratio, pos0, phase0)
@@ -370,7 +370,14 @@ def make_frontend_symbols(n_sym: int, sym_size: int, guard: int,
     this order — the scan just reads the frame grid permuted, so
     reordering is free here, while downstream it turns the demod's
     per-class strided symbol slices into contiguous column views
-    (pass fusedpath.FusedFrameDemod.sym_order and feed `_fn_syms`)."""
+    (pass fusedpath.FusedFrameDemod.sym_order and feed `_fn_syms`).
+
+    `out_dtype` (e.g. bf16): symbol planes are emitted in this dtype —
+    halves the frontend's output write AND the MXU FFT's input read
+    (~0.09 ms/frame at the 32K bench shape; the demod pipe is bf16
+    downstream of the FFT anyway, and the FFT accumulates in f32, so
+    the added quantization sits at ~-40 dB, far under every operating
+    point's noise)."""
     fft = sym_size - guard
     order = (np.arange(n_sym, dtype=np.int32) if sym_order is None
              else np.asarray(sym_order, np.int32))
@@ -403,7 +410,10 @@ def make_frontend_symbols(n_sym: int, sym_size: int, guard: int,
             b = jnp.floor(jnp.minimum(r0, r0 + (fft - 1) * delta))
             mu = r - b
             s = (k0 + b.astype(jnp.int32)) - (half - 1)
-            return 0, correct(xr, xi, s, mu, est, nco)
+            cr, ci = correct(xr, xi, s, mu, est, nco)
+            if out_dtype is not None:
+                cr, ci = cr.astype(out_dtype), ci.astype(out_dtype)
+            return 0, (cr, ci)
 
         _, (cr_, ci_) = jax.lax.scan(body, 0, jnp.asarray(order))
         sym_r = jnp.moveaxis(cr_, 0, 1)            # (F, n_sym, fft)

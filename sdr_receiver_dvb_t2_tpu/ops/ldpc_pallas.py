@@ -1223,7 +1223,7 @@ def make_adaptive_decoder_nb(frame: FECFrame, rate: CodeRate,
 
 def build_layered_stepper(frame: FECFrame, rate: CodeRate,
                           offset: float = 0.5, scale: float = 1.0,
-                          c2v_dtype=None):
+                          c2v_dtype=None, layer_order=None):
     """One layered sweep over explicit state, jitted:
     fn(total_info, total_par, c2v) -> (total_info', total_par', c2v').
 
@@ -1237,7 +1237,8 @@ def build_layered_stepper(frame: FECFrame, rate: CodeRate,
     feeds the total updates, exactly like `_make_layer_step`'s
     `stored = (...).astype(DT)`."""
     one_iteration = _build_one_iteration(qc_tables(frame, rate), offset,
-                                         scale=scale, c2v_dtype=c2v_dtype)
+                                         scale=scale, c2v_dtype=c2v_dtype,
+                                         layer_order=layer_order)
     return jax.jit(lambda ti, tp, c2v: one_iteration((ti, tp, c2v)))
 
 
@@ -1265,17 +1266,20 @@ def build_layered_decoder(frame: FECFrame, rate: CodeRate, iters: int,
 
 
 def _build_one_iteration(tab: QCTables, offset: float, scale: float = 1.0,
-                         c2v_dtype=None):
+                         c2v_dtype=None, layer_order=None):
     q, degmax = tab.q, tab.degmax
     layer_deg = tab.layer_deg
     entry_g = tab.entry_g
     entry_s = tab.entry_s
     off = np.float32(offset)
     sc = np.float32(scale)
+    order = list(range(q)) if layer_order is None else \
+        [int(t) for t in layer_order]
+    assert sorted(order) == list(range(q))
 
     def one_iteration(state):
         total_info, total_par, c2v = state
-        for t in range(q):
+        for t in order:
             deg = int(layer_deg[t])
             # gather v2c messages for this layer, aligned to check index u
             msgs = []

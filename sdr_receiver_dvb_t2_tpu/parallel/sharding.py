@@ -140,7 +140,8 @@ def sharded_fused_step(p: T2Params, plp: PLPParams, num_blocks: int,
         fe = fdev.make_frontend_symbols(p.len_frame, p.symbol_size,
                                         p.guard_size, p.sample_rate,
                                         p1_len=0, half=half,
-                                        sym_order=mf.demod.sym_order)
+                                        sym_order=mf.demod.sym_order,
+                                        out_dtype=jnp.bfloat16)
         fe_args = (jnp.float32(0.0), jnp.float32(ratio),
                    jnp.float32(half * ratio), jnp.float32(0.0))
 

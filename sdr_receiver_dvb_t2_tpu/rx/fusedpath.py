@@ -46,6 +46,16 @@ class _Class:
         self.stencil = stencil          # (il, ir, w): row indices + weight
         self.comp_rows = comp_rows      # (n_data_c,) data+FI composed rows
         self.miso = miso                # dict, see FusedFrameDemod.__init__
+        # comp-first variant: the interp stencil REMAPPED to composed data
+        # rows, so the channel is only ever computed where it is consumed
+        # and the equalizer writes directly in composed order (no full-k
+        # intermediate, no trailing comp gather)
+        il, ir, w = stencil
+        wf = np.asarray(w).reshape(-1)
+        self.comp_stencil = (il[comp_rows], ir[comp_rows],
+                             wf[comp_rows].reshape(-1, 1))
+        self.pilot_rows_wrapped = None  # set when the demod folds fftshift
+        self.comp_rows_wrapped = None
         # classes are arithmetic progressions of symbol indices by
         # construction (P2 parity / l mod dy / FC) -> expressible as a
         # strided slice, which is much cheaper than a middle-axis gather
@@ -169,6 +179,35 @@ def _eq_class_planar(c: _Class, xcr, xci, rep: int, ests=None):
     return out_r[fi], out_i[fi]
 
 
+def _eq_class_comp(c: _Class, xcr, xci, rep: int, wrapped: bool = False):
+    """Comp-first SISO equalize: the channel is interpolated ONLY at the
+    composed data rows (comp_stencil) and the one-tap equalizer writes
+    directly in composed (frequency-deinterleaved) order — no full-k
+    intermediate, no trailing comp gather.  With wrapped=True the row
+    tables carry the fftshift offset, so xcr/xci are the RAW (fft, lanes)
+    carrier-major FFT output and the to_carriers concat pass disappears.
+    Element-for-element the same arithmetic as `_eq_class_planar`
+    followed by the comp gather (bit-identical outputs)."""
+    dt = xcr.dtype
+    prow = c.pilot_rows_wrapped if wrapped else c.pilot_rows
+    drow = c.comp_rows_wrapped if wrapped else c.comp_rows
+    iref = jnp.asarray(
+        np.repeat(c.inv_ref, rep, axis=1) if rep > 1 else c.inv_ref,
+        dtype=dt)
+    epr = xcr[prow] * iref
+    epi = xci[prow] * iref
+    il, ir, w = c.comp_stencil
+    w = jnp.asarray(w, dtype=dt)
+    chr_ = epr[il] * (1.0 - w) + epr[ir] * w
+    chi_ = epi[il] * (1.0 - w) + epi[ir] * w
+    xdr = xcr[drow]
+    xdi = xci[drow]
+    inv = 1.0 / (chr_ * chr_ + chi_ * chi_)
+    eqr = (xdr * chr_ + xdi * chi_) * inv
+    eqi = (xdi * chr_ - xdr * chi_) * inv
+    return eqr, eqi
+
+
 class FusedFrameDemod:
     """Carrier-major demod: (len_frame*symbol_size, 2) -> per-class data-cell
     blocks plus the host-side `layout` map (frame cell index -> flat
@@ -256,6 +295,16 @@ class FusedFrameDemod:
         # middle-axis copies (~0.14 ms/frame at the 32K bench shape)
         self.sym_order = np.concatenate(
             [np.asarray(c.sym_cols) for c in self.classes]).astype(np.int32)
+        # fftshift-wrapped row tables: carrier row r lives at FFT output
+        # row (s0 + r) % fft, so the comp-first path can index the raw
+        # carrier-major FFT output directly and skip the to_carriers
+        # concat pass entirely
+        s0 = (p.left_nulls - p.fft_size // 2) % p.fft_size
+        for c in self.classes:
+            c.pilot_rows_wrapped = ((s0 + c.pilot_rows) % p.fft_size
+                                    ).astype(np.int32)
+            c.comp_rows_wrapped = ((s0 + c.comp_rows) % p.fft_size
+                                   ).astype(np.int32)
         if p.miso:
             self._resolve_miso_partners()
         self._fn = jax.jit(self._build())
@@ -666,8 +715,15 @@ class MultiFramePath:
                 return jnp.concatenate(
                     [v[s0:], v[:s0 + p.k_total - p.fft_size]], axis=0)
 
-            xr = to_carriers(xkr)                      # (k, n_sym, F)
-            xi = to_carriers(xki)
+            # comp-first route (ordered SISO): the class row tables carry
+            # the fftshift wrap, so the raw FFT output is indexed
+            # directly — no to_carriers concat pass
+            comp_first = ordered and not p.miso
+            if comp_first:
+                xr, xi = xkr, xki                      # (fft, n_sym, F)
+            else:
+                xr = to_carriers(xkr)                  # (k, n_sym, F)
+                xi = to_carriers(xki)
 
             def class_slices(c):
                 # flatten (nc, F) into one dense lane axis: (nc=10, F) minor
@@ -699,7 +755,10 @@ class MultiFramePath:
                         for c, (a, b) in zip(classes, xs)]
             outs_r, outs_i = [], []
             for c, (a, b) in zip(classes, xs):
-                eqr, eqi = _eq_class_planar(c, a, b, f, ests=ests)
+                if comp_first:
+                    eqr, eqi = _eq_class_comp(c, a, b, f, wrapped=True)
+                else:
+                    eqr, eqi = _eq_class_planar(c, a, b, f, ests=ests)
                 outs_r.append(eqr.reshape(-1, f))
                 outs_i.append(eqi.reshape(-1, f))
             fr = jnp.concatenate(outs_r, axis=0)   # (total, F)

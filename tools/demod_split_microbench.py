@@ -50,6 +50,9 @@ def main():
     dd = mf.demod_dtype
     tails = [mf._make_tail(pa) for pa in mf.paths]
 
+    sym_off = np.concatenate(
+        [[0], np.cumsum([c.count for c in classes])]).astype(int)
+
     def prefix(stage):
         s0 = (p.left_nulls - p.fft_size // 2) % p.fft_size
 
@@ -60,6 +63,7 @@ def main():
                 [v[s0:], v[:s0 + p.k_total - p.fft_size]], axis=0)
 
         def run(sym_r, sym_i, inv_nvar):
+            # CLASS-ORDERED symbols (the production syms entry)
             xkr, xki = mxu_fft.fft_carrier_major_planar(
                 sym_r, sym_i, p.fft_size, dtype=dd)
             if stage == "fft":
@@ -68,14 +72,15 @@ def main():
             if stage == "carr":
                 return jnp.sum(xr.astype(jnp.float32))
 
-            def class_slices(c):
-                nw = c.count * f
+            def class_slices_ordered(ci, c):
+                o = int(sym_off[ci])
                 sl = lambda a: jax.lax.slice_in_dim(
-                    a, c.start, c.start + c.step * (c.count - 1) + 1,
-                    c.step, axis=1).reshape(-1, nw)
+                    a.reshape(a.shape[0], -1), o * f, (o + c.count) * f,
+                    axis=1)
                 return sl(xr), sl(xi)
 
-            xs = [class_slices(c) for c in classes]
+            xs = [class_slices_ordered(ci, c)
+                  for ci, c in enumerate(classes)]
             if stage == "slices":
                 return sum(jnp.sum(a.astype(jnp.float32)) for a, _ in xs)
             outs_r, outs_i = [], []
@@ -87,6 +92,13 @@ def main():
             fi_ = jnp.concatenate(outs_i, axis=0)
             if stage == "eq":
                 return jnp.sum(fr.astype(jnp.float32))
+            if stage == "gather":
+                both = jnp.concatenate([fr, fi_], axis=1)
+                cpf = plp.cells_per_fec_block
+                comp_cm = mf.paths[0].comp.reshape(
+                    num_blocks, cpf).T.reshape(-1)
+                g = both[comp_cm]
+                return jnp.sum(g.astype(jnp.float32))
             out, evm = tails[0](fr, fi_, inv_nvar)
             return jnp.sum(out.astype(jnp.float32))
 
@@ -99,7 +111,7 @@ def main():
         size=(f, p.len_frame, p.fft_size)).astype(np.float32))
     inv = jnp.float32(100.0)
 
-    for stage in ("fft", "carr", "slices", "eq", "llr"):
+    for stage in ("fft", "carr", "slices", "eq", "gather", "llr"):
         fn = prefix(stage)
 
         def step(sr, si, iv):

@@ -33,6 +33,7 @@ def main():
     xi16 = xi32.astype(jnp.bfloat16)
 
     def chain(fn, a, b, label, reps=4):
+        a = a + 0  # fresh buffer per chain (donation below consumes it)
         def step(u, v):
             p, q = fn(u, v)
             sd = jnp.sum(p[0].astype(jnp.float32))
@@ -58,6 +59,41 @@ def main():
         a, b, n, dtype=jnp.bfloat16), xr16, xi16, "fft bf16in bf16pipe")
     chain(lambda a, b: mxu_fft.fft_carrier_major_planar(
         a, b, n, dtype=jnp.float32), xr32, xi32, "fft f32 throughout")
+
+    # prototype: twiddle FOLDED into stage 1 as m-batched weights
+    # ("fsnm,nkm->fskm") — deletes the br/bi intermediate round trip
+    n1, n2 = mxu_fft._FACTORS[n]
+    w1, w2, tw = mxu_fft._tables(n)
+    W = w1[:, :, None] * tw[None, :, :]          # (n1, k1, n2) complex
+    dt = jnp.bfloat16
+    Wr = jnp.asarray(np.ascontiguousarray(W.real), dtype=dt)
+    Wi = jnp.asarray(np.ascontiguousarray(W.imag), dtype=dt)
+    w2r = jnp.asarray(np.ascontiguousarray(w2.real), dtype=dt)
+    w2i = jnp.asarray(np.ascontiguousarray(w2.imag), dtype=dt)
+
+    def fft_fused(a, b):
+        yr = a.astype(dt).reshape(f, s, n1, n2)
+        yi = b.astype(dt).reshape(f, s, n1, n2)
+
+        def mm(u, w):
+            return jnp.einsum("fsnm,nkm->fskm", u, w,
+                              preferred_element_type=jnp.float32
+                              ).astype(dt)
+
+        br = mm(yr, Wr) - mm(yi, Wi)
+        bi = mm(yr, Wi) + mm(yi, Wr)
+
+        def mm2(u, w):
+            return jnp.einsum("fskm,ml->lksf", u, w,
+                              preferred_element_type=jnp.float32
+                              ).astype(dt)
+
+        out_r = mm2(br, w2r) - mm2(bi, w2i)
+        out_i = mm2(br, w2i) + mm2(bi, w2r)
+        return out_r.reshape(n, s, f), out_i.reshape(n, s, f)
+
+    chain(fft_fused, xr32, xi32, "fft f32in tw-fused")
+    chain(fft_fused, xr16, xi16, "fft bf16in tw-fused")
 
 
 if __name__ == "__main__":

@@ -54,11 +54,12 @@ def natural_to_totals(tab, llrs_nat, jnp):
 
 def decode_study(qc, frame, rate, tab, llrs_nat, max_iters, record_at,
                  jax, jnp, label="", offset=0.5, scale=1.0,
-                 c2v_dtype=None):
+                 c2v_dtype=None, layer_order=None):
     """Sweep-by-sweep decode; returns (iters (B,), snapshots
     {k: (ti, tp) device arrays}, synd0 (B,))."""
     step = qc.build_layered_stepper(frame, rate, offset=offset,
-                                    scale=scale, c2v_dtype=c2v_dtype)
+                                    scale=scale, c2v_dtype=c2v_dtype,
+                                    layer_order=layer_order)
     syndw = jax.jit(lambda a, b: qc.qc_syndrome_weight(frame, rate, a, b))
     ti, tp = natural_to_totals(tab, llrs_nat, jnp)
     B = llrs_nat.shape[0]
@@ -104,6 +105,11 @@ def main():
                          "precision (the f32 study showed the mirror at "
                          "12.0 sweeps vs the kernel's measured 13.9 — "
                          "the gap is message storage precision)")
+    ap.add_argument("--schedules", action="store_true",
+                    help="compare LAYER-ORDER schedules (a static loop "
+                         "permutation in the kernel, zero runtime cost): "
+                         "does any order beat natural 0..q-1 on "
+                         "iterations-to-clean?")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -159,6 +165,33 @@ def main():
         "n_lowllr<2": (absl < 2.0).sum(axis=1).astype(np.float64),
         "n_lowllr<5": (absl < 5.0).sum(axis=1).astype(np.float64),
     }
+
+    if args.schedules:
+        q = tab.q
+        llrs_q = llrs.astype(jnp.bfloat16).astype(np.float32)
+        rs = np.random.default_rng(1)
+        orders = [
+            ("natural", list(range(q))),
+            ("reversed", list(range(q))[::-1]),
+            ("evens-odds", list(range(0, q, 2)) + list(range(1, q, 2))),
+            ("stride4", [t for r in range(4) for t in range(r, q, 4)]),
+            ("rand7", list(np.random.default_rng(7).permutation(q))),
+            ("rand13", list(np.random.default_rng(13).permutation(q))),
+        ]
+        for name, order in orders:
+            itv, _, _ = decode_study(qc, frame, rate, tab, llrs_q,
+                                     args.max_iters, (), jax, jnp,
+                                     label=f"sched:{name}",
+                                     c2v_dtype=jnp.bfloat16,
+                                     layer_order=order)
+            fl = int((itv > args.max_iters).sum())
+            iv = np.minimum(itv, args.max_iters)
+            cost = np.mean([batch_cost(iv, rs.permutation(len(iv)))
+                            for _ in range(200)])
+            print(f"[S:{name:11s}] fails {fl}; mean {iv.mean():.2f} "
+                  f"max {iv.max()}; batch cost {cost:.2f} sweeps/frame",
+                  file=sys.stderr)
+        return
 
     if args.variants:
         # the bench feeds bf16 LLR planes into the kernel: quantize input
