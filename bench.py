@@ -173,9 +173,13 @@ def main():
         # check_every=1: the syndrome pass measures ~free on this kernel
         # and exact-sweep exit beats the even-rounded count by ~0.7
         # iterations at threshold SNR
+        # layer_order="reversed": measured ~0.4 sweeps faster than the
+        # natural table order at threshold SNR (tools/twophase_study.py
+        # --schedules; natural was the WORST of all orders tried) — a
+        # static loop permutation, zero runtime cost
         decode = qldpc.make_adaptive_decoder_nb_fused_io(
             plp.fec_frame, plp.rate, max_iters=24, check_every=1,
-            batch=num_blocks, dtype=jnp.bfloat16)
+            batch=num_blocks, dtype=jnp.bfloat16, layer_order="reversed")
     bch_check = fec_device.make_bch_check_nb(plp.fec_frame, plp.rate)
     bb_pack = fec_device.make_bb_bytes_nb(plp.fec_frame, plp.rate)
 

@@ -208,6 +208,22 @@ def _roll(x, s):
     return jnp.concatenate([x[-s:], x[:-s]], axis=0)
 
 
+def _layer_order(q: int, layer_order) -> list:
+    """Static layer visitation order for one sweep.  Any permutation is a
+    valid layered schedule (each layer body indexes its own tables);
+    tools/twophase_study.py --schedules measured REVERSED converging
+    ~0.4 sweeps faster than natural at the 19 dB operating point (the
+    natural order was the worst of all tried), so perf-critical callers
+    pass reversed while the equivalence tests keep natural."""
+    if layer_order is None:
+        return list(range(q))
+    if layer_order == "reversed":
+        return list(range(q))[::-1]
+    order = [int(t) for t in layer_order]
+    assert sorted(order) == list(range(q))
+    return order
+
+
 def make_pallas_layered(frame: FECFrame, rate: CodeRate, iters: int,
                         batch: int, offset: float = 0.5,
                         interpret: bool = False, dtype=jnp.float32):
@@ -463,7 +479,8 @@ def qc_syndrome_weight(frame: FECFrame, rate: CodeRate, total_info,
 
 
 def _make_layer_step(tab: QCTables, vti, vtp, c2v, msgs, u_iota, mask0,
-                     off, DT, SD, count_bad: bool = False):
+                     off, DT, SD, count_bad: bool = False,
+                     two_min: str = "scan"):
     """Shared statically-unrolled layer body for the VMEM-resident kernels.
 
     Closes over the kernel refs; `layer(t)` runs one check-layer update of
@@ -495,8 +512,10 @@ def _make_layer_step(tab: QCTables, vti, vtp, c2v, msgs, u_iota, mask0,
     def layer(t):
         deg = layer_deg[t]
         et = deg + 2
-        # ---- pass 1: v2c messages + running two-minimum scan ----
+        # ---- pass 1: v2c messages + two-minimum reduction ----
         min1 = min2 = nneg = None
+        ajs = []
+        negs = []
         for j in range(et):
             if j < deg:
                 g, s = int(entry_g[t, j]), int(entry_s[t, j])
@@ -514,7 +533,10 @@ def _make_layer_step(tab: QCTables, vti, vtp, c2v, msgs, u_iota, mask0,
             msgs[j] = ms
             aj = jnp.abs(ms)
             neg = (ms < 0).astype(jnp.int32)
-            if j == 0:
+            if two_min == "tree":
+                ajs.append(aj)
+                negs.append(neg)
+            elif j == 0:
                 min1 = aj
                 min2 = jnp.full(vti.shape[1:], _BIG, SD)
                 nneg = neg
@@ -523,6 +545,29 @@ def _make_layer_step(tab: QCTables, vti, vtp, c2v, msgs, u_iota, mask0,
                 min2 = jnp.where(is_new, min1, jnp.minimum(min2, aj))
                 min1 = jnp.where(is_new, aj, min1)
                 nneg = nneg + neg
+        if two_min == "tree":
+            # pairwise (min, 2nd-min) tree: same result as the scan but
+            # a 4-level dependency chain instead of `et` sequential
+            # is_new selects — gives the scheduler ILP if the scan is
+            # latency-bound (measured via tools/ldpc_microbench.py)
+            big = jnp.full(vti.shape[1:], _BIG, SD)
+            pairs = [(a, big) for a in ajs]
+            while len(pairs) > 1:
+                nxt = []
+                for i in range(0, len(pairs) - 1, 2):
+                    (a1, b1), (a2, b2) = pairs[i], pairs[i + 1]
+                    nxt.append((jnp.minimum(a1, a2),
+                                jnp.minimum(jnp.maximum(a1, a2),
+                                            jnp.minimum(b1, b2))))
+                if len(pairs) % 2:
+                    nxt.append(pairs[-1])
+                pairs = nxt
+            min1, min2 = pairs[0]
+            while len(negs) > 1:
+                negs = [negs[i] + negs[i + 1]
+                        if i + 1 < len(negs) else negs[i]
+                        for i in range(0, len(negs), 2)]
+            nneg = negs[0]
 
         sign_all = (1 - 2 * jax.lax.rem(nneg, 2)).astype(SD)
         # offset applied once per layer to both candidate magnitudes
@@ -625,7 +670,8 @@ def make_pallas_layered_vmem_adaptive(frame: FECFrame, rate: CodeRate,
                                       interpret: bool = False,
                                       dtype=jnp.bfloat16,
                                       min_iters: int = 0,
-                                      rolling: bool = False):
+                                      rolling: bool = False,
+                                      layer_order=None):
     """Single-call adaptive layered decoder: the early-exit loop lives INSIDE
     the kernel, so totals and c2v messages stay VMEM-resident for the whole
     decode (the chunked `make_adaptive_decoder_nb` pays a full c2v HBM
@@ -657,6 +703,7 @@ def make_pallas_layered_vmem_adaptive(frame: FECFrame, rate: CodeRate,
     DT = dtype
     off = float(offset)
     n_chunks = (max_iters + check_every - 1) // check_every
+    order = _layer_order(q, layer_order)
 
     def kernel(min_it_ref, tinfo_hbm, tpar_hbm, tinfo_out, tpar_out,
                iters_out, vti, vtp, c2v, msgs, done, sem_i, sem_p):
@@ -681,7 +728,7 @@ def make_pallas_layered_vmem_adaptive(frame: FECFrame, rate: CodeRate,
                 @pl.when(done[0] == 0)
                 def _():
                     bad = jnp.int32(0)
-                    for t in range(q):
+                    for t in order:
                         bad = bad + layer(t)
 
                     @pl.when(jnp.logical_and(
@@ -700,7 +747,7 @@ def make_pallas_layered_vmem_adaptive(frame: FECFrame, rate: CodeRate,
                 @pl.when(done[0] == 0)
                 def _():
                     def it_body(_, c):
-                        for t in range(q):
+                        for t in order:
                             layer(t)
                         return c
                     jax.lax.fori_loop(0, check_every, it_body, 0)
@@ -776,7 +823,9 @@ def make_pallas_layered_vmem_adaptive_io(frame, rate,
                                          offset: float = 0.5,
                                          interpret: bool = False,
                                          dtype=jnp.bfloat16,
-                                         min_iters: int = 0):
+                                         min_iters: int = 0,
+                                         layer_order=None,
+                                         two_min: str = "scan"):
     """Adaptive kernel with FUSED IO: the bf16 LLR planes are DMA'd
     straight into the (idle) c2v scratch and unpacked to the f32 totals
     on the VPU (the `make_decoder_nb_fused_io` staging trick), and the
@@ -801,6 +850,7 @@ def make_pallas_layered_vmem_adaptive_io(frame, rate,
     DT = dtype
     off = float(offset)
     n_chunks = (max_iters + check_every - 1) // check_every
+    order = _layer_order(q, layer_order)
     gi_rows = -(-G // E)
     pi_rows = -(-q // E)
     if gi_rows + pi_rows > q:
@@ -827,14 +877,14 @@ def make_pallas_layered_vmem_adaptive_io(frame, rate,
             c2v[t] = jnp.zeros((E, 360, B), DT)
 
         layer = _make_layer_step(tab, vti, vtp, c2v, msgs, u_iota, mask0,
-                                 off, DT, jnp.float32)
+                                 off, DT, jnp.float32, two_min=two_min)
         syndrome_count = _make_syndrome_count(tab, vti, vtp, u_iota)
 
         def chunk_body(ci, carry):
             @pl.when(done[0] == 0)
             def _():
                 def it_body(_, c):
-                    for t in range(q):
+                    for t in order:
                         layer(t)
                     return c
                 jax.lax.fori_loop(0, check_every, it_body, 0)
@@ -901,7 +951,9 @@ def make_adaptive_decoder_nb_fused_io(frame, rate, max_iters: int = 24,
                                       batch: int = 128,
                                       interpret: bool = False,
                                       dtype=jnp.bfloat16,
-                                      min_iters: int = 0):
+                                      min_iters: int = 0,
+                                      layer_order=None,
+                                      two_min: str = "scan"):
     """(N, B) bf16-LLR front door for the fused-IO adaptive kernel.
 
     fn(llrs_t (N, B), min_it) -> (bits (N, B) uint8, iters ()).  The
@@ -917,7 +969,8 @@ def make_adaptive_decoder_nb_fused_io(frame, rate, max_iters: int = 24,
     pi_rows = -(-q // E)
     core = make_pallas_layered_vmem_adaptive_io(
         frame, rate, max_iters=max_iters, check_every=check_every,
-        batch=batch, interpret=interpret, dtype=dtype, min_iters=min_iters)
+        batch=batch, interpret=interpret, dtype=dtype, min_iters=min_iters,
+        layer_order=layer_order, two_min=two_min)
 
     def decode(llrs_t, min_it=0):
         v = llrs_t.astype(dtype)
@@ -945,7 +998,8 @@ def make_adaptive_decoder_nb_fused(frame: FECFrame, rate: CodeRate,
                                    batch: int = 128,
                                    interpret: bool = False,
                                    dtype=jnp.bfloat16, min_iters: int = 0,
-                                   rolling: bool = False):
+                                   rolling: bool = False,
+                                   layer_order=None):
     """(N, B) LLR front door for the in-kernel adaptive decoder.
 
     Returns fn(llrs_t (N,B)) -> (bits (N,B) uint8, iters_used ())."""
@@ -953,7 +1007,7 @@ def make_adaptive_decoder_nb_fused(frame: FECFrame, rate: CodeRate,
     core = make_pallas_layered_vmem_adaptive(
         frame, rate, max_iters=max_iters, check_every=check_every,
         batch=batch, interpret=interpret, dtype=dtype, min_iters=min_iters,
-        rolling=rolling)
+        rolling=rolling, layer_order=layer_order)
 
     def decode(llrs_t, min_it=0):
         ti, tp = llrs_nb_to_qc_jnp(tab, llrs_t.astype(jnp.float32))
@@ -1273,9 +1327,7 @@ def _build_one_iteration(tab: QCTables, offset: float, scale: float = 1.0,
     entry_s = tab.entry_s
     off = np.float32(offset)
     sc = np.float32(scale)
-    order = list(range(q)) if layer_order is None else \
-        [int(t) for t in layer_order]
-    assert sorted(order) == list(range(q))
+    order = _layer_order(q, layer_order)
 
     def one_iteration(state):
         total_info, total_par, c2v = state

@@ -81,11 +81,14 @@ class DeviceT2Receiver(T2Receiver):
                     # early-exit layered decode, the reference's TRIALS=25
                     # + bad() semantics (ldpc_decoder.h:62,
                     # layered_decoder.hh:65-82)
+                    # layer_order="reversed": ~0.4 sweeps faster than
+                    # natural at threshold (twophase_study --schedules)
                     self._decoders[key] = (
                         "nb_adaptive", qldpc.make_adaptive_decoder_nb_fused(
                             plp.fec_frame, plp.rate,
                             max_iters=self.ldpc_max_iters,
-                            check_every=2, batch=batch))
+                            check_every=2, batch=batch,
+                            layer_order="reversed"))
                 else:
                     self._decoders[key] = ("nb", qldpc.make_decoder_nb(
                         plp.fec_frame, plp.rate,

@@ -270,3 +270,29 @@ def test_adaptive_inkernel_fused_io():
     # the traced first-check floor applies identically
     _, it_f = dec(jnp.asarray(llr.T), 6)
     assert int(it_f) >= 6
+
+
+def test_layer_order_reversed_kernel_matches_xla():
+    """A permuted layer schedule (layer_order="reversed" — measured ~0.4
+    sweeps faster than natural at threshold, twophase_study --schedules)
+    is still the exact layered algorithm: the interpret-mode kernel with
+    reversed order matches the XLA stepper run in the same order sweep
+    for sweep, and decodes to the true codeword."""
+    frame, rate = FECFrame.SHORT, CodeRate.C1_2
+    code, cw, llr = _noisy(frame, rate, 8, snr_scale=4.0)
+    tab = qc.qc_tables(frame, rate)
+    dec = qc.make_adaptive_decoder_nb_fused_io(
+        frame, rate, max_iters=12, check_every=2, batch=8,
+        interpret=True, dtype=jnp.float32, layer_order="reversed")
+    bits, it = dec(jnp.asarray(llr.T))
+    np.testing.assert_array_equal(np.asarray(bits).T, cw)
+
+    # sweep-exact check vs the XLA stepper in the same order: run the
+    # stepper `it` sweeps and compare hard decisions
+    step = qc.build_layered_stepper(frame, rate, layer_order="reversed")
+    ti, tp = qc.llrs_nb_to_qc_jnp(tab, jnp.asarray(llr.T, jnp.float32))
+    c2v = jnp.zeros((tab.q, tab.degmax + 2, 360, 8), jnp.float32)
+    for _ in range(int(it)):
+        ti, tp, c2v = step(ti, tp, c2v)
+    bits_ref = qc.qc_to_bits_nb_jnp(tab, ti, tp)
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(bits_ref))

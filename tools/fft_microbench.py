@@ -95,6 +95,57 @@ def main():
     chain(fft_fused, xr32, xi32, "fft f32in tw-fused")
     chain(fft_fused, xr16, xi16, "fft bf16in tw-fused")
 
+    # 3-mult (Karatsuba) complex matmuls: one fewer einsum + one fewer
+    # intermediate per stage
+    w1r = jnp.asarray(np.ascontiguousarray(w1.real), dtype=dt)
+    w1i = jnp.asarray(np.ascontiguousarray(w1.imag), dtype=dt)
+    w1s = w1r + w1i
+    w2s = w2r + w2i
+    twr = jnp.asarray(np.ascontiguousarray(tw.real), dtype=dt)
+    twi = jnp.asarray(np.ascontiguousarray(tw.imag), dtype=dt)
+
+    def fft_karatsuba(a, b):
+        yr = a.astype(dt).reshape(f, s, n1, n2)
+        yi = b.astype(dt).reshape(f, s, n1, n2)
+
+        def mm(u, w):
+            return jnp.einsum("fsnm,nk->fskm", u, w,
+                              preferred_element_type=jnp.float32
+                              ).astype(dt)
+
+        # (yr + i yi)(w1r + i w1i): m1=yr(w1r+w1i), m2=w1i(yr+yi),
+        # m3=w1r(yi-yr); re = m1 - m2, im = m1 + m3
+        m1 = mm(yr, w1s)
+        m2 = mm(yr + yi, w1i)
+        m3 = mm(yi - yr, w1r)
+        ar = m1 - m2
+        ai = m1 + m3
+        br = ar * twr - ai * twi
+        bi = ar * twi + ai * twr
+
+        def mm2(u, w):
+            return jnp.einsum("fskm,ml->lksf", u, w,
+                              preferred_element_type=jnp.float32
+                              ).astype(dt)
+
+        k1_ = mm2(br, w2s)
+        k2_ = mm2(br + bi, w2i)
+        k3_ = mm2(bi - br, w2r)
+        out_r = k1_ - k2_
+        out_i = k1_ + k3_
+        return out_r.reshape(n, s, f), out_i.reshape(n, s, f)
+
+    chain(fft_karatsuba, xr16, xi16, "fft bf16in karatsuba")
+    # numeric sanity vs reference
+    rr, ri = mxu_fft.fft_carrier_major_planar(xr16, xi16, n,
+                                              dtype=jnp.bfloat16)
+    kr, ki = fft_karatsuba(xr16, xi16)
+    err = float(jnp.max(jnp.abs(rr[:, :4].astype(jnp.float32)
+                                - kr[:, :4].astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(rr[:, :4].astype(jnp.float32))))
+    print(f"[karatsuba] max err {err:.3f} vs scale {scale:.1f} "
+          f"({err/scale:.2e} rel)", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()
