@@ -253,9 +253,17 @@ def equalize_frame(p: T2Params, carriers: np.ndarray) -> DemodResult:
         pos = tab["pilot_pos"]
         ref = tab["pilot_ref"]
         est_p = row[pos] / ref
+        # 3-tap [1,2,1]/4 pilot smoothing before interpolation: the same
+        # estimator-noise cut the fused path applies (see
+        # fusedpath._smooth_pilot_est; ~1 dB effective SNR at threshold).
+        # The SNR estimate below stays on the RAW estimates — smoothed
+        # differences would bias it high.
+        est_s = (0.25 * np.concatenate([est_p[:1], est_p[:-1]])
+                 + 0.5 * est_p
+                 + 0.25 * np.concatenate([est_p[1:], est_p[-1:]]))
         # linear interpolation of the complex channel across carriers
-        est = (np.interp(k, pos, est_p.real)
-               + 1j * np.interp(k, pos, est_p.imag))
+        est = (np.interp(k, pos, est_s.real)
+               + 1j * np.interp(k, pos, est_s.imag))
         eq = row / est
         data = eq[tab["data_pos"]]
         cells_out.append(data[tab["rx_gather"]])
