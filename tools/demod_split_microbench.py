@@ -83,23 +83,22 @@ def main():
                   for ci, c in enumerate(classes)]
             if stage == "slices":
                 return sum(jnp.sum(a.astype(jnp.float32)) for a, _ in xs)
-            outs_r, outs_i = [], []
+            # production comp-first EQ (paired (total, 2F) output)
+            outs = []
             for c, (a, b) in zip(classes, xs):
-                eqr, eqi = fusedpath._eq_class_planar(c, a, b, f)
-                outs_r.append(eqr.reshape(-1, f))
-                outs_i.append(eqi.reshape(-1, f))
-            fr = jnp.concatenate(outs_r, axis=0)
-            fi_ = jnp.concatenate(outs_i, axis=0)
+                eqr, eqi = fusedpath._eq_class_comp(c, a, b, f)
+                outs.append(jnp.concatenate(
+                    [eqr.reshape(-1, f), eqi.reshape(-1, f)], axis=1))
+            both = jnp.concatenate(outs, axis=0)
             if stage == "eq":
-                return jnp.sum(fr.astype(jnp.float32))
+                return jnp.sum(both.astype(jnp.float32))
             if stage == "gather":
-                both = jnp.concatenate([fr, fi_], axis=1)
                 cpf = plp.cells_per_fec_block
                 comp_cm = mf.paths[0].comp.reshape(
                     num_blocks, cpf).T.reshape(-1)
                 g = both[comp_cm]
                 return jnp.sum(g.astype(jnp.float32))
-            out, evm = tails[0](fr, fi_, inv_nvar)
+            out, evm = tails[0](both, inv_nvar)
             return jnp.sum(out.astype(jnp.float32))
 
         return run
