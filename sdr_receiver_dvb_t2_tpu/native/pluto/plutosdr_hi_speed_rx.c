@@ -253,17 +253,31 @@ int plutosdr_bufstream_enable(plutosdr_device_t *d, uint32_t on) {
     return ctrl_out(d, REQ_BUFSTREAM_ENABLE, &on, 4);
 }
 
+#define LIBUSB_ERROR_TIMEOUT (-7)
+#define MAX_HARD_ERRORS 8
+
 static void *rx_thread(void *arg) {
     plutosdr_device_t *d = arg;
     int which = 0;
+    int hard_errors = 0;
     while (d->streaming) {
         int got = 0;
         int err = U.bulk_transfer(d->h, EP_SAMPLES, d->raw, CHUNK_BYTES,
                                   &got, BULK_TIMEOUT_MS);
         if (err && got <= 0) {
             if (!d->streaming) break;
-            continue; /* timeout with no data: retry until stopped */
+            /* timeouts retry forever (a stalled endpoint is the
+             * consumer's stall_timeout problem); any other error
+             * repeated MAX_HARD_ERRORS times (unplug, babble) ends the
+             * stream instead of spinning */
+            if (err != LIBUSB_ERROR_TIMEOUT
+                && ++hard_errors >= MAX_HARD_ERRORS) {
+                d->streaming = 0;
+                break;
+            }
+            continue;
         }
+        hard_errors = 0;
         int n = got / 4; /* interleaved int16 IQ pairs */
         if (n <= 0) continue;
         const int16_t *s = (const int16_t *)d->raw;
