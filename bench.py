@@ -352,7 +352,6 @@ def main():
         prints the estimation errors vs the impairment constants.
         Matches the reference's closed acquisition loops
         (dvbt2_demodulator.cpp:321-330, 429-443)."""
-        from sdr_receiver_dvb_t2_tpu.rx import frontend as hostfe
         from sdr_receiver_dvb_t2_tpu.rx.receiver import T2Receiver
         n2 = 2 * n_samp
         n_raw2 = int(np.ceil((n2 + pad) * ratio)) + 4 * HALF
@@ -383,25 +382,9 @@ def main():
         t0 = time.time()
         rx = T2Receiver(fs=fs)
         xc = x - np.mean(x)       # DC: the superstep estimates it on-device
-        cfo_acc, ratio_acc = 0.0, 1.0
-        ls = None
-        for _ in range(4):
-            ls = rx.acquire(xc)
-            if ls is None:
-                raise RuntimeError("bench acquisition failed to lock")
-            if abs(ls.cfo_hz) > 2.0:
-                n = np.arange(len(xc))
-                xc = (xc * np.exp(-2j * np.pi * ls.cfo_hz * n / fs)
-                      ).astype(np.complex64)
-                cfo_acc += ls.cfo_hz
-                continue
-            if abs(ls.sco) > 2e-7:
-                xc = hostfe.sinc_resample(xc, 1.0 + ls.sco)
-                ratio_acc *= (1.0 + ls.sco)
-                continue
-            break
-        cfo_e = cfo_acc + ls.cfo_hz
-        ratio_e = ratio_acc * (1.0 + ls.sco)
+        ls, cfo_e, ratio_e, xc = rx.refine_acquire(xc)
+        if ls is None:
+            raise RuntimeError("bench acquisition failed to lock")
         # stencil left-context floor: the Farrow bank reaches `half`
         # samples left of the read position (the streaming chain keeps
         # that halo structurally; reads below it clamp, corrupting the

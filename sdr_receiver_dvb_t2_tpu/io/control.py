@@ -200,6 +200,10 @@ class ControlServer:
                     flush_ts()
                     host, _, port = arg.rpartition(":")
                     self.sink.set_udp(host or "127.0.0.1", int(port))
+                # a successful apply clears the sticky error, so STATUS
+                # stops reporting a failure that has since been corrected
+                with self._lock:
+                    self._last_error = None
             except (OSError, ValueError) as e:
                 # a bad target must not crash the running receiver (the
                 # previous sink stays attached — set_file opens before it

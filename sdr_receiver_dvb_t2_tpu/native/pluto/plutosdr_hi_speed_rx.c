@@ -71,15 +71,17 @@ static struct {
                             unsigned);
 } U;
 
+static int u_state = 0; /* 0 = unloaded, 1 = ok, <0 = failed (sticky) */
+
 static int u_load(void) {
-    if (U.dl) return 0;
+    if (u_state) return u_state > 0 ? 0 : u_state;
     const char *path = getenv("T2_LIBUSB_PATH");
     U.dl = dlopen(path && *path ? path : "libusb-1.0.so.0",
                   RTLD_NOW | RTLD_LOCAL);
-    if (!U.dl) return -1;
+    if (!U.dl) { u_state = -1; return -1; }
 #define SYM(field, name) \
     *(void **)&U.field = dlsym(U.dl, name); \
-    if (!U.field) return -2;
+    if (!U.field) { u_state = -2; return -2; }
     SYM(init, "libusb_init")
     SYM(exit_, "libusb_exit")
     SYM(get_device_list, "libusb_get_device_list")
@@ -92,6 +94,7 @@ static int u_load(void) {
     SYM(bulk_transfer, "libusb_bulk_transfer")
     SYM(control_transfer, "libusb_control_transfer")
 #undef SYM
+    u_state = 1;
     return 0;
 }
 
@@ -140,6 +143,8 @@ typedef struct plutosdr_device {
     libusb_context *ctx;
     libusb_device_handle *h;
     pthread_t thread;
+    int thread_valid; /* a created thread must be joined exactly once,
+                       * even when it stopped ITSELF (unplug / cb stop) */
     volatile int streaming;
     plutosdr_cb_t cb;
     void *cb_ctx;
@@ -297,6 +302,10 @@ static void *rx_thread(void *arg) {
 
 int plutosdr_start_rx(plutosdr_device_t *d, plutosdr_cb_t cb, void *ctx) {
     if (!d || d->streaming) return -1;
+    if (d->thread_valid) { /* reap a self-stopped previous thread */
+        pthread_join(d->thread, NULL);
+        d->thread_valid = 0;
+    }
     d->cb = cb;
     d->cb_ctx = ctx;
     d->streaming = 1;
@@ -304,14 +313,16 @@ int plutosdr_start_rx(plutosdr_device_t *d, plutosdr_cb_t cb, void *ctx) {
         d->streaming = 0;
         return -2;
     }
+    d->thread_valid = 1;
     return 0;
 }
 
 int plutosdr_stop_rx(plutosdr_device_t *d) {
     if (!d) return -1;
-    if (d->streaming) {
-        d->streaming = 0;
+    d->streaming = 0;
+    if (d->thread_valid) {
         pthread_join(d->thread, NULL);
+        d->thread_valid = 0;
     }
     return 0;
 }

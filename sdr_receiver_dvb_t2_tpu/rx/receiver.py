@@ -338,6 +338,43 @@ class T2Receiver:
                          snr_db=float(dres.snr_db),
                          frame_idx=int(l1post.dyn.frame_idx))
 
+    def refine_acquire(self, x: np.ndarray, max_rounds: int = 4):
+        """Acquire + apply the streaming refine sequence on a host buffer:
+        derotate by the measured CFO, resample by the measured SCO,
+        re-acquire, until both residuals are small or `max_rounds` is
+        exhausted (the io/devices.py _acquire loop, shared so the bench
+        and the distributed children don't re-implement it).
+
+        Returns (ls, cfo_total_hz, ratio_total, xc) — the final lock
+        state measured on the corrected buffer `xc`, with the TOTAL
+        accumulated corrections.  Residuals already folded into the
+        accumulators are zeroed on `ls`, so the caller cannot double
+        count them (a 4-round exhaustion used to re-add the last
+        applied correction).  (None, 0.0, 1.0, x) when acquisition
+        never locks."""
+        from . import frontend
+        cfo_acc, ratio_acc = 0.0, 1.0
+        ls = None
+        for _ in range(max_rounds):
+            ls = self.acquire(x)
+            if ls is None:
+                return None, cfo_acc, ratio_acc, x
+            if abs(ls.cfo_hz) > 2.0:
+                n = np.arange(len(x))
+                x = (x * np.exp(-2j * np.pi * ls.cfo_hz * n / self.fs)
+                     ).astype(np.complex64)
+                cfo_acc += ls.cfo_hz
+                ls.cfo_hz = 0.0
+                continue
+            if abs(ls.sco) > 2e-7:
+                x = frontend.sinc_resample(x, 1.0 + ls.sco)
+                ratio_acc *= (1.0 + ls.sco)
+                ls.sco = 0.0
+                continue
+            break
+        return (ls, cfo_acc + ls.cfo_hz,
+                ratio_acc * (1.0 + ls.sco), x)
+
     def _sco_ladder(self, x):
         """Trial resample ratios for large sample-clock offsets (the
         recorded-block analogue of the reference slowly pulling its

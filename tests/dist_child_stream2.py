@@ -159,26 +159,10 @@ def main():
     # --- initial acquisition on process 0, state broadcast to both -----
     if pid == 0:
         rx0 = T2Receiver()
-        xc = x[:3 * frame_samp]
-        cfo_acc, ratio_acc = 0.0, 1.0
-        ls = None
-        for _ in range(4):
-            ls = rx0.acquire(xc)
-            assert ls is not None
-            if abs(ls.cfo_hz) > 2.0:
-                n = np.arange(len(xc))
-                xc = (xc * np.exp(-2j * np.pi * ls.cfo_hz * n / FS)
-                      ).astype(np.complex64)
-                cfo_acc += ls.cfo_hz
-                continue
-            if abs(ls.sco) > 2e-7:
-                xc = frontend.sinc_resample(xc, 1.0 + ls.sco)
-                ratio_acc *= (1.0 + ls.sco)
-                continue
-            break
-        state0 = np.array([cfo_acc + ls.cfo_hz,
-                           ratio_acc * (1.0 + ls.sco),
-                           float(ls.frame_start) * ratio_acc], np.float64)
+        ls, cfo_e, ratio_e, _ = rx0.refine_acquire(x[:3 * frame_samp])
+        assert ls is not None
+        state0 = np.array([cfo_e, ratio_e,
+                           float(ls.frame_start) * ratio_e], np.float64)
         # f64 crosses the runtime as BYTES (x64 is off; a float64 array
         # would silently round to f32)
         multihost_utils.broadcast_one_to_all(

@@ -125,11 +125,20 @@ int libusb_bulk_transfer(void *h, unsigned char ep, unsigned char *buf,
                          int length, int *actual, unsigned timeout) {
     (void)h; (void)timeout;
     if (ep != 0x81) return -9;
-    if (!capture) {
-        const char *p = getenv("FAKE_LIBUSB_CAPTURE");
-        if (p && *p) capture = fopen(p, "rb");
-        const char *r = getenv("FAKE_LIBUSB_RATE_SPS");
+    /* reconfigure when the env CHANGES (tests in one process share these
+     * statics through the dlopen cache); the pacing epoch resets only
+     * then, so ramp mode doesn't reset t0 on every call */
+    static char cfg[512] = {1};
+    const char *p = getenv("FAKE_LIBUSB_CAPTURE");
+    const char *r = getenv("FAKE_LIBUSB_RATE_SPS");
+    char wantcfg[512];
+    snprintf(wantcfg, sizeof(wantcfg), "%s|%s", p ? p : "", r ? r : "");
+    if (strncmp(wantcfg, cfg, sizeof(cfg))) {
+        snprintf(cfg, sizeof(cfg), "%s", wantcfg);
+        if (capture) fclose(capture);
+        capture = (p && *p) ? fopen(p, "rb") : NULL;
         rate_sps = r && *r ? atof(r) : 0.0;
+        served = 0;
         t0 = now();
     }
     int want = length / 4;               /* IQ pairs */

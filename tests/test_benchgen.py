@@ -169,7 +169,6 @@ def test_acquisition_estimates_bench_tracking_state():
     with the ESTIMATED track vector — BCH-clean decode, estimation
     errors within the tolerance the 32K gates rely on (VERDICT r4
     weak #4: the bench must run on the product's own tracking state)."""
-    from sdr_receiver_dvb_t2_tpu.rx import frontend as hostfe
     from sdr_receiver_dvb_t2_tpu.rx.receiver import T2Receiver
     p, plp, out, bb0, frames = _setup()
     fec = plp.fec
@@ -194,25 +193,8 @@ def test_acquisition_estimates_bench_tracking_state():
     x = (raw[0, :, 0] + 1j * raw[0, :, 1]).astype(np.complex64)
 
     rx = T2Receiver()
-    xc = x - np.mean(x)
-    cfo_acc, ratio_acc = 0.0, 1.0
-    ls = None
-    for _ in range(4):
-        ls = rx.acquire(xc)
-        assert ls is not None
-        if abs(ls.cfo_hz) > 2.0:
-            n = np.arange(len(xc))
-            xc = (xc * np.exp(-2j * np.pi * ls.cfo_hz * n / fs)
-                  ).astype(np.complex64)
-            cfo_acc += ls.cfo_hz
-            continue
-        if abs(ls.sco) > 2e-7:
-            xc = hostfe.sinc_resample(xc, 1.0 + ls.sco)
-            ratio_acc *= (1.0 + ls.sco)
-            continue
-        break
-    cfo_e = cfo_acc + ls.cfo_hz
-    ratio_e = ratio_acc * (1.0 + ls.sco)
+    ls, cfo_e, ratio_e, _ = rx.refine_acquire(x - np.mean(x))
+    assert ls is not None
     # stencil left-context floor: the Farrow bank reaches `half` samples
     # left of the read position (the streaming DeviceFrontendChain keeps
     # that halo structurally; reads below it clamp and corrupt chunk 0)
