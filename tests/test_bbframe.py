@@ -218,3 +218,37 @@ def test_crc8_rows_native_matches_numpy():
     for j in range(rows.shape[1]):
         crc = tab[crc ^ rows[:, j]]
     np.testing.assert_array_equal(nat, crc)
+
+
+def test_packet_list_semantics():
+    """PacketList (chunked TS-packet store): the list-of-(188,)-array
+    interface its consumers rely on — len, int indexing with mutable
+    write-through views (the NM TEI back-mark), contiguous slices across
+    chunk boundaries flattening like the old list under np.concatenate,
+    and tobytes_flat."""
+    from sdr_receiver_dvb_t2_tpu.dvbt2.bbframe import PacketList
+    pl = PacketList()
+    assert len(pl) == 0 and not pl
+    b1 = np.arange(3 * 188, dtype=np.uint8).reshape(3, 188)
+    b2 = (np.arange(2 * 188, dtype=np.uint8).reshape(2, 188) + 7)
+    pl.extend(b1.copy())
+    pl.append(np.full(188, 0xAA, np.uint8))
+    pl.extend(b2.copy())
+    assert len(pl) == 6 and pl
+    # int indexing incl. negative; write-through view mutates storage
+    np.testing.assert_array_equal(pl[3], np.full(188, 0xAA, np.uint8))
+    np.testing.assert_array_equal(pl[-1], b2[1])
+    pl[3][1] |= 0x80
+    assert pl[3][1] == (0xAA | 0x80)
+    # cross-chunk slice flattens identically to the old list-of-arrays
+    got = np.concatenate(pl[2:5])
+    exp = np.concatenate([b1[2], pl[3], b2[0]])
+    np.testing.assert_array_equal(got, exp)
+    # empty slice and full flatten
+    assert pl[4:4].shape == (0, 188)
+    flat = pl.tobytes_flat()
+    assert flat.shape == (6 * 188,)
+    np.testing.assert_array_equal(flat[3 * 188:4 * 188], pl[3])
+    import pytest as _pytest
+    with _pytest.raises(IndexError):
+        pl[6]

@@ -136,6 +136,61 @@ def main():
         return out_r.reshape(n, s, f), out_i.reshape(n, s, f)
 
     chain(fft_karatsuba, xr16, xi16, "fft bf16in karatsuba")
+
+    # Pallas stage1+twiddle fusion: ar/ai/br/bi stay in VMEM (saves the
+    # ~2 GB/superstep intermediate round trip); stage 2 stays the
+    # carrier-major einsum
+    from jax.experimental import pallas as pl
+    w1rT = jnp.asarray(np.ascontiguousarray(w1.real.T), dtype=dt)
+    w1iT = jnp.asarray(np.ascontiguousarray(w1.imag.T), dtype=dt)
+
+    def s1_kernel(yr_ref, yi_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
+                  br_ref, bi_ref):
+        yr = yr_ref[0, 0]
+        yi = yi_ref[0, 0]
+        wr = w1r_ref[...]
+        wi = w1i_ref[...]
+        ar = (jnp.dot(wr, yr, preferred_element_type=jnp.float32)
+              - jnp.dot(wi, yi, preferred_element_type=jnp.float32))
+        ai = (jnp.dot(wr, yi, preferred_element_type=jnp.float32)
+              + jnp.dot(wi, yr, preferred_element_type=jnp.float32))
+        twr_ = twr_ref[...].astype(jnp.float32)
+        twi_ = twi_ref[...].astype(jnp.float32)
+        br_ref[0, 0] = (ar * twr_ - ai * twi_).astype(br_ref.dtype)
+        bi_ref[0, 0] = (ar * twi_ + ai * twr_).astype(bi_ref.dtype)
+
+    def fft_pallas_s1(a, b):
+        yr = a.astype(dt).reshape(f, s, n1, n2)
+        yi = b.astype(dt).reshape(f, s, n1, n2)
+        grid = (f, s)
+        yspec = pl.BlockSpec((1, 1, n1, n2), lambda i, j: (i, j, 0, 0))
+        wspec = pl.BlockSpec((n1, n1), lambda i, j: (0, 0))
+        tspec = pl.BlockSpec((n1, n2), lambda i, j: (0, 0))
+        br, bi = pl.pallas_call(
+            s1_kernel,
+            grid=grid,
+            in_specs=[yspec, yspec, wspec, wspec, tspec, tspec],
+            out_specs=[yspec, yspec],
+            out_shape=(jax.ShapeDtypeStruct((f, s, n1, n2), dt),
+                       jax.ShapeDtypeStruct((f, s, n1, n2), dt)),
+        )(yr, yi, w1rT, w1iT, twr, twi)
+
+        def mm2(u, w):
+            return jnp.einsum("fskm,ml->lksf", u, w,
+                              preferred_element_type=jnp.float32
+                              ).astype(dt)
+
+        out_r = mm2(br, w2r) - mm2(bi, w2i)
+        out_i = mm2(br, w2i) + mm2(bi, w2r)
+        return out_r.reshape(n, s, f), out_i.reshape(n, s, f)
+
+    chain(fft_pallas_s1, xr16, xi16, "fft bf16in pallas-s1")
+    rr2, _ = mxu_fft.fft_carrier_major_planar(xr16, xi16, n,
+                                              dtype=jnp.bfloat16)
+    kr2, _ = fft_pallas_s1(xr16, xi16)
+    err2 = float(jnp.max(jnp.abs(rr2[:, :4].astype(jnp.float32)
+                                 - kr2[:, :4].astype(jnp.float32))))
+    print(f"[pallas-s1] max err {err2:.3f}", file=sys.stderr)
     # numeric sanity vs reference
     rr, ri = mxu_fft.fft_carrier_major_planar(xr16, xi16, n,
                                               dtype=jnp.bfloat16)
