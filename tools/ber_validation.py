@@ -37,6 +37,11 @@ def main():
     }
     # bf16 layered via the nb wrapper
     nb_bf16 = qldpc.make_decoder_nb(frame, rate, 10, B, dtype=jnp.bfloat16)
+    # the production REVERSED layer schedule (adaptive kernel capped at
+    # 10 sweeps): evidence the permuted order costs no BER either
+    nb_rev = qldpc.make_adaptive_decoder_nb_fused_io(
+        frame, rate, max_iters=10, check_every=10, batch=B,
+        dtype=jnp.bfloat16, layer_order="reversed")
     # rate-2/3 BPSK threshold is around Eb/N0 ~ 2 dB -> sigma ~ 0.8
     for sigma in (0.74, 0.78, 0.82, 0.88):
         llr = (2.0 / sigma**2) * (tx + sigma * rng.normal(
@@ -47,6 +52,8 @@ def main():
             row[name] = (bits != cw).mean()
         bits = np.asarray(nb_bf16(jnp.asarray(llr.T))).T
         row["layered10_bf16"] = (bits != cw).mean()
+        bits_r, _ = nb_rev(jnp.asarray(llr.T))
+        row["layered10_bf16_rev"] = (np.asarray(bits_r).T != cw).mean()
         print(f"sigma={sigma}: " + "  ".join(
             f"{k}={v:.2e}" for k, v in row.items()), flush=True)
 
